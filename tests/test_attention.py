@@ -1,0 +1,66 @@
+"""Flash attention kernel vs dense reference — forward and backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vap_tpu.ops.attention import dense_attention
+from vap_tpu.ops.flash_attention import flash_attention
+
+from conftest import has_tpu
+
+
+def _run(fn, *args):
+    if has_tpu():
+        return fn(*args)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        return fn(*args)
+
+
+@pytest.mark.parametrize("q_len,kv_len", [(256, 256), (300, 300), (512, 1024), (333, 777)])
+def test_flash_forward_matches_dense(q_len, kv_len):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, D = 2, 3, 64
+    q = jax.random.normal(kq, (B, H, q_len, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, kv_len, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, kv_len, D), jnp.float32)
+
+    ref = dense_attention(q, k, v)
+    got = _run(lambda q, k, v: flash_attention(q, k, v, None, 128, 128), q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_backward_matches_dense():
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, S, D = 1, 2, 300, 64
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(dense_attention(q, k, v)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, None, 128, 128)))
+
+    ref_grads = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    got_grads = _run(jax.grad(loss_flash, argnums=(0, 1, 2)), q, k, v)
+    for g_ref, g_got in zip(ref_grads, got_grads):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=5e-3, rtol=5e-3)
+
+
+def test_flash_bf16():
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, S, D = 1, 2, 384, 64
+    q = jax.random.normal(kq, (B, H, S, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.bfloat16)
+    ref = dense_attention(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    got = _run(lambda q, k, v: flash_attention(q, k, v, None, 128, 128), q, k, v)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2)

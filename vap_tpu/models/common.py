@@ -1,0 +1,138 @@
+"""Shared functional building blocks and parameter initializers.
+
+Models in vap_tpu are pure functions over parameter pytrees (nested dicts of
+jnp arrays). Linear kernels use the JAX convention ``[in, out]`` (transposed
+relative to torch ``nn.Linear.weight``); weight-loading utilities handle the
+transpose.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.float32):
+    kkey, _ = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"kernel": jax.random.uniform(kkey, (in_dim, out_dim), dtype, -bound, bound)}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def init_layer_norm(dim: int, affine: bool = True, dtype=jnp.float32):
+    if not affine:
+        return {}
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# functional layers
+# ---------------------------------------------------------------------------
+
+def linear(p, x: Array) -> Array:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def layer_norm(p, x: Array, eps: float = 1e-5) -> Array:
+    """LayerNorm over the last dim, computed in fp32 (matches torch numerics)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if p:
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(p, x: Array, eps: float = 1e-6) -> Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    if p and "scale" in p:
+        y = y * p["scale"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu_tanh(x: Array) -> Array:
+    """'gelu-approximate' (tanh) activation, matching torch GELU(approximate='tanh')."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def silu(x: Array) -> Array:
+    return jax.nn.silu(x)
+
+
+def feed_forward(p, x: Array) -> Array:
+    """diffusers FeedForward with activation 'gelu-approximate':
+    Linear -> gelu(tanh) -> Linear."""
+    h = gelu_tanh(linear(p["net_0"], x))
+    return linear(p["net_2"], h)
+
+
+def init_feed_forward(key, dim: int, inner_dim: Optional[int] = None, bias: bool = True, dtype=jnp.float32):
+    inner = inner_dim or 4 * dim
+    k0, k2 = jax.random.split(key)
+    return {
+        "net_0": init_linear(k0, dim, inner, bias=bias, dtype=dtype),
+        "net_2": init_linear(k2, inner, dim, bias=bias, dtype=dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# timestep embedding
+# ---------------------------------------------------------------------------
+
+def sinusoidal_timestep_embedding(
+    timesteps: Array,
+    embedding_dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    scale: float = 1.0,
+    max_period: int = 10000,
+) -> Array:
+    """Matches the reference `get_timestep_embedding` (embeddings.py:25-76).
+
+    timesteps: [N] (possibly fractional). Returns [N, embedding_dim] float32.
+    """
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = scale * emb
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def timestep_embedding_mlp(p, sample: Array) -> Array:
+    """diffusers TimestepEmbedding: Linear -> SiLU -> Linear."""
+    h = linear(p["linear_1"], sample)
+    h = silu(h)
+    return linear(p["linear_2"], h)
+
+
+def init_timestep_embedding_mlp(key, in_dim: int, time_embed_dim: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "linear_1": init_linear(k1, in_dim, time_embed_dim, dtype=dtype),
+        "linear_2": init_linear(k2, time_embed_dim, time_embed_dim, dtype=dtype),
+    }

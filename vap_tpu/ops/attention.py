@@ -1,0 +1,90 @@
+"""Attention dispatch: one joint full-attention op with pluggable providers.
+
+The reference framework routes every SDPA call through a provider registry
+(finetrainers/models/attention_dispatch.py) covering flash/cudnn/xformers
+CUDA backends. On TPU one Pallas flash kernel covers the need; providers:
+
+  * "flash"  — Pallas TPU flash attention (vap_tpu/ops/flash_attention.py)
+  * "xla"    — plain jnp einsum softmax (XLA-fused; works on any backend)
+  * "ring"   — sequence-sharded ring attention over a mesh axis (shard_map +
+               Pallas per-shard kernel); see vap_tpu/parallel/ring_attention.py
+
+Selection is a context variable (mirrors the reference's `attention_provider`
+context manager) so pipelines/trainers can switch providers per phase.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import flash_attention
+
+Array = jnp.ndarray
+
+_state = threading.local()
+
+_VALID_PROVIDERS = ("flash", "xla", "ring")
+
+
+def _default_provider() -> str:
+    env = os.environ.get("VAP_ATTN_PROVIDER")
+    if env:
+        return env
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at import time
+        platform = "cpu"
+    return "flash" if platform == "tpu" else "xla"
+
+
+def get_attention_provider() -> str:
+    return getattr(_state, "provider", None) or _default_provider()
+
+
+@contextlib.contextmanager
+def attention_provider(name: str):
+    """Context manager selecting the attention backend (cf. reference
+    finetrainers attention_provider, attention_dispatch.py:416-460)."""
+    if name not in _VALID_PROVIDERS:
+        raise ValueError(f"unknown attention provider {name!r}; valid: {_VALID_PROVIDERS}")
+    prev = getattr(_state, "provider", None)
+    _state.provider = name
+    try:
+        yield
+    finally:
+        _state.provider = prev
+
+
+def dense_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None) -> Array:
+    """Reference dense attention. q/k/v: [B, H, S, D]. fp32 softmax."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(q.dtype)
+
+
+def scaled_dot_product_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: Optional[float] = None,
+    provider: Optional[str] = None,
+) -> Array:
+    """Full (non-causal, unmasked) attention over [B, H, S, D] tensors."""
+    provider = provider or get_attention_provider()
+    if provider == "flash":
+        return flash_attention(q, k, v, scale)
+    elif provider == "xla":
+        return dense_attention(q, k, v, scale)
+    elif provider == "ring":
+        # ring provider is applied via shard_map at the parallel layer; inside
+        # each shard the local compute is the flash kernel.
+        return flash_attention(q, k, v, scale)
+    raise ValueError(f"unknown attention provider {provider!r}")

@@ -1,0 +1,317 @@
+"""Pallas TPU flash attention (forward + backward), full (non-causal) attention.
+
+This is the hot kernel of Video-As-Prompt: joint MoT attention over the
+concatenated [text ‖ video ‖ ref_text×N ‖ ref_video×N] token stream (the
+reference concatenates per-branch Q/K/V and calls a fused SDPA —
+cogvideox_transformer_3d_mot.py:424-431). Here the same math runs as an
+online-softmax tiled kernel that never materializes the S×S score matrix.
+
+Layout: q, k, v are [B, H, S, D]. Sequence lengths may be ragged; inputs are
+padded to the block size and the padded key columns are masked to -inf.
+The forward also returns the per-row logsumexp for the backward pass.
+
+Block sizes default to (256, 512) which keeps VMEM well under budget for
+D ≤ 128 while giving the MXU large tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_to(x: Array, axis: int, multiple: int) -> Array:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+    k = k_ref[0]  # [bk, D]
+    s = jax.lax.dot_general(
+        q.astype(k.dtype), k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+
+    # mask padded key columns
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_sc[:]  # [bq, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [bq, bk]
+    l_new = alpha * l_sc[:] + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, D]
+    acc_sc[:] = acc_sc[:] * alpha + pv
+    m_sc[:] = m_new
+    l_sc[:] = l_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_sc[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_sc[:] + jnp.log(l_safe))[:, 0]
+
+
+def _flash_attention_forward(q, k, v, scale, block_q, block_k):
+    batch, heads, q_len, dim = q.shape
+    kv_len = k.shape[2]
+
+    qp = _pad_to(q.reshape(batch * heads, q_len, dim), 1, block_q)
+    kp = _pad_to(k.reshape(batch * heads, kv_len, dim), 1, block_k)
+    vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
+    bh, q_pad, _ = qp.shape
+    k_pad = kp.shape[1]
+    nq = q_pad // block_q
+    nk = k_pad // block_k
+
+    grid = (bh, nq, nk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, q_pad, dim), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dim), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp)
+
+    out = out[:, :q_len].reshape(batch, heads, q_len, dim)
+    lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_sc, *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0]
+    s = jax.lax.dot_general(q.astype(k.dtype), k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [bq, bk]
+    do = do_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    ds = p * (dp - delta_ref[0, 0][:, None])  # [bq, bk]
+    dq_sc[:] += scale * jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _fin():
+        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_sc, dv_sc, *, scale, kv_len, block_k):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+    k = k_ref[0]  # [bk, D]
+    s = jax.lax.dot_general(q.astype(k.dtype), k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [bq, bk]
+
+    do = do_ref[0].astype(jnp.float32)  # [bq, D]
+    dv_sc[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do.astype(do_ref.dtype), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bk, D]
+    dp = jax.lax.dot_general(
+        do.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    ds = p * (dp - delta_ref[0, 0][:, None])  # [bq, bk]
+    dk_sc[:] += scale * jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[0].astype(jnp.float32).astype(q_ref.dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [bk, D]
+
+    @pl.when(qi == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+
+def _flash_attention_backward(scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    batch, heads, q_len, dim = q.shape
+    kv_len = k.shape[2]
+
+    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+
+    qp = _pad_to(q.reshape(batch * heads, q_len, dim), 1, block_q)
+    kp = _pad_to(k.reshape(batch * heads, kv_len, dim), 1, block_k)
+    vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
+    dop = _pad_to(g.reshape(batch * heads, q_len, dim), 1, block_q)
+    # pad lse with +inf-ish small p: use NEG_INF so exp(s - lse) with lse=-inf would
+    # explode; padded q rows instead get lse=+large so p=0.
+    lsep = _pad_to(lse.reshape(batch * heads, 1, q_len), 2, block_q)
+    pad_rows = lsep.shape[2] - q_len
+    if pad_rows:
+        lsep = lsep.at[:, :, q_len:].set(jnp.float32(-NEG_INF))
+    deltap = _pad_to(delta.reshape(batch * heads, 1, q_len), 2, block_q)
+
+    bh, q_pad, _ = qp.shape
+    k_pad = kp.shape[1]
+    nq = q_pad // block_q
+    nk = k_pad // block_k
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, q_pad, dim), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dim), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, dim), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, k_pad, dim), k.dtype),
+            jax.ShapeDtypeStruct((bh, k_pad, dim), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dim), jnp.float32),
+            pltpu.VMEM((block_k, dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    dq = dq[:, :q_len].reshape(batch, heads, q_len, dim)
+    dk = dk[:, :kv_len].reshape(batch, heads, kv_len, dim)
+    dv = dv[:, :kv_len].reshape(batch, heads, kv_len, dim)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> Array:
+    """Fused full attention. q/k/v: [B, H, S, D] -> [B, H, Sq, D]."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, _ = _flash_attention_forward(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _fa_fwd(q, k, v, scale, block_q, block_k):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, lse = _flash_attention_forward(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _fa_bwd(scale, block_q, block_k, res, g):
+    if scale is None:
+        scale = res[0].shape[-1] ** -0.5
+    return _flash_attention_backward(scale, block_q, block_k, res, g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
