@@ -1,0 +1,340 @@
+"""CogVideoX 3D-causal VAE — TPU-native JAX implementation.
+
+Mirrors AutoencoderKLCogVideoX (diffusers/src/diffusers/models/autoencoders/
+autoencoder_kl_cogvideox.py): 8x spatial / 4x temporal compression, causal
+3D convolutions whose temporal state (`conv_cache`) streams across temporal
+frame batches, group norm in the encoder and spatially-conditioned norm
+(zq) in the decoder.
+
+TPU-first decisions:
+  * channel-last layout [B, F, H, W, C] (TPU conv native layout);
+  * the conv cache is an explicit pytree threaded through pure functions, so
+    frame-batch streaming composes with jit and bounds HBM exactly like the
+    reference's 8GB offload path bounds VRAM;
+  * convolutions run in the model dtype with fp32 group norms.
+
+API: encode(params, video) -> latent moments [B, F', H', W', 2*Cz];
+     decode(params, latents) -> video [B, F, H, W, C].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoXVAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (128, 256, 256, 512)
+    latent_channels: int = 16
+    layers_per_block: int = 3
+    norm_eps: float = 1e-6
+    norm_num_groups: int = 32
+    temporal_compression_ratio: int = 4
+    scaling_factor: float = 1.15258426
+    invert_scale_latents: bool = False
+    sample_height: int = 480
+    sample_width: int = 720
+
+    @property
+    def temporal_compress_level(self) -> int:
+        return int(np.log2(self.temporal_compression_ratio))
+
+    @classmethod
+    def tiny(cls, **overrides) -> "CogVideoXVAEConfig":
+        base = dict(block_out_channels=(8, 8, 8, 8), latent_channels=4,
+                    layers_per_block=1, norm_num_groups=4)
+        base.update(overrides)
+        return cls(**base)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _conv3d(p: Params, x: Array, strides=(1, 1, 1), padding="VALID") -> Array:
+    """x: [B, F, H, W, C]; kernel: [kt, kh, kw, Cin, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), window_strides=strides, padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _conv2d(p: Params, x: Array, strides=(1, 1), padding="VALID") -> Array:
+    """x: [N, H, W, C]; kernel: [kh, kw, Cin, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def causal_conv3d(p: Params, x: Array, cache: Optional[Array], time_kernel: int, spatial_pad: int) -> Tuple[Array, Array]:
+    """Causal conv: temporal left-pad from cache (or repeated first frame),
+    constant spatial padding (CogVideoXCausalConv3d, autoencoder_kl_cogvideox.py:69-146).
+
+    Returns (out, new_cache) where new_cache holds the last (kt-1) input frames.
+    """
+    if time_kernel > 1:
+        if cache is None:
+            pad_frames = jnp.repeat(x[:, :1], time_kernel - 1, axis=1)
+        else:
+            pad_frames = cache.astype(x.dtype)
+        x = jnp.concatenate([pad_frames, x], axis=1)
+        new_cache = x[:, -(time_kernel - 1):]
+    else:
+        new_cache = jnp.zeros((x.shape[0], 0) + x.shape[2:], x.dtype)
+    pad = ((0, 0), (spatial_pad, spatial_pad), (spatial_pad, spatial_pad))
+    return _conv3d(p, x, padding=pad), new_cache
+
+
+def group_norm(p: Params, x: Array, num_groups: int, eps: float) -> Array:
+    """GroupNorm over channel-last video tensors, fp32 math."""
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    xf = x.astype(jnp.float32).reshape(orig_shape[0], -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(orig_shape)
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(x.dtype)
+
+
+def _torch_nearest_resize(x: Array, out_h: int, out_w: int) -> Array:
+    """torch F.interpolate(mode='nearest') exact indexing: floor(i * in / out).
+
+    x: [..., H, W, C] resized over the two spatial axes."""
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    hi = (np.arange(out_h) * in_h / out_h).astype(np.int32)
+    wi = (np.arange(out_w) * in_w / out_w).astype(np.int32)
+    return x[..., hi, :, :][..., wi, :]
+
+
+def _torch_nearest_resize_t(x: Array, out_f: int) -> Array:
+    """nearest resize along the frame axis [B, F, ...]."""
+    in_f = x.shape[1]
+    fi = (np.arange(out_f) * in_f / out_f).astype(np.int32)
+    return x[:, fi]
+
+
+def spatial_norm3d(p: Params, f: Array, zq: Array, cache: Dict, num_groups: int) -> Tuple[Array, Dict]:
+    """CogVideoXSpatialNorm3D (autoencoder_kl_cogvideox.py:149-196).
+
+    f: [B, F, H, W, C]; zq: [B, Fz, Hz, Wz, Cz].
+    """
+    new_cache: Dict[str, Any] = {}
+    fF, fH, fW = f.shape[1], f.shape[2], f.shape[3]
+    if fF > 1 and fF % 2 == 1:
+        z_first, z_rest = zq[:, :1], zq[:, 1:]
+        z_first = _torch_nearest_resize(_torch_nearest_resize_t(z_first, 1), fH, fW)
+        z_rest = _torch_nearest_resize(_torch_nearest_resize_t(z_rest, fF - 1), fH, fW)
+        zq = jnp.concatenate([z_first, z_rest], axis=1)
+    else:
+        zq = _torch_nearest_resize(_torch_nearest_resize_t(zq, fF), fH, fW)
+
+    conv_y, new_cache["conv_y"] = causal_conv3d(p["conv_y"], zq, cache.get("conv_y"), 1, 0)
+    conv_b, new_cache["conv_b"] = causal_conv3d(p["conv_b"], zq, cache.get("conv_b"), 1, 0)
+    norm_f = group_norm(p["norm_layer"], f, num_groups, 1e-6)
+    return norm_f * conv_y + conv_b, new_cache
+
+
+def resnet_block(
+    p: Params, cfg: CogVideoXVAEConfig, x: Array, zq: Optional[Array], cache: Dict,
+) -> Tuple[Array, Dict]:
+    """CogVideoXResnetBlock3D (no temb: VAE uses temb_channels=0)."""
+    new_cache: Dict[str, Any] = {}
+    h = x
+    if zq is not None:
+        h, new_cache["norm1"] = spatial_norm3d(p["norm1"], h, zq, cache.get("norm1", {}), cfg.norm_num_groups)
+    else:
+        h = group_norm(p["norm1"], h, cfg.norm_num_groups, cfg.norm_eps)
+    h = jax.nn.silu(h)
+    h, new_cache["conv1"] = causal_conv3d(p["conv1"], h, cache.get("conv1"), 3, 1)
+
+    if zq is not None:
+        h, new_cache["norm2"] = spatial_norm3d(p["norm2"], h, zq, cache.get("norm2", {}), cfg.norm_num_groups)
+    else:
+        h = group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
+    h = jax.nn.silu(h)
+    h, new_cache["conv2"] = causal_conv3d(p["conv2"], h, cache.get("conv2"), 3, 1)
+
+    if "conv_shortcut" in p:
+        # 1x1x1 SafeConv3d shortcut (in_channels != out_channels, no cache)
+        x = _conv3d(p["conv_shortcut"], x)
+    return h + x, new_cache
+
+
+def downsample3d(p: Params, x: Array, compress_time: bool) -> Array:
+    """CogVideoXDownsample3D (downsampling.py:288-354): optional causal temporal
+    avg-pool then stride-2 conv2d with asymmetric (0,1,0,1) padding."""
+    if compress_time:
+        f = x.shape[1]
+        if f % 2 == 1:
+            x_first, x_rest = x[:, :1], x[:, 1:]
+            if x_rest.shape[1] > 0:
+                x_rest = 0.5 * (x_rest[:, 0::2] + x_rest[:, 1::2])
+            x = jnp.concatenate([x_first, x_rest], axis=1)
+        else:
+            x = 0.5 * (x[:, 0::2] + x[:, 1::2])
+    b, f, h, w, c = x.shape
+    x = x.reshape(b * f, h, w, c)
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    x = _conv2d(p["conv"], x, strides=(2, 2))
+    return x.reshape(b, f, *x.shape[1:])
+
+
+def upsample3d(p: Params, x: Array, compress_time: bool) -> Array:
+    """CogVideoXUpsample3D (upsampling.py:359-420): nearest 2x spatial (and
+    causal 2x temporal) then conv2d."""
+    b, f, h, w, c = x.shape
+    if compress_time:
+        if f > 1 and f % 2 == 1:
+            x_first, x_rest = x[:, 0], x[:, 1:]
+            x_first = _torch_nearest_resize(x_first, 2 * h, 2 * w)
+            x_rest = _torch_nearest_resize_t(x_rest, 2 * (f - 1))
+            x_rest = _torch_nearest_resize(x_rest, 2 * h, 2 * w)
+            x = jnp.concatenate([x_first[:, None], x_rest], axis=1)
+        elif f > 1:
+            x = _torch_nearest_resize_t(x, 2 * f)
+            x = _torch_nearest_resize(x, 2 * h, 2 * w)
+        else:
+            x = _torch_nearest_resize(x[:, 0], 2 * h, 2 * w)[:, None]
+    else:
+        x = _torch_nearest_resize(x, 2 * h, 2 * w)
+    b, f2, h2, w2, c = x.shape
+    x = x.reshape(b * f2, h2, w2, c)
+    x = _conv2d(p["conv"], x, padding=((1, 1), (1, 1)))
+    return x.reshape(b, f2, *x.shape[1:])
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+# ---------------------------------------------------------------------------
+
+def encoder_forward(p: Params, cfg: CogVideoXVAEConfig, x: Array, cache: Optional[Dict]) -> Tuple[Array, Dict]:
+    cache = cache or {}
+    new_cache: Dict[str, Any] = {}
+    h, new_cache["conv_in"] = causal_conv3d(p["conv_in"], x, cache.get("conv_in"), 3, 1)
+
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        bc = cache.get(f"down_block_{i}", {})
+        nbc: Dict[str, Any] = {}
+        for j in range(cfg.layers_per_block):
+            h, nbc[f"resnet_{j}"] = resnet_block(p[f"down_block_{i}"][f"resnet_{j}"], cfg, h, None, bc.get(f"resnet_{j}", {}))
+        if i < n_blocks - 1:
+            h = downsample3d(p[f"down_block_{i}"]["downsampler"], h, compress_time=i < cfg.temporal_compress_level)
+        new_cache[f"down_block_{i}"] = nbc
+
+    mc = cache.get("mid_block", {})
+    nmc: Dict[str, Any] = {}
+    for j in range(2):
+        h, nmc[f"resnet_{j}"] = resnet_block(p["mid_block"][f"resnet_{j}"], cfg, h, None, mc.get(f"resnet_{j}", {}))
+    new_cache["mid_block"] = nmc
+
+    h = group_norm(p["norm_out"], h, cfg.norm_num_groups, 1e-6)
+    h = jax.nn.silu(h)
+    h, new_cache["conv_out"] = causal_conv3d(p["conv_out"], h, cache.get("conv_out"), 3, 1)
+    return h, new_cache
+
+
+def decoder_forward(p: Params, cfg: CogVideoXVAEConfig, z: Array, cache: Optional[Dict]) -> Tuple[Array, Dict]:
+    cache = cache or {}
+    new_cache: Dict[str, Any] = {}
+    h, new_cache["conv_in"] = causal_conv3d(p["conv_in"], z, cache.get("conv_in"), 3, 1)
+
+    mc = cache.get("mid_block", {})
+    nmc: Dict[str, Any] = {}
+    for j in range(2):
+        h, nmc[f"resnet_{j}"] = resnet_block(p["mid_block"][f"resnet_{j}"], cfg, h, z, mc.get(f"resnet_{j}", {}))
+    new_cache["mid_block"] = nmc
+
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        bc = cache.get(f"up_block_{i}", {})
+        nbc: Dict[str, Any] = {}
+        for j in range(cfg.layers_per_block + 1):
+            h, nbc[f"resnet_{j}"] = resnet_block(p[f"up_block_{i}"][f"resnet_{j}"], cfg, h, z, bc.get(f"resnet_{j}", {}))
+        if i < n_blocks - 1:
+            h = upsample3d(p[f"up_block_{i}"]["upsampler"], h, compress_time=i < cfg.temporal_compress_level)
+        new_cache[f"up_block_{i}"] = nbc
+
+    h, new_cache["norm_out"] = spatial_norm3d(p["norm_out"], h, z, cache.get("norm_out", {}), cfg.norm_num_groups)
+    h = jax.nn.silu(h)
+    h, new_cache["conv_out"] = causal_conv3d(p["conv_out"], h, cache.get("conv_out"), 3, 1)
+    return h, new_cache
+
+
+# ---------------------------------------------------------------------------
+# public API with temporal frame-batch streaming
+# ---------------------------------------------------------------------------
+
+NUM_SAMPLE_FRAMES_BATCH = 8
+NUM_LATENT_FRAMES_BATCH = 2
+
+
+def vae_encode(params: Params, cfg: CogVideoXVAEConfig, video: Array) -> Array:
+    """video: [B, F, H, W, 3] -> latent moments [B, F', H', W', 2*Cz].
+
+    Streams over temporal frame batches with the conv cache carried, matching
+    AutoencoderKLCogVideoX._encode (autoencoder_kl_cogvideox.py:1148-1171).
+    """
+    num_frames = video.shape[1]
+    fb = NUM_SAMPLE_FRAMES_BATCH
+    num_batches = max(num_frames // fb, 1)
+    remaining = num_frames % fb
+    cache = None
+    outs = []
+    for i in range(num_batches):
+        start = fb * i + (0 if i == 0 else remaining)
+        end = fb * (i + 1) + remaining
+        part, cache = encoder_forward(params["encoder"], cfg, video[:, start:end], cache)
+        outs.append(part)
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def vae_decode(params: Params, cfg: CogVideoXVAEConfig, latents: Array) -> Array:
+    """latents: [B, F', H', W', Cz] -> video [B, F, H, W, 3] in [-1, 1].
+
+    Streams over latent frame batches of 2 (autoencoder_kl_cogvideox.py:1201-1224).
+    """
+    num_frames = latents.shape[1]
+    fb = NUM_LATENT_FRAMES_BATCH
+    num_batches = max(num_frames // fb, 1)
+    remaining = num_frames % fb
+    cache = None
+    outs = []
+    for i in range(num_batches):
+        start = fb * i + (0 if i == 0 else remaining)
+        end = fb * (i + 1) + remaining
+        part, cache = decoder_forward(params["decoder"], cfg, latents[:, start:end], cache)
+        outs.append(part)
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def sample_posterior(moments: Array, key) -> Array:
+    """DiagonalGaussianDistribution.sample over channel-last moments."""
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def posterior_mode(moments: Array) -> Array:
+    mean, _ = jnp.split(moments, 2, axis=-1)
+    return mean
