@@ -1,0 +1,101 @@
+"""Multi-chip logic on an 8-device CPU mesh: sharding specs, CP attention,
+sharded transformer forward parity vs single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vap_tpu.models.cogvideox import CogVideoXMOTConfig, init_cogvideox_mot, cogvideox_mot_forward
+from vap_tpu.ops.attention import attention_provider, dense_attention
+from vap_tpu.ops.rope import prepare_cogvideox_rotary_embeddings
+from vap_tpu.parallel import MeshConfig, make_mesh, shard_params, transformer_param_specs
+from vap_tpu.parallel.ring_attention import attention_mesh, sequence_parallel_attention
+
+
+def cpu_devices():
+    return jax.devices("cpu")
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = cpu_devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    return make_mesh(MeshConfig(data=2, fsdp=2, seq=2, tensor=1), devs)
+
+
+def test_mesh_factorization():
+    cfg = MeshConfig.for_devices(8)
+    assert cfg.world_size == 8
+    cfg = MeshConfig.for_devices(4, tensor=2)
+    assert cfg.world_size == 4
+
+
+def test_sequence_parallel_attention_matches_dense(mesh8):
+    key = jax.random.PRNGKey(0)
+    B, H, S, D = 2, 4, 64, 16
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, S, D))
+    k = jax.random.normal(kk, (B, H, S, D))
+    v = jax.random.normal(kv, (B, H, S, D))
+
+    ref = dense_attention(q, k, v)
+    spec = NamedSharding(mesh8, P(None, None, "seq", None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    got = sequence_parallel_attention(qs, ks, vs, mesh8, "seq")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_param_specs_cover_tree():
+    cfg = CogVideoXMOTConfig.tiny()
+    params = init_cogvideox_mot(jax.random.PRNGKey(0), cfg)
+    specs = transformer_param_specs(params)
+    leaves_p = jax.tree.leaves(params)
+    leaves_s = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert len(leaves_p) == len(leaves_s)
+    for p, s in zip(leaves_p, leaves_s):
+        assert len(s) <= p.ndim
+
+
+def test_sharded_forward_matches_single(mesh8, monkeypatch):
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    cfg = CogVideoXMOTConfig.tiny()
+    cpu = cpu_devices()[0]
+    with jax.default_device(cpu):
+        params = init_cogvideox_mot(jax.random.PRNGKey(0), cfg)
+        B, F_lat, C, H_lat, W_lat = 2, 2, cfg.in_channels, 8, 8
+        T = cfg.max_text_seq_length
+        rope = prepare_cogvideox_rotary_embeddings(
+            H_lat * 8, W_lat * 8, F_lat, attention_head_dim=cfg.attention_head_dim,
+            patch_size=cfg.patch_size, patch_size_t=cfg.patch_size_t,
+            sample_width=cfg.sample_width, sample_height=cfg.sample_height)
+        rope_ref = prepare_cogvideox_rotary_embeddings(
+            H_lat * 8, W_lat * 8, F_lat, attention_head_dim=cfg.attention_head_dim,
+            patch_size=cfg.patch_size, patch_size_t=cfg.patch_size_t,
+            sample_width=cfg.sample_width, sample_height=cfg.sample_height, mot_num=1)
+
+        k = jax.random.PRNGKey(1)
+        hs = jax.random.normal(k, (B, F_lat, C, H_lat, W_lat))
+        ehs = jax.random.normal(k, (B, T, cfg.text_embed_dim))
+        hs_ref = jax.random.normal(k, (B, F_lat, C, H_lat, W_lat))
+        ehs_ref = jax.random.normal(k, (B, T, cfg.text_embed_dim))
+        t = jnp.array([10.0, 20.0])
+
+        def fwd(params, hs, ehs, hs_ref, ehs_ref, t):
+            return cogvideox_mot_forward(
+                params, cfg, hidden_states=hs, encoder_hidden_states=ehs,
+                timestep=t, image_rotary_emb=rope,
+                hidden_states_mot_ref=hs_ref, encoder_hidden_states_mot_ref=ehs_ref,
+                image_rotary_emb_mot_ref=rope_ref, num_mot_ref=1,
+            )[0]
+
+        ref_out = fwd(params, hs, ehs, hs_ref, ehs_ref, t)
+
+    sharded_params = shard_params(params, mesh8)
+    batch_spec = NamedSharding(mesh8, P("data"))
+    args = [jax.device_put(x, batch_spec) for x in (hs, ehs, hs_ref, ehs_ref, t)]
+    with jax.set_mesh(mesh8):
+        got = jax.jit(fwd)(sharded_params, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out), atol=2e-4, rtol=2e-3)

@@ -1,0 +1,97 @@
+"""CogVideoX 3D-causal VAE parity vs the reference torch model (tiny config)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vap_tpu.models.cogvideox.vae import (
+    CogVideoXVAEConfig,
+    posterior_mode,
+    vae_decode,
+    vae_encode,
+)
+from vap_tpu.models.cogvideox.vae_weights import convert_cogvideox_vae_state_dict
+
+
+@pytest.fixture(scope="module")
+def ref_vae(torch_reference):
+    torch = torch_reference
+    from diffusers.models.autoencoders.autoencoder_kl_cogvideox import AutoencoderKLCogVideoX
+
+    torch.manual_seed(0)
+    model = AutoencoderKLCogVideoX(
+        block_out_channels=(8, 8, 8, 8), latent_channels=4, layers_per_block=1,
+        norm_num_groups=4,
+    ).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_cfg():
+    return CogVideoXVAEConfig.tiny()
+
+
+def _to_jax_video(x_torch):
+    # torch [B, C, F, H, W] -> jax [B, F, H, W, C]
+    return jnp.asarray(x_torch.numpy().transpose(0, 2, 3, 4, 1))
+
+
+def _from_jax_video(x):
+    return np.asarray(x).transpose(0, 4, 1, 2, 3)
+
+
+@pytest.mark.parametrize("frames", [
+    pytest.param(1, marks=pytest.mark.slow),
+    9,
+    pytest.param(17, marks=pytest.mark.slow),
+])
+def test_encode_parity(torch_reference, ref_vae, jax_cfg, frames):
+    torch = torch_reference
+    params = convert_cogvideox_vae_state_dict(
+        {k: v.numpy() for k, v in ref_vae.state_dict().items()}, jax_cfg
+    )
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, frames, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_moments = ref_vae._encode(torch.from_numpy(x)).numpy()
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = vae_encode(params, jax_cfg, _to_jax_video(torch.from_numpy(x)))
+    np.testing.assert_allclose(_from_jax_video(got), ref_moments, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("latent_frames", [
+    pytest.param(1, marks=pytest.mark.slow),
+    3,
+    pytest.param(5, marks=pytest.mark.slow),
+])
+def test_decode_parity(torch_reference, ref_vae, jax_cfg, latent_frames):
+    torch = torch_reference
+    params = convert_cogvideox_vae_state_dict(
+        {k: v.numpy() for k, v in ref_vae.state_dict().items()}, jax_cfg
+    )
+    rng = np.random.default_rng(1)
+    z = rng.standard_normal((1, jax_cfg.latent_channels, latent_frames, 4, 4)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_vae._decode(torch.from_numpy(z)).sample.numpy()
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = vae_decode(params, jax_cfg, _to_jax_video(torch.from_numpy(z)))
+    np.testing.assert_allclose(_from_jax_video(got), ref_out, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_roundtrip_shapes(jax_cfg, torch_reference, ref_vae):
+    params = convert_cogvideox_vae_state_dict(
+        {k: v.numpy() for k, v in ref_vae.state_dict().items()}, jax_cfg
+    )
+    x = jnp.zeros((1, 9, 32, 32, 3))
+    with jax.default_device(jax.devices("cpu")[0]):
+        moments = vae_encode(params, jax_cfg, x)
+        assert moments.shape == (1, 3, 4, 4, 2 * jax_cfg.latent_channels)
+        z = posterior_mode(moments)
+        out = vae_decode(params, jax_cfg, z)
+    assert out.shape == (1, 9, 32, 32, 3)

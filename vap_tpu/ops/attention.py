@@ -84,7 +84,12 @@ def scaled_dot_product_attention(
     elif provider == "xla":
         return dense_attention(q, k, v, scale)
     elif provider == "ring":
-        # ring provider is applied via shard_map at the parallel layer; inside
-        # each shard the local compute is the flash kernel.
-        return flash_attention(q, k, v, scale)
+        from ..parallel.ring_attention import get_attention_mesh, sequence_parallel_attention
+
+        ctx = get_attention_mesh()
+        if ctx is None:
+            # no mesh installed: degenerate to the local fused kernel
+            return flash_attention(q, k, v, scale)
+        mesh, axis = ctx
+        return sequence_parallel_attention(q, k, v, mesh, axis, scale)
     raise ValueError(f"unknown attention provider {provider!r}")

@@ -1,0 +1,306 @@
+"""CogVideoX image-to-video Video-As-Prompt pipeline — TPU-native.
+
+Behavioral port of CogVideoXImageToVideoMOTPipeline
+(diffusers/src/diffusers/pipelines/cogvideo/pipeline_cogvideox_image2video_mot.py):
+T5-encode target + per-reference prompts (with CFG negatives), VAE-encode the
+first-frame image / reference videos (clean) / reference first frames, then a
+50-step denoise with joint MoT attention and biased reference RoPE, DDIM or
+DPM step, VAE decode.
+
+TPU-first: the entire denoising loop is ONE jit-compiled lax.scan — CFG is
+folded into the batch (2B), per-step scheduler scalars and the dynamic-CFG
+schedule are precomputed host-side and scanned over, reference latents stay
+clean and constant across steps (closed over, not re-concatenated per step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.cogvideox.config import CogVideoXMOTConfig
+from ..models.cogvideox.transformer_mot import cogvideox_mot_forward
+from ..models.cogvideox.vae import (
+    CogVideoXVAEConfig,
+    posterior_mode,
+    sample_posterior,
+    vae_decode,
+    vae_encode,
+)
+from ..models.text_encoders.t5 import T5Config, t5_encode
+from ..ops.rope import prepare_cogvideox_rotary_embeddings
+from ..ops.schedulers import CogVideoXDDIMScheduler, CogVideoXDPMScheduler
+
+Array = jnp.ndarray
+
+DEFAULT_NEGATIVE_PROMPT = (
+    "Bright tones, overexposed, static, blurred details, subtitles, style, works, paintings, "
+    "images, static, overall gray, worst quality, low quality, JPEG compression residue, ugly, "
+    "incomplete, extra fingers, poorly drawn hands, poorly drawn faces, deformed, disfigured, "
+    "misshapen limbs, fused fingers, still picture, messy background, three legs, many people "
+    "in the background, walking backwards"
+)
+
+
+def select_frames(frames: Sequence, num: int, mode: str = "evenly") -> List:
+    """Frame selection first/evenly/random (pipeline :894-906, infer/cog_vap.py:45-63)."""
+    if mode == "first":
+        return list(frames[:num])
+    if mode == "evenly":
+        idx = np.linspace(0, len(frames) - 1, num).astype(np.int64)
+        return [frames[i] for i in idx]
+    if mode == "random":
+        import random
+
+        if len(frames) <= num:
+            return list(frames)
+        start = random.randint(0, len(frames) - num)
+        return list(frames[start:start + num])
+    raise ValueError(mode)
+
+
+def dynamic_cfg_schedule(timesteps: np.ndarray, guidance_scale: float, num_inference_steps: int) -> np.ndarray:
+    """Cosine dynamic CFG (pipeline :1036-1039), precomputed per step."""
+    return 1.0 + guidance_scale * (
+        (1 - np.cos(np.pi * ((num_inference_steps - timesteps) / num_inference_steps) ** 5.0)) / 2
+    )
+
+
+@dataclasses.dataclass
+class CogVideoXVAPPipeline:
+    transformer_cfg: CogVideoXMOTConfig
+    vae_cfg: CogVideoXVAEConfig
+    text_cfg: T5Config
+    params: Dict[str, Any]          # {"transformer", "vae", "text_encoder"}
+    tokenizer: Any = None
+    scheduler: Any = dataclasses.field(default_factory=CogVideoXDDIMScheduler)
+    dtype: Any = jnp.bfloat16
+
+    vae_scale_factor_spatial: int = 8
+    vae_scale_factor_temporal: int = 4
+
+    # ------------------------------------------------------------------
+    # host-side preprocessing
+    # ------------------------------------------------------------------
+    def encode_prompt_tokens(self, prompt: str, max_length: int = 226) -> Tuple[np.ndarray, np.ndarray]:
+        toks = self.tokenizer(
+            [prompt], padding="max_length", max_length=max_length, truncation=True,
+            add_special_tokens=True, return_tensors="np",
+        )
+        return toks["input_ids"], toks["attention_mask"]
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _t5_forward(self, input_ids: Array) -> Array:
+        # reference passes no attention mask to T5 and keeps all 226 positions
+        # (pipeline _get_t5_prompt_embeds)
+        return t5_encode(self.params["text_encoder"], self.text_cfg, input_ids).astype(self.dtype)
+
+    def encode_prompt(self, prompt: str, negative_prompt: str, max_length: int = 226) -> Tuple[Array, Array]:
+        ids, _ = self.encode_prompt_tokens(prompt, max_length)
+        nids, _ = self.encode_prompt_tokens(negative_prompt, max_length)
+        return self._t5_forward(jnp.asarray(ids)), self._t5_forward(jnp.asarray(nids))
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _vae_encode_mode(self, video: Array, deterministic: bool = True, key=None) -> Array:
+        moments = vae_encode(self.params["vae"], self.vae_cfg, video.astype(self.dtype))
+        latent = posterior_mode(moments) if deterministic else sample_posterior(moments, key)
+        return latent * self.vae_cfg.scaling_factor
+
+    # ------------------------------------------------------------------
+    # the jit-scanned denoise loop
+    # ------------------------------------------------------------------
+    def _build_denoise_fn(self, num_inference_steps: int, num_mot_ref: int, use_dpm: bool,
+                          height: int, width: int, num_latent_frames: int, ref_type: str):
+        cfg = self.transformer_cfg
+        rope = prepare_cogvideox_rotary_embeddings(
+            height, width, num_latent_frames,
+            attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
+            patch_size_t=cfg.patch_size_t, sample_width=cfg.sample_width,
+            sample_height=cfg.sample_height, vae_scale_factor_spatial=self.vae_scale_factor_spatial,
+        )
+        rope_ref = prepare_cogvideox_rotary_embeddings(
+            height, width, num_latent_frames,
+            attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
+            patch_size_t=cfg.patch_size_t, sample_width=cfg.sample_width,
+            sample_height=cfg.sample_height, vae_scale_factor_spatial=self.vae_scale_factor_spatial,
+            mot_num=num_mot_ref, ref_type=ref_type,
+        )
+
+        scheduler = self.scheduler
+
+        @functools.partial(jax.jit, static_argnames=("do_cfg",))
+        def denoise(params_t, latents, image_latents, ref_latents, ref_image_latents,
+                    prompt_embeds, prompt_embeds_ref, timesteps, step_scalars, guidance, key,
+                    do_cfg=True):
+            """latents: [B, F, C, H, W] fp32; *_latents conditioned inputs in
+            model dtype; prompt_embeds(2B if cfg) etc."""
+            bsz = latents.shape[0]
+            mult = 2 if do_cfg else 1
+
+            image_in = jnp.concatenate([image_latents] * mult, axis=0)
+            ref_in = jnp.concatenate(
+                [jnp.concatenate([ref_latents] * mult, axis=0),
+                 jnp.concatenate([ref_image_latents] * mult, axis=0)], axis=2)
+
+            def step_fn(carry, per_step):
+                latents, old_x0, key = carry
+                t = per_step["t"]
+                latent_in = jnp.concatenate([latents.astype(self.dtype)] * mult, axis=0)
+                latent_in = jnp.concatenate([latent_in, image_in], axis=2)
+
+                noise_pred, _ = cogvideox_mot_forward(
+                    params_t, cfg,
+                    hidden_states=latent_in,
+                    encoder_hidden_states=prompt_embeds,
+                    timestep=jnp.broadcast_to(t, (mult * bsz,)),
+                    image_rotary_emb=rope,
+                    hidden_states_mot_ref=ref_in,
+                    encoder_hidden_states_mot_ref=prompt_embeds_ref,
+                    image_rotary_emb_mot_ref=rope_ref,
+                    num_mot_ref=num_mot_ref,
+                )
+                noise_pred = noise_pred.astype(jnp.float32)
+                if do_cfg:
+                    uncond, cond = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + per_step["guidance"] * (cond - uncond)
+
+                if use_dpm:
+                    key, nkey = jax.random.split(key)
+                    noise = jax.random.normal(nkey, latents.shape, jnp.float32)
+                    latents, old_x0 = scheduler.step(
+                        noise_pred, latents, old_x0, per_step["coeffs"], noise)
+                else:
+                    a_t, b_t, ap_t = per_step["coeffs"]
+                    latents = scheduler.step(noise_pred, latents, a_t, b_t, ap_t)
+                return (latents, old_x0, key), None
+
+            per_step = {"t": timesteps, "guidance": guidance, "coeffs": step_scalars}
+            (latents, _, _), _ = jax.lax.scan(
+                step_fn, (latents.astype(jnp.float32), jnp.zeros_like(latents, jnp.float32), key), per_step)
+            return latents
+
+        return denoise
+
+    # ------------------------------------------------------------------
+    # full generation
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        image: np.ndarray,                       # [H, W, 3] float in [-1, 1]
+        prompt: str = None,
+        ref_videos: Optional[List[np.ndarray]] = None,  # list of [F, H, W, 3] in [-1, 1]
+        prompt_mot_ref: Optional[List[str]] = None,
+        negative_prompt: str = DEFAULT_NEGATIVE_PROMPT,
+        negative_prompt_mot_ref: str = DEFAULT_NEGATIVE_PROMPT,
+        height: int = 480,
+        width: int = 720,
+        num_frames: int = 49,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        use_dynamic_cfg: bool = True,
+        seed: int = 42,
+        ref_type: str = "continous_negative",
+        max_sequence_length: int = 226,
+        prompt_embeds: Optional[Array] = None,
+        negative_prompt_embeds: Optional[Array] = None,
+        prompt_embeds_mot_ref: Optional[Array] = None,
+        negative_prompt_embeds_mot_ref: Optional[Array] = None,
+        latents: Optional[Array] = None,
+        output_type: str = "np",
+    ):
+        key = jax.random.PRNGKey(seed)
+        do_cfg = guidance_scale > 1.0
+
+        # 1. prompts
+        if prompt_embeds is None:
+            prompt_embeds, negative_prompt_embeds = self.encode_prompt(prompt, negative_prompt, max_sequence_length)
+        embeds = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0) if do_cfg else prompt_embeds
+
+        if prompt_embeds_mot_ref is None:
+            pe_list, ne_list = [], []
+            for p in prompt_mot_ref:
+                pe, ne = self.encode_prompt(p, negative_prompt_mot_ref, max_sequence_length)
+                pe_list.append(pe)
+                ne_list.append(ne)
+            prompt_embeds_mot_ref = jnp.concatenate(pe_list, axis=1)
+            negative_prompt_embeds_mot_ref = jnp.concatenate(ne_list, axis=1)
+        embeds_ref = (
+            jnp.concatenate([negative_prompt_embeds_mot_ref, prompt_embeds_mot_ref], axis=0)
+            if do_cfg else prompt_embeds_mot_ref
+        )
+
+        # 2. latents
+        num_latent_frames = (num_frames - 1) // self.vae_scale_factor_temporal + 1
+        lat_h = height // self.vae_scale_factor_spatial
+        lat_w = width // self.vae_scale_factor_spatial
+        latent_channels = self.transformer_cfg.in_channels // 2
+
+        img = jnp.asarray(image, jnp.float32)[None, None]  # [1, 1, H, W, 3]
+        image_latents = self._vae_encode_mode(img)  # [1, 1, h, w, Cz]
+        pad = jnp.zeros((1, num_latent_frames - 1, lat_h, lat_w, latent_channels), image_latents.dtype)
+        image_latents = jnp.concatenate([image_latents, pad], axis=1)
+
+        ref_lat_list, ref_img_lat_list = [], []
+        for rv in ref_videos:
+            rv_j = jnp.asarray(rv, jnp.float32)[None]  # [1, F, H, W, 3]
+            ref_lat_list.append(self._vae_encode_mode(rv_j))
+            first = rv_j[:, :1]
+            fl = self._vae_encode_mode(first)
+            fl = jnp.concatenate(
+                [fl, jnp.zeros((1, num_latent_frames - 1, lat_h, lat_w, latent_channels), fl.dtype)], axis=1)
+            ref_img_lat_list.append(fl)
+        ref_latents = jnp.concatenate(ref_lat_list, axis=1)
+        ref_image_latents = jnp.concatenate(ref_img_lat_list, axis=1)
+        num_mot_ref = ref_latents.shape[1] // num_latent_frames
+
+        key, nkey = jax.random.split(key)
+        if latents is None:
+            latents = jax.random.normal(
+                nkey, (1, num_latent_frames, latent_channels, lat_h, lat_w), jnp.float32)
+        latents = latents * self.scheduler.init_noise_sigma
+
+        # channel-last latents -> transformer layout [B, F, C, H, W]
+        to_fchw = lambda x: x.transpose(0, 1, 4, 2, 3)
+        image_latents_m = to_fchw(image_latents).astype(self.dtype)
+        ref_latents_m = to_fchw(ref_latents).astype(self.dtype)
+        ref_image_latents_m = to_fchw(ref_image_latents).astype(self.dtype)
+
+        # 3. per-step scalars
+        use_dpm = isinstance(self.scheduler, CogVideoXDPMScheduler)
+        ts = self.scheduler.timesteps(num_inference_steps).astype(np.float32)
+        coeffs = self.scheduler.step_coefficients(num_inference_steps)
+        if use_dpm:
+            step_scalars = tuple(jnp.asarray(c) for c in coeffs)
+        else:
+            step_scalars = tuple(jnp.asarray(c) for c in coeffs)
+        if use_dynamic_cfg:
+            guidance = dynamic_cfg_schedule(ts, guidance_scale, num_inference_steps).astype(np.float32)
+        else:
+            guidance = np.full_like(ts, guidance_scale)
+
+        denoise = self._build_denoise_fn(
+            num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type)
+        key, dkey = jax.random.split(key)
+        latents = denoise(
+            self.params["transformer"], latents, image_latents_m, ref_latents_m, ref_image_latents_m,
+            embeds, embeds_ref, jnp.asarray(ts), step_scalars, jnp.asarray(guidance), dkey,
+            do_cfg=do_cfg,
+        )
+
+        if output_type == "latent":
+            return latents
+
+        # 4. decode: [B, F, C, H, W] -> channel-last, unscale
+        z = latents.transpose(0, 1, 3, 4, 2).astype(self.dtype) / self.vae_cfg.scaling_factor
+        video = self._vae_decode(z)
+        return np.asarray(video.astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _vae_decode(self, z: Array) -> Array:
+        return vae_decode(self.params["vae"], self.vae_cfg, z)
