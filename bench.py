@@ -1,0 +1,192 @@
+"""Benchmark: CogVideoX-5B Video-As-Prompt generation throughput on TPU.
+
+Measures the hot path of the flagship config (49 frames @ 480x720, 50 steps,
+CFG batch 2, 1 reference video => joint attention over 2x(226+17550) tokens)
+and the VAE decode, then prints ONE JSON line:
+
+  {"metric": ..., "value": <sec/video per chip>, "unit": "s", "vs_baseline": ...}
+
+A v5e chip (16 GB HBM) cannot hold the full 10B-param (5B frozen + 5B MoT)
+model in bf16, so the DiT depth is scaled down (VAP_BENCH_BLOCKS, default 18
+of 42) and per-step time is extrapolated linearly in depth — per-block compute
+is homogeneous (every block carries MoT in the released config), making the
+extrapolation exact up to the (measured) non-block overhead.
+
+Baseline: the reference publishes no latency numbers (BASELINE.md). We use a
+600 s/video A100 estimate for CogVideoX-5B VAP (50 steps, CFG, MoT doubling
+the token stream over the ~5 s/step known CogVideoX-5B 480p step time).
+vs_baseline = baseline_sec / our_sec (higher is better; >=2.0 is the north
+star on v5p).
+
+Env knobs: VAP_BENCH_BLOCKS, VAP_BENCH_STEPS (timed steps), VAP_BENCH_FRAMES,
+VAP_BENCH_HEIGHT/WIDTH, VAP_BENCH_SKIP_VAE.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vap_tpu.models.cogvideox.config import CogVideoXMOTConfig
+from vap_tpu.models.cogvideox.transformer_mot import (
+    _init_block,
+    cogvideox_mot_forward,
+)
+from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig, init_cogvideox_vae, vae_decode
+from vap_tpu.models.common import init_layer_norm, init_linear, init_timestep_embedding_mlp
+from vap_tpu.ops.rope import prepare_cogvideox_rotary_embeddings
+from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
+
+A100_BASELINE_SEC = 600.0  # documented estimate; reference publishes none
+
+
+def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16):
+    """Init stacked block leaves directly at [L, ...] (no per-block stack copy),
+    so a near-HBM-sized model can be materialized without a 2x peak."""
+    key = jax.random.PRNGKey(0)
+    proto = jax.eval_shape(lambda k: _init_block(k, cfg, True, dtype), key)
+    L = cfg.num_layers
+
+    leaves, treedef = jax.tree_util.tree_flatten(proto)
+    out_leaves = []
+    for i, leaf in enumerate(leaves):
+        k = jax.random.fold_in(key, i)
+        out_leaves.append(jax.random.normal(k, (L,) + leaf.shape, dtype) * 0.02)
+    blocks = jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+    dim = cfg.inner_dim
+    patch_in = cfg.in_channels * cfg.patch_size * cfg.patch_size
+    out_dim = cfg.patch_size * cfg.patch_size * cfg.out_channels
+    ks = jax.random.split(key, 10)
+    params = {
+        "patch_embed": {
+            "proj": init_linear(ks[0], patch_in, dim, dtype=dtype),
+            "text_proj": init_linear(ks[1], cfg.text_embed_dim, dim, dtype=dtype),
+        },
+        "patch_embed_mot_ref": {
+            "proj": init_linear(ks[2], patch_in, dim, dtype=dtype),
+            "text_proj": init_linear(ks[3], cfg.text_embed_dim, dim, dtype=dtype),
+        },
+        "time_embedding": init_timestep_embedding_mlp(ks[4], dim, cfg.time_embed_dim, dtype=dtype),
+        "time_embedding_mot_ref": init_timestep_embedding_mlp(ks[5], dim, cfg.time_embed_dim, dtype=dtype),
+        "norm_final": init_layer_norm(dim, dtype=dtype),
+        "norm_out": {
+            "linear": init_linear(ks[6], cfg.time_embed_dim, 2 * dim, dtype=dtype),
+            "norm": init_layer_norm(dim, dtype=dtype),
+        },
+        "proj_out": init_linear(ks[7], dim, out_dim, dtype=dtype),
+        "blocks": (blocks,),
+    }
+    return params
+
+
+def main():
+    n_blocks = int(os.environ.get("VAP_BENCH_BLOCKS", "18"))
+    n_steps = int(os.environ.get("VAP_BENCH_STEPS", "3"))
+    frames = int(os.environ.get("VAP_BENCH_FRAMES", "49"))
+    height = int(os.environ.get("VAP_BENCH_HEIGHT", "480"))
+    width = int(os.environ.get("VAP_BENCH_WIDTH", "720"))
+    skip_vae = os.environ.get("VAP_BENCH_SKIP_VAE", "0") == "1"
+    full_blocks = 42
+    total_steps = 50
+    dtype = jnp.bfloat16
+
+    cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(
+        num_layers=n_blocks, block_idx_with_mot_ref=tuple(range(n_blocks)))
+    lat_f = (frames - 1) // 4 + 1
+    lat_h, lat_w = height // 8, width // 8
+    latent_channels = cfg.in_channels // 2
+    T = cfg.max_text_seq_length
+
+    params = fast_init_transformer(cfg, dtype)
+    jax.block_until_ready(params)
+
+    kw = dict(attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
+              patch_size_t=cfg.patch_size_t, sample_width=cfg.sample_width,
+              sample_height=cfg.sample_height)
+    rope = prepare_cogvideox_rotary_embeddings(height, width, lat_f, **kw)
+    rope_ref = prepare_cogvideox_rotary_embeddings(height, width, lat_f, mot_num=1, **kw)
+
+    scheduler = CogVideoXDDIMScheduler()
+    a_t, b_t, ap_t = (jnp.asarray(c) for c in scheduler.step_coefficients(total_steps))
+
+    key = jax.random.PRNGKey(0)
+    latents = jax.random.normal(key, (1, lat_f, latent_channels, lat_h, lat_w), jnp.float32)
+    image_latents = jax.random.normal(key, (2, lat_f, latent_channels, lat_h, lat_w), dtype)
+    ref_in = jax.random.normal(key, (2, lat_f, cfg.in_channels, lat_h, lat_w), dtype)
+    embeds = jax.random.normal(key, (2, T, cfg.text_embed_dim), dtype)
+    embeds_ref = jax.random.normal(key, (2, T, cfg.text_embed_dim), dtype)
+
+    @jax.jit
+    def denoise_step(params, latents, t, guidance, a, b, ap):
+        latent_in = jnp.concatenate([latents.astype(dtype)] * 2, axis=0)
+        latent_in = jnp.concatenate([latent_in, image_latents], axis=2)
+        pred, _ = cogvideox_mot_forward(
+            params, cfg, hidden_states=latent_in, encoder_hidden_states=embeds,
+            timestep=jnp.broadcast_to(t, (2,)), image_rotary_emb=rope,
+            hidden_states_mot_ref=ref_in, encoder_hidden_states_mot_ref=embeds_ref,
+            image_rotary_emb_mot_ref=rope_ref, num_mot_ref=1,
+        )
+        pred = pred.astype(jnp.float32)
+        uncond, cond = jnp.split(pred, 2, axis=0)
+        pred = uncond + guidance * (cond - uncond)
+        return scheduler.step(pred, latents, a, b, ap)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    latents = denoise_step(params, latents, jnp.float32(999.0), jnp.float32(6.0), a_t[0], b_t[0], ap_t[0])
+    jax.block_until_ready(latents)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        latents = denoise_step(params, latents, jnp.float32(900 - i), jnp.float32(6.0),
+                               a_t[i % total_steps], b_t[i % total_steps], ap_t[i % total_steps])
+    jax.block_until_ready(latents)
+    step_s = (time.perf_counter() - t0) / n_steps
+
+    # VAE decode
+    decode_s = 0.0
+    if not skip_vae:
+        vae_cfg = CogVideoXVAEConfig()
+        vae_params = init_cogvideox_vae(jax.random.PRNGKey(1), vae_cfg, dtype)
+        z = jax.random.normal(key, (1, lat_f, lat_h, lat_w, vae_cfg.latent_channels), dtype)
+        decode = jax.jit(lambda p, z: vae_decode(p, vae_cfg, z))
+        out = decode(vae_params, z)
+        jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        out = decode(vae_params, z)
+        jax.block_until_ready(out)
+        decode_s = time.perf_counter() - t0
+        del vae_params, out
+
+    sec_per_video = step_s * (full_blocks / n_blocks) * total_steps + decode_s
+    vae_fps = frames / decode_s if decode_s > 0 else 0.0
+
+    result = {
+        "metric": "sec/video (49f@480p, 50 steps, CogVideoX-5B VAP, 1 chip)",
+        "value": round(sec_per_video, 2),
+        "unit": "s",
+        "vs_baseline": round(A100_BASELINE_SEC / sec_per_video, 3),
+        "details": {
+            "device": str(jax.devices()[0]),
+            "step_s_measured": round(step_s, 3),
+            "blocks_measured": n_blocks,
+            "blocks_full": full_blocks,
+            "vae_decode_s": round(decode_s, 3),
+            "vae_decode_fps": round(vae_fps, 2),
+            "compile_s": round(compile_s, 1),
+            "baseline": "600s A100 estimate (reference publishes no latency)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

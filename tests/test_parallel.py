@@ -41,7 +41,8 @@ def test_sequence_parallel_attention_matches_dense(mesh8):
     k = jax.random.normal(kk, (B, H, S, D))
     v = jax.random.normal(kv, (B, H, S, D))
 
-    ref = dense_attention(q, k, v)
+    with jax.default_device(cpu_devices()[0]):
+        ref = dense_attention(q, k, v)
     spec = NamedSharding(mesh8, P(None, None, "seq", None))
     qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
     got = sequence_parallel_attention(qs, ks, vs, mesh8, "seq")

@@ -338,3 +338,100 @@ def sample_posterior(moments: Array, key) -> Array:
 def posterior_mode(moments: Array) -> Array:
     mean, _ = jnp.split(moments, 2, axis=-1)
     return mean
+
+
+# ---------------------------------------------------------------------------
+# random init (tests / bench; real use loads converted HF weights)
+# ---------------------------------------------------------------------------
+
+def _init_conv3d(key, kt, kh, kw, cin, cout, dtype):
+    fan_in = kt * kh * kw * cin
+    return {
+        "kernel": jax.random.normal(key, (kt, kh, kw, cin, cout), dtype) * (fan_in ** -0.5),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def _init_conv2d(key, kh, kw, cin, cout, dtype):
+    fan_in = kh * kw * cin
+    return {
+        "kernel": jax.random.normal(key, (kh, kw, cin, cout), dtype) * (fan_in ** -0.5),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def _init_norm(c, dtype):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def _init_spatial_norm(key, c, zq, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm_layer": _init_norm(c, dtype),
+        "conv_y": _init_conv3d(k1, 1, 1, 1, zq, c, dtype),
+        "conv_b": _init_conv3d(k2, 1, 1, 1, zq, c, dtype),
+    }
+
+
+def _init_resnet(key, cin, cout, zq, dtype):
+    ks = jax.random.split(key, 5)
+    p = {
+        "conv1": _init_conv3d(ks[0], 3, 3, 3, cin, cout, dtype),
+        "conv2": _init_conv3d(ks[1], 3, 3, 3, cout, cout, dtype),
+    }
+    if zq is None:
+        p["norm1"] = _init_norm(cin, dtype)
+        p["norm2"] = _init_norm(cout, dtype)
+    else:
+        p["norm1"] = _init_spatial_norm(ks[2], cin, zq, dtype)
+        p["norm2"] = _init_spatial_norm(ks[3], cout, zq, dtype)
+    if cin != cout:
+        p["conv_shortcut"] = _init_conv3d(ks[4], 1, 1, 1, cin, cout, dtype)
+    return p
+
+
+def init_cogvideox_vae(key, cfg: CogVideoXVAEConfig, dtype=jnp.float32) -> Params:
+    boc = cfg.block_out_channels
+    n = len(boc)
+    keys = jax.random.split(key, 64)
+    ki = iter(keys)
+
+    enc: Params = {
+        "conv_in": _init_conv3d(next(ki), 3, 3, 3, cfg.in_channels, boc[0], dtype),
+        "norm_out": _init_norm(boc[-1], dtype),
+        "conv_out": _init_conv3d(next(ki), 3, 3, 3, boc[-1], 2 * cfg.latent_channels, dtype),
+        "mid_block": {
+            f"resnet_{j}": _init_resnet(next(ki), boc[-1], boc[-1], None, dtype) for j in range(2)
+        },
+    }
+    cin = boc[0]
+    for i in range(n):
+        blk: Params = {}
+        for j in range(cfg.layers_per_block):
+            blk[f"resnet_{j}"] = _init_resnet(next(ki), cin if j == 0 else boc[i], boc[i], None, dtype)
+        if i < n - 1:
+            blk["downsampler"] = {"conv": _init_conv2d(next(ki), 3, 3, boc[i], boc[i], dtype)}
+        enc[f"down_block_{i}"] = blk
+        cin = boc[i]
+
+    rev = list(reversed(boc))
+    zq = cfg.latent_channels
+    dec: Params = {
+        "conv_in": _init_conv3d(next(ki), 3, 3, 3, cfg.latent_channels, rev[0], dtype),
+        "norm_out": _init_spatial_norm(next(ki), rev[-1], zq, dtype),
+        "conv_out": _init_conv3d(next(ki), 3, 3, 3, rev[-1], cfg.out_channels, dtype),
+        "mid_block": {
+            f"resnet_{j}": _init_resnet(next(ki), rev[0], rev[0], zq, dtype) for j in range(2)
+        },
+    }
+    cin = rev[0]
+    for i in range(n):
+        blk = {}
+        for j in range(cfg.layers_per_block + 1):
+            blk[f"resnet_{j}"] = _init_resnet(next(ki), cin if j == 0 else rev[i], rev[i], zq, dtype)
+        if i < n - 1:
+            blk["upsampler"] = {"conv": _init_conv2d(next(ki), 3, 3, rev[i], rev[i], dtype)}
+        dec[f"up_block_{i}"] = blk
+        cin = rev[i]
+
+    return {"encoder": enc, "decoder": dec}

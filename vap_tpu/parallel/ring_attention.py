@@ -43,14 +43,17 @@ def get_attention_mesh():
     return getattr(_ctx, "mesh_axis", None)
 
 
-def _local_attention(q, k, v, scale):
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        platform = "cpu"
+def _local_attention(q, k, v, scale, platform: str):
     if platform == "tpu":
         return flash_attention(q, k, v, scale)
     return dense_attention(q, k, v, scale)
+
+
+def _mesh_platform(mesh: Mesh) -> str:
+    try:
+        return mesh.devices.flat[0].platform
+    except Exception:  # pragma: no cover - abstract meshes
+        return jax.devices()[0].platform
 
 
 def sequence_parallel_attention(
@@ -59,13 +62,14 @@ def sequence_parallel_attention(
 ) -> jnp.ndarray:
     """q/k/v: [B, H, S, D] with S sharded over `axis`. Returns out with the
     same sharding. K/V are all-gathered inside the shard; softmax is exact."""
+    platform = _mesh_platform(mesh)
     if mesh.shape[axis] == 1:
-        return _local_attention(q, k, v, scale)
+        return _local_attention(q, k, v, scale, platform)
 
     def body(q_loc, k_loc, v_loc):
         k_full = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_loc, axis, axis=2, tiled=True)
-        return _local_attention(q_loc, k_full, v_full, scale)
+        return _local_attention(q_loc, k_full, v_full, scale, platform)
 
     spec = P(None, None, axis, None)
     return jax.shard_map(

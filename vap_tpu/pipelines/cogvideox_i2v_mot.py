@@ -72,6 +72,22 @@ def dynamic_cfg_schedule(timesteps: np.ndarray, guidance_scale: float, num_infer
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _t5_forward_jit(params, cfg, input_ids):
+    return t5_encode(params, cfg, input_ids)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _vae_encode_mode_jit(params, cfg, video):
+    moments = vae_encode(params, cfg, video)
+    return posterior_mode(moments) * cfg.scaling_factor
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _vae_decode_jit(params, cfg, z):
+    return vae_decode(params, cfg, z)
+
+
 @dataclasses.dataclass
 class CogVideoXVAPPipeline:
     transformer_cfg: CogVideoXMOTConfig
@@ -95,22 +111,18 @@ class CogVideoXVAPPipeline:
         )
         return toks["input_ids"], toks["attention_mask"]
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def _t5_forward(self, input_ids: Array) -> Array:
         # reference passes no attention mask to T5 and keeps all 226 positions
         # (pipeline _get_t5_prompt_embeds)
-        return t5_encode(self.params["text_encoder"], self.text_cfg, input_ids).astype(self.dtype)
+        return _t5_forward_jit(self.params["text_encoder"], self.text_cfg, input_ids).astype(self.dtype)
 
     def encode_prompt(self, prompt: str, negative_prompt: str, max_length: int = 226) -> Tuple[Array, Array]:
         ids, _ = self.encode_prompt_tokens(prompt, max_length)
         nids, _ = self.encode_prompt_tokens(negative_prompt, max_length)
         return self._t5_forward(jnp.asarray(ids)), self._t5_forward(jnp.asarray(nids))
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
-    def _vae_encode_mode(self, video: Array, deterministic: bool = True, key=None) -> Array:
-        moments = vae_encode(self.params["vae"], self.vae_cfg, video.astype(self.dtype))
-        latent = posterior_mode(moments) if deterministic else sample_posterior(moments, key)
-        return latent * self.vae_cfg.scaling_factor
+    def _vae_encode_mode(self, video: Array) -> Array:
+        return _vae_encode_mode_jit(self.params["vae"], self.vae_cfg, video.astype(self.dtype))
 
     # ------------------------------------------------------------------
     # the jit-scanned denoise loop
@@ -298,9 +310,5 @@ class CogVideoXVAPPipeline:
 
         # 4. decode: [B, F, C, H, W] -> channel-last, unscale
         z = latents.transpose(0, 1, 3, 4, 2).astype(self.dtype) / self.vae_cfg.scaling_factor
-        video = self._vae_decode(z)
+        video = _vae_decode_jit(self.params["vae"], self.vae_cfg, z)
         return np.asarray(video.astype(jnp.float32))
-
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _vae_decode(self, z: Array) -> Array:
-        return vae_decode(self.params["vae"], self.vae_cfg, z)

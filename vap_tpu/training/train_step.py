@@ -1,0 +1,200 @@
+"""Video-As-Prompt SFT training step (CogVideoX family).
+
+Matches the reference training semantics:
+  * uniform timestep sampling -> add_noise on target latents
+    (finetrainers/utils/diffusion.py:95-125, cogvideox spec :604-607)
+  * reference latents stay clean (reference_train_mode=None) or are noised at
+    the last `num_ref_diffusion_time_sigmas` bins (reference_independent;
+    trainer.py:617-670)
+  * conditioning = channel-concat [noisy ‖ image latent] (32ch), analog per ref
+  * pred = get_velocity(velocity, noisy, t); target = latents (spec :786-789)
+  * loss = mean(1/(1-alpha_t) * (pred-target)^2) + 0.6/N * per-ref losses
+    (trainer.py:700-770; utils/diffusion.py:128-141)
+  * only MoT-expert params train: "_mot_ref" / effect_embeddings /
+    ref_embeddings (trainer.py:146-172), expressed as a pytree mask — the
+    frozen base is never differentiated (argument partitioning, not grad
+    masking, so XLA drops the dead backward graph)
+
+The step is a single pjit-able pure function; data parallel gradients are
+averaged by XLA when params/batch carry shardings from vap_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.cogvideox.config import CogVideoXMOTConfig
+from ..models.cogvideox.transformer_mot import cogvideox_mot_forward
+from ..ops.rope import prepare_cogvideox_rotary_embeddings
+from ..ops.schedulers.common import add_noise, get_velocity, make_alphas_cumprod
+
+Array = jnp.ndarray
+
+TRAINABLE_MARKERS = ("_mot_ref", "effect_embeddings", "ref_embeddings")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    model: CogVideoXMOTConfig
+    reference_train_mode: Optional[str] = None   # None | "reference_independent"
+    random_refer_noise: bool = False
+    num_ref_diffusion_time_sigmas: int = 10
+    sample_ref_videos_num: int = 1
+    ref_type: str = "continous_negative"
+    vae_scaling_factor: float = 1.15258426
+    num_train_timesteps: int = 1000
+    remat: bool = True
+
+
+def trainable_mask(params) -> Any:
+    """True for MoT-expert leaves (cf. trainer.py:146-172)."""
+    def mark(path, leaf):
+        names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        return any(any(m in n for m in TRAINABLE_MARKERS) for n in names)
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def partition_params(params, mask):
+    train = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return train, frozen
+
+
+def merge_params(train, frozen):
+    return jax.tree.map(
+        lambda t, f: t if f is None else f, train, frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def _rope_tables(cfg: CogVideoXMOTConfig, lat_h: int, lat_w: int, lat_f: int, mot_num: int, ref_type: str):
+    kw = dict(
+        attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
+        patch_size_t=cfg.patch_size_t, sample_width=cfg.sample_width,
+        sample_height=cfg.sample_height,
+    )
+    rope = prepare_cogvideox_rotary_embeddings(lat_h * 8, lat_w * 8, lat_f, **kw)
+    rope_ref = prepare_cogvideox_rotary_embeddings(
+        lat_h * 8, lat_w * 8, lat_f, mot_num=mot_num, ref_type=ref_type, **kw)
+    return rope, rope_ref
+
+
+def cogvideox_vap_loss(
+    params: Dict[str, Any],
+    cfg: TrainStepConfig,
+    batch: Dict[str, Array],
+    key: Array,
+) -> Tuple[Array, Dict[str, Array]]:
+    """batch (all latents channel layout [B, F, C, H, W], already VAE-scaled):
+      latents, image_latents, latents_mot_ref [B, R*F, C, H, W],
+      image_latents_mot_ref, encoder_hidden_states [B, T, Dt],
+      encoder_hidden_states_mot_ref [B, R*T, Dt], optional effect_ids [R].
+    """
+    mcfg = cfg.model
+    latents = batch["latents"].astype(jnp.float32)
+    b, f_lat, c, lat_h, lat_w = latents.shape
+    latents_ref = batch["latents_mot_ref"].astype(jnp.float32)
+    num_mot_ref = latents_ref.shape[1] // f_lat
+
+    alphas_cumprod = jnp.asarray(make_alphas_cumprod(rescale_betas_zero_snr=True))
+
+    k_t, k_n, k_rt, k_rn = jax.random.split(key, 4)
+    timesteps = jax.random.randint(k_t, (b,), 0, cfg.num_train_timesteps)
+    noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+    noisy_latents = add_noise(alphas_cumprod, latents, noise, timesteps)
+
+    hidden = jnp.concatenate([noisy_latents, batch["image_latents"].astype(jnp.float32)], axis=2)
+
+    # reference branch input: clean (plug-and-play mode) or noised at the last
+    # num_ref_diffusion_time_sigmas timesteps (reference_independent)
+    if cfg.reference_train_mode == "reference_independent":
+        ref_timesteps = jax.random.randint(k_rt, (b, num_mot_ref), 0, cfg.num_ref_diffusion_time_sigmas)
+        ref_noise = jax.random.normal(k_rn, latents_ref.shape, jnp.float32)
+        lr_per = latents_ref.reshape(b, num_mot_ref, f_lat, c, lat_h, lat_w)
+        rn_per = ref_noise.reshape(lr_per.shape)
+        noisy_ref = add_noise(
+            alphas_cumprod, lr_per.reshape(b * num_mot_ref, f_lat, c, lat_h, lat_w),
+            rn_per.reshape(b * num_mot_ref, f_lat, c, lat_h, lat_w),
+            ref_timesteps.reshape(-1),
+        ).reshape(b, num_mot_ref * f_lat, c, lat_h, lat_w)
+        ref_video_in = noisy_ref
+    else:
+        ref_timesteps = None
+        ref_video_in = latents_ref
+    hidden_ref = jnp.concatenate([ref_video_in, batch["image_latents_mot_ref"].astype(jnp.float32)], axis=2)
+
+    rope, rope_ref = _rope_tables(mcfg, lat_h, lat_w, f_lat, num_mot_ref, cfg.ref_type)
+
+    dtype = batch["encoder_hidden_states"].dtype
+    velocity, velocity_ref = cogvideox_mot_forward(
+        params, mcfg,
+        hidden_states=hidden.astype(dtype),
+        encoder_hidden_states=batch["encoder_hidden_states"],
+        timestep=timesteps.astype(jnp.float32),
+        image_rotary_emb=rope,
+        hidden_states_mot_ref=hidden_ref.astype(dtype),
+        encoder_hidden_states_mot_ref=batch["encoder_hidden_states_mot_ref"],
+        image_rotary_emb_mot_ref=rope_ref,
+        num_mot_ref=num_mot_ref,
+        timestep_mot_ref=(
+            ref_timesteps.astype(jnp.float32)
+            if (cfg.random_refer_noise and ref_timesteps is not None) else None
+        ),
+        effect_ids=batch.get("effect_ids"),
+        remat=cfg.remat,
+    )
+
+    pred = get_velocity(alphas_cumprod, velocity.astype(jnp.float32), noisy_latents, timesteps)
+    target = latents
+    weights = (1.0 / (1.0 - alphas_cumprod[timesteps])).reshape(b, 1, 1, 1, 1)
+    loss_main = jnp.mean(weights * jnp.square(pred - target))
+
+    metrics = {"loss_main": loss_main}
+    loss = loss_main
+    if cfg.reference_train_mode == "reference_independent":
+        vr = velocity_ref.reshape(b * num_mot_ref, f_lat, c, lat_h, lat_w)
+        nr = ref_video_in.reshape(b * num_mot_ref, f_lat, c, lat_h, lat_w)
+        pred_ref = get_velocity(alphas_cumprod, vr.astype(jnp.float32), nr, ref_timesteps.reshape(-1))
+        target_ref = latents_ref.reshape(b * num_mot_ref, f_lat, c, lat_h, lat_w)
+        w_ref = (1.0 / (1.0 - alphas_cumprod[ref_timesteps.reshape(-1)])).reshape(-1, 1, 1, 1, 1)
+        loss_ref = jnp.mean(w_ref * jnp.square(pred_ref - target_ref)) * 0.6 / cfg.sample_ref_videos_num
+        metrics["loss_ref"] = loss_ref
+        loss = loss + loss_ref
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(cfg: TrainStepConfig, optimizer: optax.GradientTransformation):
+    """Returns (init_fn, step_fn).
+
+    step_fn(train_params, frozen_params, opt_state, batch, key) ->
+        (train_params, opt_state, metrics)
+    Differentiates only the MoT-expert partition; wrap in jax.jit (optionally
+    with NamedShardings on params/batch for multi-chip).
+    """
+
+    def init_fn(params):
+        mask = trainable_mask(params)
+        train, frozen = partition_params(params, mask)
+        return train, frozen, optimizer.init(train)
+
+    def step_fn(train_params, frozen_params, opt_state, batch, key):
+        def loss_fn(tp):
+            merged = merge_params(tp, frozen_params)
+            return cogvideox_vap_loss(merged, cfg, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, train_params)
+        train_params = optax.apply_updates(train_params, updates)
+        return train_params, opt_state, metrics
+
+    return init_fn, step_fn
