@@ -38,7 +38,7 @@ from vap_tpu.models.cogvideox.transformer_mot import (
     _init_block,
     cogvideox_mot_forward,
 )
-from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig, init_cogvideox_vae, vae_decode
+from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig, init_cogvideox_vae, vae_decode_tiled
 from vap_tpu.models.common import init_layer_norm, init_linear, init_timestep_embedding_mlp
 from vap_tpu.ops.rope import prepare_cogvideox_rotary_embeddings
 from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
@@ -151,13 +151,14 @@ def main():
     jax.block_until_ready(latents)
     step_s = (time.perf_counter() - t0) / n_steps
 
-    # VAE decode
+    # VAE decode (spatially tiled; bounds HBM like the reference 8GB path)
     decode_s = 0.0
     if not skip_vae:
+        del params  # free transformer HBM before the VAE phase
         vae_cfg = CogVideoXVAEConfig()
         vae_params = init_cogvideox_vae(jax.random.PRNGKey(1), vae_cfg, dtype)
         z = jax.random.normal(key, (1, lat_f, lat_h, lat_w, vae_cfg.latent_channels), dtype)
-        decode = jax.jit(lambda p, z: vae_decode(p, vae_cfg, z))
+        decode = lambda p, z: vae_decode_tiled(p, vae_cfg, z)
         out = decode(vae_params, z)
         jax.block_until_ready(out)  # compile
         t0 = time.perf_counter()

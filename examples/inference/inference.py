@@ -1,0 +1,105 @@
+"""Distributed batch inference CLI.
+
+Port of the reference examples/inference/inference.py (:44 main, :154-460
+Inference class): dataset-driven prompts, data-parallel sharding across hosts
+(each process generates a disjoint slice), attention-provider selection, and
+optional sequence-parallel attention over a `seq` mesh axis (the reference's
+--cp_degree / --cp_rotate_method).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import numpy as np
+
+
+class Inference:
+    def __init__(self, args):
+        self.args = args
+        import jax
+
+        from vap_tpu.ops.attention import attention_provider
+        from vap_tpu.parallel import MeshConfig, make_mesh
+        from vap_tpu.parallel.ring_attention import attention_mesh
+
+        self._attention_provider = attention_provider
+        self._attention_mesh = attention_mesh
+        self.mesh = None
+        if args.sp_degree > 1:
+            self.mesh = make_mesh(MeshConfig(data=args.dp_degree, seq=args.sp_degree))
+        self.shard_index = jax.process_index() * args.dp_degree
+        self.num_shards = max(jax.process_count(), 1) * args.dp_degree
+
+        if args.model_name == "cogvideox":
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "infer"))
+            from cog_vap import build_pipeline
+        else:
+            from wan_vap import build_pipeline
+        self.pipe = build_pipeline(args.model_path)
+
+    def run(self):
+        args = self.args
+        from vap_tpu.data.dataset import VideoAsPromptValidationDataset
+        from vap_tpu.data.video import export_to_video, resize_video
+        from vap_tpu.pipelines.cogvideox_i2v_mot import select_frames
+
+        ds = VideoAsPromptValidationDataset(
+            args.dataset_file, root=args.data_root, num_frames=args.num_frames,
+            shard_index=self.shard_index, num_shards=self.num_shards)
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        provider = args.attn_provider if self.mesh is None else "ring"
+        ctx = (self._attention_mesh(self.mesh) if self.mesh is not None
+               else _null_context())
+        with self._attention_provider(provider), ctx:
+            for i, sample in enumerate(ds):
+                ref = np.stack(select_frames(list(sample["ref_videos"][0]), args.num_frames, "evenly"))
+                ref = resize_video(ref, args.height, args.width)
+                image = resize_video(sample["image"][None], args.height, args.width)[0]
+                video = self.pipe(
+                    image=image, prompt=sample["caption"], ref_videos=[ref],
+                    prompt_mot_ref=sample["caption_mot_ref"][:1],
+                    height=args.height, width=args.width, num_frames=args.num_frames,
+                    num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale, seed=args.seed,
+                )
+                out = os.path.join(args.output_dir, f"{self.shard_index:02d}_{i:04d}.mp4")
+                export_to_video((video[0] + 1.0) / 2.0, out, fps=16)
+                print(f"saved {out}")
+
+
+class _null_context:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def main():
+    p = argparse.ArgumentParser("vap_tpu distributed inference")
+    p.add_argument("--model_name", default="cogvideox", choices=["cogvideox", "wan"])
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--dataset_file", required=True)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--output_dir", default="inference_outputs")
+    p.add_argument("--dp_degree", type=int, default=1)
+    p.add_argument("--sp_degree", type=int, default=1,
+                   help="sequence-parallel degree (reference --cp_degree)")
+    p.add_argument("--attn_provider", default="flash", choices=["flash", "xla", "ring"])
+    p.add_argument("--num_frames", type=int, default=49)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=720)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+    Inference(args).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Batched CogVideoX VAP inference over the VAP-Data benchmark CSV.
+
+Port of infer/cog_vap_bench.py:70-122: iterate benchmark.csv rows, generate
+each sample, and emit [ref | target-first-frame | ours] side-by-side videos.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--benchmark_csv", required=True, help="VAP-Data benchmark.csv")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--output_dir", default="bench_outputs")
+    p.add_argument("--num_frames", type=int, default=49)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=720)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--shard_index", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    args = p.parse_args()
+
+    from cog_vap import build_pipeline
+    from vap_tpu.data.dataset import VideoAsPromptValidationDataset
+    from vap_tpu.data.video import export_to_video, resize_video
+
+    pipe = build_pipeline(args.model_path)
+    ds = VideoAsPromptValidationDataset(
+        args.benchmark_csv, root=args.data_root, num_frames=args.num_frames,
+        shard_index=args.shard_index, num_shards=args.num_shards)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i, sample in enumerate(ds):
+        if args.limit and i >= args.limit:
+            break
+        from vap_tpu.pipelines.cogvideox_i2v_mot import select_frames
+
+        ref = np.stack(select_frames(list(sample["ref_videos"][0]), args.num_frames, "evenly"))
+        ref = resize_video(ref, args.height, args.width)
+        image = resize_video(sample["image"][None], args.height, args.width)[0]
+
+        video = pipe(
+            image=image, prompt=sample["caption"], ref_videos=[ref],
+            prompt_mot_ref=sample["caption_mot_ref"][:1],
+            height=args.height, width=args.width, num_frames=args.num_frames,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale, use_dynamic_cfg=True, seed=args.seed,
+        )
+        ours = (video[0] + 1.0) / 2.0
+        ref01 = (ref + 1.0) / 2.0
+        target = np.broadcast_to(((image + 1.0) / 2.0)[None], ours.shape)
+        side_by_side = np.concatenate([ref01, target, ours], axis=2)
+        out_path = os.path.join(args.output_dir, f"{args.shard_index:02d}_{i:04d}.mp4")
+        export_to_video(side_by_side, out_path, fps=16)
+        print(f"[{i}] saved {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Data layer: CSV dataset semantics, bucketing, dataloader, video IO."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vap_tpu.data.dataset import (
+    VideoAsPromptDataset,
+    VideoAsPromptValidationDataset,
+    filter_and_update_refs,
+)
+from vap_tpu.data.dataloader import PrefetchingDataLoader
+from vap_tpu.data.sampler import ResolutionSampler, collate_tensor_dicts
+from vap_tpu.data.video import (
+    export_to_video,
+    get_resample_indices,
+    load_video,
+    normalize_video,
+    resize_to_nearest_bucket,
+)
+
+
+def _make_dataset_dir(tmp_path, n=6):
+    import pandas as pd
+
+    vids = []
+    for i in range(n):
+        frames = (np.random.default_rng(i).uniform(0, 1, (12, 32, 48, 3)) * 255).astype(np.uint8)
+        p = tmp_path / f"vid_{i}.mp4"
+        export_to_video(frames, str(p), fps=16)
+        vids.append(f"vid_{i}.mp4")
+
+    rows = []
+    for i, v in enumerate(vids):
+        rows.append({
+            "video_paths": v,
+            "tar_video_caption": f"caption {i}",
+            "ref_video_paths": json.dumps([vids[(i + 1) % n]]),
+            "kind": "explode" if i % 2 == 0 else "melt",
+            "split": "train",
+            "reference_alignment_score": 10.0 if i != 3 else 1.0,  # row 3 filtered
+        })
+    pd.DataFrame(rows).to_csv(tmp_path / "vap_data.csv", index=False)
+    return tmp_path
+
+
+def test_filter_and_update_refs():
+    rows = [
+        {"video_paths": "a", "kind": "x", "reference_alignment_score": 9, "ref_video_paths": ["b"]},
+        {"video_paths": "b", "kind": "x", "reference_alignment_score": 2, "ref_video_paths": ["a"]},
+        {"video_paths": "c", "kind": "x", "reference_alignment_score": 8, "ref_video_paths": ["b"]},
+    ]
+    out = filter_and_update_refs(rows, alignment_score_threshold=5, seed=0)
+    paths = {r["video_paths"] for r in out}
+    assert paths == {"a", "c"}
+    # refs pointing at the filtered row get re-sampled within the same kind
+    for r in out:
+        assert r["ref_video_paths"], r
+        assert "b" not in r["ref_video_paths"]
+
+
+def test_vap_dataset_iteration(tmp_path):
+    root = _make_dataset_dir(tmp_path)
+    ds = VideoAsPromptDataset(str(root), sample_ref_videos_num=1, mask_caption_ratio=0.0)
+    samples = list(ds)
+    assert len(samples) == 5  # row 3 filtered by alignment score
+    s = samples[0]
+    assert s["video"].ndim == 4 and s["video"].shape[-1] == 3
+    assert -1.01 <= s["video"].min() and s["video"].max() <= 1.01
+    assert len(s["ref_videos"]) == 1
+    assert isinstance(s["caption"], str) and s["caption"]
+    assert s["effect_types"][0] in ("explode", "melt")
+
+
+def test_vap_dataset_resume(tmp_path):
+    root = _make_dataset_dir(tmp_path)
+    ds = VideoAsPromptDataset(str(root))
+    it = iter(ds)
+    next(it)
+    next(it)
+    state = ds.state_dict()
+    assert state["sample_index"] == 2
+
+    ds2 = VideoAsPromptDataset(str(root))
+    ds2.load_state_dict(state)
+    remaining = list(ds2)
+    assert len(remaining) == 3
+
+
+def test_dataset_sharding(tmp_path):
+    root = _make_dataset_dir(tmp_path)
+    d0 = VideoAsPromptDataset(str(root), shard_index=0, num_shards=2)
+    d1 = VideoAsPromptDataset(str(root), shard_index=1, num_shards=2)
+    assert len(d0) + len(d1) == 5
+    assert not ({r["video_paths"] for r in d0.rows} & {r["video_paths"] for r in d1.rows})
+
+
+def test_prefetching_dataloader(tmp_path):
+    root = _make_dataset_dir(tmp_path)
+    ds = VideoAsPromptDataset(str(root))
+    dl = PrefetchingDataLoader(ds, prefetch=2)
+    assert len(list(dl)) == 5
+    assert "dataset" in dl.state_dict()
+
+
+def test_resolution_sampler():
+    s = ResolutionSampler(batch_size=2)
+    a = {"latents": np.zeros((1, 2, 4, 4, 4))}
+    b = {"latents": np.zeros((1, 3, 4, 4, 4))}  # different bucket
+    s.consume({"c": 1}, a)
+    assert not s.is_ready
+    s.consume({"c": 2}, b)
+    s.consume({"c": 3}, dict(a))
+    assert s.is_ready
+    conds, lats = s.get_batch()
+    assert [c["c"] for c in conds] == [1, 3]
+    batch = collate_tensor_dicts(lats)
+    assert batch["latents"].shape[0] == 2
+
+
+def test_video_io_roundtrip(tmp_path):
+    frames = (np.random.default_rng(0).uniform(0, 1, (8, 32, 48, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "t.mp4")
+    export_to_video(frames, p, fps=16)
+    loaded, fps = load_video(p)
+    assert loaded.shape == frames.shape
+    assert abs(fps - 16) < 0.5
+
+
+def test_resample_and_buckets():
+    idx = get_resample_indices(total_frames=32, original_fps=32, target_fps=16)
+    assert len(idx) == 16
+    frames = np.zeros((60, 100, 200, 3), np.float32)  # aspect 0.5
+    out, first_only = resize_to_nearest_bucket(frames, [(49, 60, 120), (49, 100, 100)])
+    assert out.shape == (49, 60, 120, 3)
+    assert not first_only

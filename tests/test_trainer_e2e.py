@@ -1,0 +1,108 @@
+"""End-to-end trainer smoke test: synthetic VAP dataset -> 3 optimizer steps
+-> checkpoint -> safetensors export (tiny configs, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vap_tpu.data.video import export_to_video
+from vap_tpu.models.cogvideox import CogVideoXMOTConfig, init_cogvideox_mot
+from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig, init_cogvideox_vae
+from vap_tpu.models.text_encoders import T5Config, init_t5_encoder
+from vap_tpu.training.args import TrainingArgs, parse_args
+from vap_tpu.training.specs import CogVideoXSpec, build_mot_state_dict_from_base
+from vap_tpu.training.trainer import SFTTrainer
+
+
+class FakeTokenizer:
+    def __call__(self, texts, padding=None, max_length=16, truncation=True,
+                 add_special_tokens=True, return_tensors="np"):
+        ids = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            for j, ch in enumerate(t[:max_length]):
+                ids[i, j] = (ord(ch) * 5 + j) % 127 + 1
+        return {"input_ids": ids, "attention_mask": (ids > 0).astype(np.int32)}
+
+
+def _make_dataset_dir(tmp_path, n=4):
+    import pandas as pd
+
+    vids = []
+    for i in range(n):
+        frames = (np.random.default_rng(i).uniform(0, 1, (9, 32, 32, 3)) * 255).astype(np.uint8)
+        p = tmp_path / f"v{i}.mp4"
+        export_to_video(frames, str(p), fps=16)
+        vids.append(f"v{i}.mp4")
+    rows = [{
+        "video_paths": v,
+        "tar_video_caption": f"cap {i}",
+        "ref_video_paths": json.dumps([vids[(i + 1) % n]]),
+        "kind": "fx",
+        "split": "train",
+        "reference_alignment_score": 9.0,
+    } for i, v in enumerate(vids)]
+    pd.DataFrame(rows).to_csv(tmp_path / "vap_data.csv", index=False)
+    return tmp_path
+
+
+def test_args_parse():
+    args = parse_args([
+        "--model_name", "cogvideox", "--train_steps", "3",
+        "--video_resolution_buckets", "9x32x32,49x480x720",
+    ])
+    assert args.train_steps == 3
+    assert args.video_resolution_buckets == ((9, 32, 32), (49, 480, 720))
+
+
+def test_build_mot_from_base():
+    cfg = CogVideoXMOTConfig.tiny(supported_effect_types=("fx",), num_ref_embeddings=2)
+    base_sd = {
+        "patch_embed.proj.weight": np.zeros((4, 4, 2, 2), np.float32),
+        "transformer_blocks.0.attn1.to_q.weight": np.ones((8, 8), np.float32),
+        "norm_final.weight": np.ones((8,), np.float32),
+    }
+    out = build_mot_state_dict_from_base(base_sd, cfg)
+    assert "patch_embed_mot_ref.proj.weight" in out
+    assert "transformer_blocks.0.attn1_mot_ref.to_q.weight" in out
+    np.testing.assert_array_equal(
+        out["transformer_blocks.0.attn1_mot_ref.to_q.weight"],
+        base_sd["transformer_blocks.0.attn1.to_q.weight"])
+    assert out["effect_embeddings.fx"].shape == (1, 1, cfg.inner_dim)
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    root = _make_dataset_dir(tmp_path)
+
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "transformer": init_cogvideox_mot(key, t_cfg, jnp.float32),
+        "vae": init_cogvideox_vae(jax.random.fold_in(key, 1), vae_cfg, jnp.float32),
+        "text_encoder": init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, jnp.float32),
+    }
+    spec = CogVideoXSpec(t_cfg, vae_cfg, txt_cfg, params, FakeTokenizer(), jnp.float32)
+    # tiny text len to match tokenizer max_length default in spec
+    spec.prepare_conditions = lambda s, _orig=spec.prepare_conditions: _orig(s, max_length=t_cfg.max_text_seq_length)
+
+    args = TrainingArgs(
+        data_root=str(root), train_steps=3, batch_size=1, logging_steps=1,
+        checkpointing_steps=2, output_dir=str(tmp_path / "out"),
+        video_resolution_buckets=((9, 32, 32),), lr=1e-4,
+        gradient_checkpointing=False, mask_caption_ratio=0.0,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        trainer = SFTTrainer(args, spec)
+        state = trainer.run()
+        assert state.step == 3
+        assert trainer.checkpointer.latest_step() == 2
+        path = trainer.export()
+    assert os.path.exists(path)
+    assert len(trainer.tracker.history) >= 3

@@ -1,0 +1,120 @@
+"""vap_tpu training entry point (mirrors the reference train.py:26-101).
+
+Example (CogVideoX VAP MoT, cf. examples/training/sft/cogvideox/vap_mot/
+train_single_node.sh):
+
+    python train.py \
+        --model_name cogvideox --training_type video_as_prompt_mot \
+        --pretrained_model_name_or_path /path/to/cogvideox-5b-i2v \
+        --data_root /path/to/VAP-Data --meta_df_name vap_data.csv \
+        --train_steps 60000 --lr 1e-5 --lr_warmup_steps 1000 \
+        --video_resolution_buckets 49x480x720
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vap_tpu.models.cogvideox import CogVideoXMOTConfig, convert_cogvideox_mot_state_dict, init_cogvideox_mot
+from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig, init_cogvideox_vae
+from vap_tpu.models.cogvideox.vae_weights import convert_cogvideox_vae_state_dict
+from vap_tpu.models.text_encoders import T5Config, init_t5_encoder
+from vap_tpu.training.args import parse_args
+from vap_tpu.training.checkpoint import load_safetensors
+from vap_tpu.training.specs import build_mot_state_dict_from_base, get_model_spec_cls
+from vap_tpu.training.trainer import SFTTrainer
+from vap_tpu.utils.logging import get_logger
+
+logger = get_logger("vap_tpu.train")
+
+
+def _load_or_init_params(args, t_cfg, vae_cfg, txt_cfg, dtype):
+    key = jax.random.PRNGKey(args.seed)
+    params = {}
+    base = args.pretrained_model_name_or_path
+
+    def maybe(path):
+        return path if path and os.path.exists(path) else None
+
+    mot_path = maybe(args.videoasprompt_mot_name_or_path)
+    tr_path = maybe(os.path.join(base, "transformer", "model.safetensors")) if base else None
+    if mot_path:
+        params["transformer"] = convert_cogvideox_mot_state_dict(load_safetensors(mot_path), t_cfg, dtype)
+        logger.info(f"loaded MoT transformer from {mot_path}")
+    elif tr_path:
+        sd = build_mot_state_dict_from_base(load_safetensors(tr_path), t_cfg)
+        params["transformer"] = convert_cogvideox_mot_state_dict(sd, t_cfg, dtype)
+        logger.info(f"built MoT transformer from base {tr_path}")
+    else:
+        params["transformer"] = init_cogvideox_mot(key, t_cfg, dtype)
+        logger.info("random-initialized transformer (no checkpoint found)")
+
+    vae_path = maybe(os.path.join(base, "vae", "model.safetensors")) if base else None
+    if vae_path:
+        params["vae"] = convert_cogvideox_vae_state_dict(load_safetensors(vae_path), vae_cfg, dtype)
+    else:
+        params["vae"] = init_cogvideox_vae(jax.random.fold_in(key, 1), vae_cfg, dtype)
+
+    # text encoder: converted T5 weights or random (tests)
+    t5_path = maybe(os.path.join(base, "text_encoder", "model.safetensors")) if base else None
+    if t5_path:
+        from vap_tpu.models.text_encoders.t5 import convert_t5_state_dict
+
+        params["text_encoder"] = convert_t5_state_dict(load_safetensors(t5_path), txt_cfg, dtype)
+    else:
+        params["text_encoder"] = init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, dtype)
+    return params
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.environ.setdefault("VAP_ATTN_PROVIDER", args.attn_provider_training)
+
+    structure = args.model_structure()
+    if args.model_name == "cogvideox":
+        t_cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(
+            reference_train_mode=args.reference_train_mode,
+            **{k: tuple(v) if isinstance(v, list) else v for k, v in structure.items()
+               if k in ("block_idx_with_mot_ref", "supported_effect_types", "num_ref_embeddings",
+                         "num_layers", "num_attention_heads", "attention_head_dim")},
+        )
+        vae_cfg = CogVideoXVAEConfig()
+        txt_cfg = T5Config.t5_xxl()
+    else:
+        raise NotImplementedError("wan trainer wiring lands with the Wan spec")
+
+    dtype = jnp.bfloat16 if args.transformer_dtype == "bfloat16" else jnp.float32
+    params = _load_or_init_params(args, t_cfg, vae_cfg, txt_cfg, dtype)
+
+    tokenizer = None
+    if args.pretrained_model_name_or_path:
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                os.path.join(args.pretrained_model_name_or_path, "tokenizer"))
+        except Exception:
+            logger.warning("no tokenizer found; pass precomputed embeddings")
+
+    spec_cls = get_model_spec_cls(args.model_name, args.training_type)
+    spec = spec_cls(t_cfg, vae_cfg, txt_cfg, params, tokenizer, dtype)
+
+    trainer = SFTTrainer(args, spec)
+    try:
+        state = trainer.run()
+        trainer.export()
+        logger.info(f"training finished at step {state.step}")
+    except KeyboardInterrupt:
+        logger.warning("interrupted; saving checkpoint")
+        trainer.checkpointer.save(trainer.train_state.step, params=trainer.train_params,
+                                  opt_state=trainer.opt_state, train_state=trainer.train_state)
+        trainer.checkpointer.wait()
+
+
+if __name__ == "__main__":
+    main()

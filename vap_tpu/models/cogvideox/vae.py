@@ -435,3 +435,132 @@ def init_cogvideox_vae(key, cfg: CogVideoXVAEConfig, dtype=jnp.float32) -> Param
         cin = rev[i]
 
     return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# spatial tiling with overlap blending (tiled_encode/tiled_decode,
+# autoencoder_kl_cogvideox.py:1255-1444) — bounds HBM at high resolution the
+# way the reference's low-memory path bounds VRAM.
+# ---------------------------------------------------------------------------
+
+TILE_SAMPLE_MIN_H = 240
+TILE_SAMPLE_MIN_W = 360
+TILE_OVERLAP_H = 1 / 6
+TILE_OVERLAP_W = 1 / 5
+
+
+def _blend_v(a: Array, b: Array, extent: int) -> Array:
+    """Blend bottom rows of tile `a` into top rows of tile `b` (H axis=2)."""
+    extent = min(a.shape[2], b.shape[2], extent)
+    if extent == 0:
+        return b
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, extent, 1, 1)
+    top = a[:, :, -extent:].astype(jnp.float32) * (1 - w) + b[:, :, :extent].astype(jnp.float32) * w
+    return jnp.concatenate([top.astype(b.dtype), b[:, :, extent:]], axis=2)
+
+
+def _blend_h(a: Array, b: Array, extent: int) -> Array:
+    """Blend right cols of tile `a` into left cols of tile `b` (W axis=3)."""
+    extent = min(a.shape[3], b.shape[3], extent)
+    if extent == 0:
+        return b
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, 1, extent, 1)
+    left = a[:, :, :, -extent:].astype(jnp.float32) * (1 - w) + b[:, :, :, :extent].astype(jnp.float32) * w
+    return jnp.concatenate([left.astype(b.dtype), b[:, :, :, extent:]], axis=3)
+
+
+def vae_decode_tiled(
+    params: Params, cfg: CogVideoXVAEConfig, latents: Array,
+    tile_sample_min_height: int = TILE_SAMPLE_MIN_H,
+    tile_sample_min_width: int = TILE_SAMPLE_MIN_W,
+    decode_fn=None,
+) -> Array:
+    """Spatially tiled decode with overlap blending. latents channel-last.
+
+    `decode_fn(params, tile)` defaults to a per-tile-shape jitted vae_decode so
+    only one tile's graph is live at a time (a single jit over all tiles keeps
+    every tile's buffers resident and OOMs at 480p on a 16GB chip)."""
+    if decode_fn is None:
+        decode_fn = _jitted_tile_decode(cfg)
+    b, f, h, w, c = latents.shape
+    tlh = tile_sample_min_height // 8
+    tlw = tile_sample_min_width // 8
+    overlap_h = int(tlh * (1 - TILE_OVERLAP_H))
+    overlap_w = int(tlw * (1 - TILE_OVERLAP_W))
+    blend_h_ext = int(tile_sample_min_height * TILE_OVERLAP_H)
+    blend_w_ext = int(tile_sample_min_width * TILE_OVERLAP_W)
+    row_limit_h = tile_sample_min_height - blend_h_ext
+    row_limit_w = tile_sample_min_width - blend_w_ext
+
+    rows = []
+    for i in range(0, h, overlap_h):
+        row = []
+        for j in range(0, w, overlap_w):
+            tile = latents[:, :, i:i + tlh, j:j + tlw]
+            row.append(decode_fn(params, tile))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend_h_ext)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend_w_ext)
+            result_row.append(tile[:, :, :row_limit_h, :row_limit_w])
+        result_rows.append(jnp.concatenate(result_row, axis=3))
+    return jnp.concatenate(result_rows, axis=2)
+
+
+def vae_encode_tiled(
+    params: Params, cfg: CogVideoXVAEConfig, video: Array,
+    tile_sample_min_height: int = TILE_SAMPLE_MIN_H,
+    tile_sample_min_width: int = TILE_SAMPLE_MIN_W,
+    encode_fn=None,
+) -> Array:
+    """Spatially tiled encode with overlap blending in latent space."""
+    if encode_fn is None:
+        encode_fn = _jitted_tile_encode(cfg)
+    b, f, h, w, c = video.shape
+    overlap_h = int(tile_sample_min_height * (1 - TILE_OVERLAP_H))
+    overlap_w = int(tile_sample_min_width * (1 - TILE_OVERLAP_W))
+    tlh = tile_sample_min_height // 8
+    tlw = tile_sample_min_width // 8
+    blend_h_ext = int(tlh * TILE_OVERLAP_H)
+    blend_w_ext = int(tlw * TILE_OVERLAP_W)
+    row_limit_h = tlh - blend_h_ext
+    row_limit_w = tlw - blend_w_ext
+
+    rows = []
+    for i in range(0, h, overlap_h):
+        row = []
+        for j in range(0, w, overlap_w):
+            tile = video[:, :, i:i + tile_sample_min_height, j:j + tile_sample_min_width]
+            row.append(encode_fn(params, tile))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend_h_ext)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend_w_ext)
+            result_row.append(tile[:, :, :row_limit_h, :row_limit_w])
+        result_rows.append(jnp.concatenate(result_row, axis=3))
+    return jnp.concatenate(result_rows, axis=2)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _jitted_tile_decode(cfg: CogVideoXVAEConfig):
+    return jax.jit(lambda p, z: vae_decode(p, cfg, z))
+
+
+@_functools.lru_cache(maxsize=8)
+def _jitted_tile_encode(cfg: CogVideoXVAEConfig):
+    return jax.jit(lambda p, x: vae_encode(p, cfg, x))

@@ -67,8 +67,15 @@ def get_resize_crop_region_for_grid(src, tgt_width, tgt_height):
     return (crop_top, crop_left), (crop_top + resize_height, crop_left + resize_width)
 
 
+def get_3d_rotary_pos_embed(*args, **kwargs) -> Tuple[Array, Array]:
+    """jnp wrapper over the cached numpy table builder (safe to call inside
+    jit traces: the cache holds host numpy arrays, never tracers)."""
+    cos, sin = _get_3d_rotary_pos_embed_np(*args, **kwargs)
+    return jnp.asarray(cos), jnp.asarray(sin)
+
+
 @functools.lru_cache(maxsize=64)
-def get_3d_rotary_pos_embed(
+def _get_3d_rotary_pos_embed_np(
     embed_dim: int,
     crops_coords: Optional[Tuple[Tuple[int, int], Tuple[int, int]]],
     grid_size: Tuple[int, int],
@@ -137,9 +144,7 @@ def get_3d_rotary_pos_embed(
         out = np.concatenate([ft, fh, fw], axis=-1)
         return out.reshape(temporal_size * grid_size_h * grid_size_w, -1)
 
-    cos = jnp.asarray(combine(t_cos, h_cos, w_cos))
-    sin = jnp.asarray(combine(t_sin, h_sin, w_sin))
-    return cos, sin
+    return combine(t_cos, h_cos, w_cos), combine(t_sin, h_sin, w_sin)
 
 
 def apply_rotary_emb(x: Array, cos: Array, sin: Array) -> Array:

@@ -1,0 +1,134 @@
+"""Training flag system.
+
+Dataclass-first equivalent of the reference's argparse monolith + per-training
+-type plugins (finetrainers/args.py BaseArgs ~90 flags; VideoAsPromptMOTConfig,
+trainer/sft_trainer/config.py:81-280). `parse_args()` builds the same surface
+from the command line; JSON config files mirror the reference's
+training.json / validation.json / model-structure config_ori.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class TrainingArgs:
+    # parallel (reference: --pp_degree/dp_degree/dp_shards/cp_degree/tp_degree)
+    data_degree: int = 1
+    fsdp_degree: int = 1
+    seq_degree: int = 1
+    tensor_degree: int = 1
+
+    # models
+    model_name: str = "cogvideox"                 # cogvideox | wan
+    pretrained_model_name_or_path: str = ""
+    videoasprompt_mot_name_or_path: Optional[str] = None
+    model_structure_config: Optional[str] = None  # JSON with block_idx_with_mot_ref etc.
+    training_type: str = "video_as_prompt_mot"    # | sft | lora | dpo
+    layerwise_upcasting: bool = False
+    transformer_dtype: str = "bfloat16"
+
+    # dataset
+    dataset_config: Optional[str] = None
+    data_root: Optional[str] = None
+    meta_df_name: str = "vap_data.csv"
+    video_resolution_buckets: Tuple[Tuple[int, int, int], ...] = ((49, 480, 720),)
+    precomputation_items: int = 8
+    precomputation_dir: Optional[str] = None
+    precomputation_once: bool = False
+
+    # VAP MOT flags (sft_trainer/config.py:81-280)
+    ref_videos_num: int = 5
+    sample_ref_videos_num: int = 1
+    mask_ref_ratio: float = 0.0
+    mask_caption_ratio: float = 0.02
+    reference_train_mode: Optional[str] = None
+    random_refer_noise: bool = False
+    num_ref_diffusion_time_sigmas: int = 10
+    ref_type: str = "continous_negative"
+    alignment_score_threshold: float = 5.0
+    baseline_single_condition: Optional[str] = None
+    dpo: bool = False
+    rank: int = 64            # LoRA rank (lora training type)
+    lora_alpha: int = 64
+
+    # training
+    seed: int = 42
+    batch_size: int = 1
+    train_steps: int = 60000
+    gradient_accumulation_steps: int = 1
+    gradient_checkpointing: bool = True
+    flow_weighting_scheme: str = "none"
+    flow_logit_mean: float = 0.0
+    flow_logit_std: float = 1.0
+
+    # optimizer
+    optimizer: str = "adamw"
+    lr: float = 1e-5
+    lr_scheduler: str = "constant_with_warmup"
+    lr_warmup_steps: int = 1000
+    beta1: float = 0.9
+    beta2: float = 0.99
+    weight_decay: float = 1e-4
+    epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+
+    # validation / checkpointing / tracking
+    validation_dataset_file: Optional[str] = None
+    validation_steps: int = 500
+    checkpointing_steps: int = 500
+    checkpointing_limit: Optional[int] = 2
+    resume_from_checkpoint: Optional[str] = None  # "latest" or step number
+    output_dir: str = "output"
+    logging_steps: int = 10
+    report_to: Tuple[str, ...] = ("dummy",)
+    tracker_name: str = "vap_tpu"
+
+    # attention
+    attn_provider_training: str = "flash"
+    attn_provider_inference: str = "flash"
+
+    def model_structure(self) -> Dict[str, Any]:
+        if self.model_structure_config:
+            with open(self.model_structure_config) as f:
+                return json.load(f)
+        return {}
+
+    def validate(self):
+        if self.training_type not in ("video_as_prompt_mot", "sft", "lora", "dpo"):
+            raise ValueError(f"unknown training_type {self.training_type}")
+        if self.model_name not in ("cogvideox", "wan"):
+            raise ValueError(f"unknown model_name {self.model_name}")
+        if self.reference_train_mode not in (None, "reference_independent"):
+            raise ValueError(f"unknown reference_train_mode {self.reference_train_mode}")
+
+
+def parse_args(argv: Optional[List[str]] = None) -> TrainingArgs:
+    parser = argparse.ArgumentParser("vap_tpu trainer")
+    for f in dataclasses.fields(TrainingArgs):
+        name = "--" + f.name
+        if f.type in ("bool", bool) or isinstance(f.default, bool):
+            parser.add_argument(name, action="store_true", default=f.default)
+        elif f.name == "video_resolution_buckets":
+            parser.add_argument(name, type=str, default=None,
+                                help="e.g. 49x480x720,49x480x832")
+        elif f.name == "report_to":
+            parser.add_argument(name, type=str, default=",".join(f.default))
+        else:
+            typ = type(f.default) if f.default is not None else str
+            parser.add_argument(name, type=typ, default=f.default)
+    ns = parser.parse_args(argv)
+    d = vars(ns)
+    if d.get("video_resolution_buckets"):
+        d["video_resolution_buckets"] = tuple(
+            tuple(int(x) for x in b.split("x")) for b in d["video_resolution_buckets"].split(","))
+    else:
+        d["video_resolution_buckets"] = TrainingArgs.video_resolution_buckets
+    d["report_to"] = tuple(d["report_to"].split(","))
+    args = TrainingArgs(**d)
+    args.validate()
+    return args

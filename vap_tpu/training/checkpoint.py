@@ -1,0 +1,193 @@
+"""Checkpoint / resume + exportable weights.
+
+Two layers, mirroring the reference (SURVEY.md §5; finetrainers
+PTDCheckpointer, parallel/ptd.py:309-440):
+  (1) training state — params/optimizer/train-state/dataloader-state saved
+      with orbax (async-capable, sharding-aware), step-numbered directories
+      with a retention limit;
+  (2) exportable weights — full (or LoRA) model weights written as
+      safetensors in the HF reference layout so reference-ecosystem tools can
+      load them (gather happens implicitly via orbax/host transfer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Mirrors finetrainers TrainState (state.py:27-80)."""
+    step: int = 0
+    observed_data_samples: int = 0
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(**{k: d[k] for k in ("step", "observed_data_samples") if k in d})
+
+
+class Checkpointer:
+    """orbax-backed checkpoint manager with retention limit and `latest` resume."""
+
+    def __init__(self, directory: str, checkpointing_limit: Optional[int] = None, async_save: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=checkpointing_limit,
+            enable_async_checkpointing=async_save,
+        )
+        self._mgr = ocp.CheckpointManager(self._dir, options=options)
+
+    def save(self, step: int, *, params, opt_state=None, train_state: Optional[TrainState] = None,
+             dataloader_state: Optional[Dict[str, Any]] = None):
+        import orbax.checkpoint as ocp
+
+        items = {"params": ocp.args.StandardSave(params)}
+        if opt_state is not None:
+            items["opt_state"] = ocp.args.StandardSave(opt_state)
+        meta = {}
+        if train_state is not None:
+            meta["train_state"] = train_state.to_dict()
+        if dataloader_state is not None:
+            meta["dataloader_state"] = dataloader_state
+        if meta:
+            items["meta"] = ocp.args.JsonSave(meta)
+        self._mgr.save(step, args=ocp.args.Composite(**items))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, step: Optional[int] = None, *, params_template=None, opt_state_template=None):
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        items = {}
+        if params_template is not None:
+            items["params"] = ocp.args.StandardRestore(params_template)
+        if opt_state_template is not None:
+            items["opt_state"] = ocp.args.StandardRestore(opt_state_template)
+        items["meta"] = ocp.args.JsonRestore()
+        try:
+            out = self._mgr.restore(step, args=ocp.args.Composite(**items))
+        except Exception:
+            out = self._mgr.restore(
+                step, args=ocp.args.Composite(**{k: v for k, v in items.items() if k != "meta"}))
+        result = {"step": step, "params": out.get("params"), "opt_state": out.get("opt_state")}
+        meta = out.get("meta") or {}
+        result["train_state"] = TrainState.from_dict(meta.get("train_state", {"step": step}))
+        result["dataloader_state"] = meta.get("dataloader_state")
+        return result
+
+
+# ---------------------------------------------------------------------------
+# safetensors export in the HF reference layout
+# ---------------------------------------------------------------------------
+
+def _flatten_to_reference_names(params: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    """Invert the weight converters: vap_tpu pytree -> {reference name: array}.
+
+    Covers the CogVideoX MOT transformer layout (kernels transposed back to
+    torch [out, in]; stacked block leaves unstacked per layer; the conv patch
+    projection restored to [D, C, p, p])."""
+    out: Dict[str, np.ndarray] = {}
+
+    def lin(name, p):
+        out[f"{name}.weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            out[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def ln(name, p):
+        if p:
+            out[f"{name}.weight"] = np.asarray(p["scale"])
+            out[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def patch_embed(name, p):
+        k = np.asarray(p["proj"]["kernel"]).T  # [D, C*p*p]
+        if cfg.patch_size_t is None:
+            k = k.reshape(k.shape[0], cfg.in_channels, cfg.patch_size, cfg.patch_size)
+        out[f"{name}.proj.weight"] = k
+        out[f"{name}.proj.bias"] = np.asarray(p["proj"]["bias"])
+        lin(f"{name}.text_proj", p["text_proj"])
+
+    def attn(name, p):
+        for sub in ("to_q", "to_k", "to_v"):
+            lin(f"{name}.{sub}", p[sub])
+        lin(f"{name}.to_out.0", p["to_out"])
+        ln(f"{name}.norm_q", p["norm_q"])
+        ln(f"{name}.norm_k", p["norm_k"])
+
+    def norm_zero(name, p):
+        lin(f"{name}.linear", p["linear"])
+        ln(f"{name}.norm", p["norm"])
+
+    def ff(name, p):
+        lin(f"{name}.net.0.proj", p["net_0"])
+        lin(f"{name}.net.2", p["net_2"])
+
+    patch_embed("patch_embed", params["patch_embed"])
+    patch_embed("patch_embed_mot_ref", params["patch_embed_mot_ref"])
+    for te in ("time_embedding", "time_embedding_mot_ref"):
+        lin(f"{te}.linear_1", params[te]["linear_1"])
+        lin(f"{te}.linear_2", params[te]["linear_2"])
+    ln("norm_final", params["norm_final"])
+    norm_zero("norm_out", params["norm_out"])
+    lin("proj_out", params["proj_out"])
+    if "norm_final_mot_ref" in params:
+        ln("norm_final_mot_ref", params["norm_final_mot_ref"])
+        norm_zero("norm_out_mot_ref", params["norm_out_mot_ref"])
+        lin("proj_out_mot_ref", params["proj_out_mot_ref"])
+    if "effect_embeddings" in params:
+        for idx, t in enumerate(cfg.supported_effect_types):
+            out[f"effect_embeddings.{t}"] = np.asarray(params["effect_embeddings"][idx]).reshape(1, 1, -1)
+    if "ref_embeddings" in params:
+        for idx in range(cfg.num_ref_embeddings):
+            out[f"ref_embeddings.ref_{idx}"] = np.asarray(params["ref_embeddings"][idx]).reshape(1, 1, -1)
+
+    for (start, length, has_mot), seg in zip(cfg.mot_segments, params["blocks"]):
+        for li in range(length):
+            bp = jax.tree.map(lambda x: x[li], seg)
+            pre = f"transformer_blocks.{start + li}"
+            norm_zero(f"{pre}.norm1", bp["norm1"])
+            attn(f"{pre}.attn1", bp["attn1"])
+            norm_zero(f"{pre}.norm2", bp["norm2"])
+            ff(f"{pre}.ff", bp["ff"])
+            if has_mot:
+                norm_zero(f"{pre}.norm1_mot_ref", bp["norm1_mot_ref"])
+                attn(f"{pre}.attn1_mot_ref", bp["attn1_mot_ref"])
+                norm_zero(f"{pre}.norm2_mot_ref", bp["norm2_mot_ref"])
+                ff(f"{pre}.ff_mot_ref", bp["ff_mot_ref"])
+    return out
+
+
+def export_safetensors(params: Dict[str, Any], cfg, path: str, metadata: Optional[Dict[str, str]] = None) -> str:
+    """Write diffusers-format safetensors (cf. spec._save_model_videoasprompt_mot,
+    cogvideox spec :940-956)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    flat = _flatten_to_reference_names(params, cfg)
+    flat = {k: np.ascontiguousarray(v) for k, v in flat.items()}
+    save_file(flat, path, metadata=metadata or {"format": "pt"})
+    return path
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    return load_file(path)

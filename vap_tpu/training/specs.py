@@ -1,0 +1,131 @@
+"""Model specifications — the model-facing plugin layer (reference L3,
+ModelSpecification, finetrainers/models/modeling_utils.py:37-313).
+
+Each spec knows how to: load / init its component params, encode conditions
+(text), encode latents (VAE), collate, and expose the loss-forward used by the
+trainer. The registry maps (model_name, training_type) -> spec class like the
+reference SUPPORTED_MODEL_CONFIGS (finetrainers/config.py:48-84).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.cogvideox.config import CogVideoXMOTConfig
+from ..models.cogvideox.vae import CogVideoXVAEConfig, vae_encode, posterior_mode
+from ..models.text_encoders.t5 import T5Config, t5_encode
+from .train_step import TrainStepConfig, cogvideox_vap_loss
+
+
+def build_mot_state_dict_from_base(sd: Dict[str, np.ndarray], cfg: CogVideoXMOTConfig,
+                                   seed: int = 0) -> Dict[str, np.ndarray]:
+    """Clone a plain CogVideoX checkpoint's weights into the MoT expert branch
+    (reference load_videoasprompt_mot_models, cogvideox spec :369-439): every
+    `X` gains an `X_mot_ref` copy; effect/ref embeddings are zero-initialized
+    by the caller (they are fresh parameters)."""
+    out = dict(sd)
+    for name in ("patch_embed", "time_embedding"):
+        for k in list(sd):
+            if k.startswith(name + "."):
+                out[k.replace(name + ".", name + "_mot_ref.", 1)] = sd[k]
+    for i in cfg.block_idx_with_mot_ref:
+        pre = f"transformer_blocks.{i}."
+        for sub in ("norm1", "attn1", "norm2", "ff"):
+            for k in list(sd):
+                if k.startswith(pre + sub + "."):
+                    out[k.replace(pre + sub + ".", pre + sub + "_mot_ref.", 1)] = sd[k]
+    if cfg.reference_train_mode == "reference_independent":
+        for name in ("norm_final", "norm_out", "proj_out"):
+            for k in list(sd):
+                if k.startswith(name + "."):
+                    out[k.replace(name + ".", name + "_mot_ref.", 1)] = sd[k]
+    rng = np.random.default_rng(seed)
+    dim = cfg.inner_dim
+    for idx, t in enumerate(cfg.supported_effect_types):
+        out[f"effect_embeddings.{t}"] = (0.02 * rng.standard_normal((1, 1, dim))).astype(np.float32)
+    for idx in range(cfg.num_ref_embeddings or 0):
+        out[f"ref_embeddings.ref_{idx}"] = (0.02 * rng.standard_normal((1, 1, dim))).astype(np.float32)
+    return out
+
+
+class CogVideoXSpec:
+    """CogVideoX VAP model spec (reference CogVideoXModelSpecification,
+    finetrainers/models/cogvideox/base_specification.py)."""
+
+    def __init__(self, transformer_cfg: CogVideoXMOTConfig, vae_cfg: CogVideoXVAEConfig,
+                 text_cfg: T5Config, params: Dict[str, Any], tokenizer=None,
+                 dtype=jnp.bfloat16):
+        self.transformer_cfg = transformer_cfg
+        self.vae_cfg = vae_cfg
+        self.text_cfg = text_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self._t5 = jax.jit(lambda p, ids: t5_encode(p, text_cfg, ids), static_argnums=())
+        self._vae = jax.jit(
+            lambda p, v: posterior_mode(vae_encode(p, vae_cfg, v)) * vae_cfg.scaling_factor)
+
+    # ---- condition / latent preprocessing (reference ProcessorMixin chain) --
+    def prepare_conditions(self, sample: Dict[str, Any], max_length: int = 226) -> Dict[str, Any]:
+        def encode(text: str):
+            toks = self.tokenizer([text], padding="max_length", max_length=max_length,
+                                  truncation=True, add_special_tokens=True, return_tensors="np")
+            return np.asarray(self._t5(self.params["text_encoder"], jnp.asarray(toks["input_ids"])))
+
+        cond = {"encoder_hidden_states": encode(sample["caption"])}
+        ref_embeds = [encode(c) for c in sample["caption_mot_ref"]]
+        cond["encoder_hidden_states_mot_ref"] = np.concatenate(ref_embeds, axis=1)
+        if self.transformer_cfg.supported_effect_types and sample.get("effect_types"):
+            type_to_id = {t: i for i, t in enumerate(self.transformer_cfg.supported_effect_types)}
+            cond["effect_ids"] = np.asarray([type_to_id[t] for t in sample["effect_types"]])
+        return cond
+
+    def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        """VAE-encode target video, first-frame image, each ref video + its
+        first frame. Output layout [B, F, C, H, W] latents, already scaled."""
+        def enc(video_np: np.ndarray) -> np.ndarray:
+            v = jnp.asarray(video_np, jnp.float32)[None].astype(self.dtype)
+            z = np.asarray(self._vae(self.params["vae"], v), np.float32)
+            return z.transpose(0, 1, 4, 2, 3)  # channel-last -> [B, F, C, h, w]
+
+        video = sample["video"]
+        latents = enc(video)
+        f_lat = latents.shape[1]
+        image_latent = enc(video[:1])
+        pad = np.zeros((1, f_lat - 1) + image_latent.shape[2:], np.float32)
+        image_latents = np.concatenate([image_latent, pad], axis=1)
+
+        ref_lat, ref_img_lat = [], []
+        for rv in sample["ref_videos"]:
+            ref_lat.append(enc(rv))
+            fi = enc(rv[:1])
+            ref_img_lat.append(np.concatenate([fi, pad], axis=1))
+        return {
+            "latents": latents,
+            "image_latents": image_latents,
+            "latents_mot_ref": np.concatenate(ref_lat, axis=1),
+            "image_latents_mot_ref": np.concatenate(ref_img_lat, axis=1),
+        }
+
+    def loss_fn(self, cfg: TrainStepConfig):
+        return cogvideox_vap_loss
+
+
+SUPPORTED_MODEL_SPECS = {
+    ("cogvideox", "video_as_prompt_mot"): CogVideoXSpec,
+    ("cogvideox", "sft"): CogVideoXSpec,
+    ("cogvideox", "lora"): CogVideoXSpec,
+    ("cogvideox", "dpo"): CogVideoXSpec,
+}
+
+
+def get_model_spec_cls(model_name: str, training_type: str):
+    key = (model_name, training_type)
+    if key not in SUPPORTED_MODEL_SPECS:
+        raise ValueError(f"unsupported (model, training_type): {key}")
+    return SUPPORTED_MODEL_SPECS[key]

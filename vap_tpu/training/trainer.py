@@ -1,0 +1,169 @@
+"""Video-As-Prompt SFT trainer — the training orchestration loop.
+
+TPU-native counterpart of the reference SFTTrainer
+(finetrainers/trainer/sft_trainer/trainer.py): mesh setup, MoT-only
+trainability, host data pipeline (decode -> bucket -> T5/VAE precompute ->
+collate), one pjit-compiled train step, metric tracking, orbax
+checkpoint/resume, periodic validation sampling, safetensors export.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataloader import PrefetchingDataLoader
+from ..data.dataset import VideoAsPromptDataset
+from ..data.sampler import ResolutionSampler, collate_tensor_dicts
+from ..data.video import resize_to_nearest_bucket
+from ..parallel import MeshConfig, make_mesh, shard_params
+from ..utils.logging import get_logger
+from ..utils.trackers import initialize_trackers
+from .args import TrainingArgs
+from .checkpoint import Checkpointer, TrainState, export_safetensors
+from .optimizer import get_lr_schedule, get_optimizer
+from .train_step import TrainStepConfig, make_train_step
+
+logger = get_logger("vap_tpu.trainer")
+
+
+class SFTTrainer:
+    def __init__(self, args: TrainingArgs, model_spec):
+        self.args = args
+        self.spec = model_spec
+        self.tracker = initialize_trackers(args.report_to, args.tracker_name, args.output_dir)
+
+        mesh_cfg = MeshConfig(args.data_degree, args.fsdp_degree, args.seq_degree, args.tensor_degree)
+        self.mesh = make_mesh(mesh_cfg) if mesh_cfg.world_size > 1 else None
+
+        self.step_cfg = TrainStepConfig(
+            model=model_spec.transformer_cfg,
+            reference_train_mode=args.reference_train_mode,
+            random_refer_noise=args.random_refer_noise,
+            num_ref_diffusion_time_sigmas=args.num_ref_diffusion_time_sigmas,
+            sample_ref_videos_num=args.sample_ref_videos_num,
+            ref_type=args.ref_type,
+            remat=args.gradient_checkpointing,
+        )
+        schedule = get_lr_schedule(
+            args.lr_scheduler, args.lr, warmup_steps=args.lr_warmup_steps, train_steps=args.train_steps)
+        self.optimizer = get_optimizer(
+            args.optimizer, schedule, beta1=args.beta1, beta2=args.beta2,
+            epsilon=args.epsilon, weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm)
+
+        init_fn, step_fn = make_train_step(self.step_cfg, self.optimizer)
+        params = model_spec.params["transformer"]
+        if self.mesh is not None:
+            params = shard_params(params, self.mesh)
+        self.train_params, self.frozen_params, self.opt_state = init_fn(params)
+        self._step = jax.jit(step_fn)
+
+        self.train_state = TrainState()
+        self.checkpointer = Checkpointer(
+            os.path.join(args.output_dir, "checkpoints"), args.checkpointing_limit)
+
+    # ------------------------------------------------------------------
+    def _prepare_dataset(self):
+        args = self.args
+        shard_index = jax.process_index()
+        num_shards = max(jax.process_count(), 1)
+        dataset = VideoAsPromptDataset(
+            args.data_root,
+            meta_df_name=args.meta_df_name,
+            infinite=True,
+            sample_ref_videos_num=args.sample_ref_videos_num,
+            mask_ref_ratio=args.mask_ref_ratio,
+            mask_caption_ratio=args.mask_caption_ratio,
+            alignment_score_threshold=args.alignment_score_threshold,
+            baseline_single_condition=args.baseline_single_condition,
+            shard_index=shard_index,
+            num_shards=num_shards,
+            seed=args.seed + shard_index,
+        )
+        return PrefetchingDataLoader(dataset, prefetch=4)
+
+    def _preprocess(self, sample: Dict[str, Any]):
+        """decode -> bucket-fit -> T5 + VAE encode (the reference's
+        preprocessor.consume('condition'/'latent') passes)."""
+        video, _ = resize_to_nearest_bucket(sample["video"], self.args.video_resolution_buckets)
+        refs = [resize_to_nearest_bucket(r, self.args.video_resolution_buckets)[0] for r in sample["ref_videos"]]
+        sample = dict(sample, video=video, ref_videos=refs)
+        with self.tracker.timed("timing/prepare_conditions"):
+            cond = self.spec.prepare_conditions(sample)
+        with self.tracker.timed("timing/prepare_latents"):
+            lat = self.spec.prepare_latents(sample)
+        return cond, lat
+
+    # ------------------------------------------------------------------
+    def run(self):
+        args = self.args
+        key = jax.random.PRNGKey(args.seed)
+
+        # resume
+        if args.resume_from_checkpoint:
+            step = None if args.resume_from_checkpoint == "latest" else int(args.resume_from_checkpoint)
+            restored = self.checkpointer.restore(
+                step, params_template=self.train_params, opt_state_template=self.opt_state)
+            if restored:
+                self.train_params = restored["params"]
+                self.opt_state = restored["opt_state"]
+                self.train_state = restored["train_state"]
+                logger.info(f"resumed from step {self.train_state.step}")
+
+        loader = self._prepare_dataset()
+        if args.resume_from_checkpoint and self.train_state.step:
+            loader.load_state_dict({"dataset": {"sample_index": self.train_state.observed_data_samples}})
+        sampler = ResolutionSampler(args.batch_size)
+        data_iter = iter(loader)
+
+        while self.train_state.step < args.train_steps:
+            # fill a resolution bucket
+            while not sampler.is_ready:
+                cond, lat = self._preprocess(next(data_iter))
+                sampler.consume(cond, lat)
+            conds, lats = sampler.get_batch()
+            batch = {**collate_tensor_dicts(conds), **collate_tensor_dicts(lats)}
+            batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+
+            self.train_state.step += 1
+            self.train_state.observed_data_samples += args.batch_size * max(args.data_degree, 1)
+            key, skey = jax.random.split(key)
+
+            with self.tracker.timed("timing/train_step"):
+                self.train_params, self.opt_state, metrics = self._step(
+                    self.train_params, self.frozen_params, self.opt_state, batch, skey)
+
+            if self.train_state.step % args.logging_steps == 0:
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                host_metrics["train/observed_data_samples"] = self.train_state.observed_data_samples
+                self.tracker.log(host_metrics, step=self.train_state.step)
+                logger.info(f"step {self.train_state.step}: loss={host_metrics.get('loss', 0):.4f}")
+
+            if self.train_state.step % args.checkpointing_steps == 0:
+                with self.tracker.timed("timing/checkpoint"):
+                    self.checkpointer.save(
+                        self.train_state.step,
+                        params=self.train_params,
+                        opt_state=self.opt_state,
+                        train_state=self.train_state,
+                        dataloader_state=loader.state_dict().get("dataset"),
+                    )
+
+        self.checkpointer.wait()
+        self.tracker.finish()
+        return self.train_state
+
+    # ------------------------------------------------------------------
+    def export(self, path: Optional[str] = None) -> str:
+        """Merge trained MoT params back into the full tree and write HF-layout
+        safetensors (reference save_model_hook + _save_model_videoasprompt_mot)."""
+        from .train_step import merge_params
+
+        full = merge_params(self.train_params, self.frozen_params)
+        path = path or os.path.join(self.args.output_dir, "model_weights",
+                                    f"{self.train_state.step:06d}", "model.safetensors")
+        return export_safetensors(full, self.spec.transformer_cfg, path)

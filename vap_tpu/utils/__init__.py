@@ -1,0 +1,3 @@
+from .logging import get_logger
+from .timing import Timer
+from .trackers import DummyTracker, SequentialTracker, WandbTracker, initialize_trackers
