@@ -136,3 +136,31 @@ def test_resample_and_buckets():
     out, first_only = resize_to_nearest_bucket(frames, [(49, 60, 120), (49, 100, 100)])
     assert out.shape == (49, 60, 120, 3)
     assert not first_only
+
+
+def test_native_decoder_matches_cv2(tmp_path):
+    from vap_tpu import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    frames = (np.random.default_rng(3).uniform(0, 1, (10, 64, 96, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "n.mp4")
+    export_to_video(frames, p, fps=16)
+
+    import cv2
+
+    cap = cv2.VideoCapture(p)
+    ref = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        ref.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    ref = np.stack(ref)
+
+    got = native.decode_video(p)
+    np.testing.assert_array_equal(got, ref)
+    sel = native.decode_video(p, indices=[0, 4, 9], out_h=32, out_w=48)
+    assert sel.shape == (3, 32, 48, 3)
+    batch = native.decode_batch([p, p], [None, [1, 2]], 64, 96, nthreads=2)
+    assert batch[0].shape[0] == 10 and batch[1].shape[0] == 2

@@ -16,7 +16,21 @@ import numpy as np
 
 
 def load_video(path: str, max_frames: Optional[int] = None) -> Tuple[np.ndarray, float]:
-    """Returns (frames [F, H, W, 3] uint8 RGB, fps)."""
+    """Returns (frames [F, H, W, 3] uint8 RGB, fps).
+
+    Prefers the native C++ decoder (vap_tpu/native, libavcodec + thread pool);
+    falls back to cv2."""
+    try:
+        from .. import native
+
+        if native.available():
+            n, h, w, fps = native.video_info(path)
+            count = min(n, max_frames) if max_frames else n
+            frames = native.decode_video(path, indices=range(count))
+            if len(frames):
+                return frames, fps
+    except Exception:
+        pass
     import cv2
 
     cap = cv2.VideoCapture(path)
