@@ -1,0 +1,75 @@
+"""LoRA adapters and the DPO training step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vap_tpu.models.cogvideox import CogVideoXMOTConfig, init_cogvideox_mot
+from vap_tpu.training import TrainStepConfig, get_lr_schedule, get_optimizer
+from vap_tpu.training.lora import apply_lora, init_lora, lora_param_count
+from vap_tpu.training.train_step import make_dpo_step
+
+
+def test_lora_targets_mot_only():
+    cfg = CogVideoXMOTConfig.tiny()
+    params = init_cogvideox_mot(jax.random.PRNGKey(0), cfg)
+    lora = init_lora(jax.random.PRNGKey(1), params, rank=4, mot_only=True)
+    n = lora_param_count(lora)
+    assert n > 0
+    # adapters exist only under *_mot_ref branches
+    seg = lora["blocks"][0]
+    assert seg["attn1_mot_ref"]["to_q"]["kernel"] is not None
+    assert seg["attn1"]["to_q"]["kernel"] is None
+    assert seg["attn1_mot_ref"]["to_q"]["kernel"]["A"].shape[-1] == 4
+
+    # zero-initialized B => apply_lora is identity at init
+    merged = apply_lora(params, lora, alpha=8, rank=4)
+    np.testing.assert_allclose(
+        np.asarray(merged["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"]),
+        np.asarray(params["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"]))
+
+    # non-zero B changes only targeted kernels
+    lora2 = jax.tree.map(lambda x: x + 0.1, lora)
+    merged2 = apply_lora(params, lora2, alpha=8, rank=4)
+    changed = np.abs(np.asarray(merged2["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"])
+                     - np.asarray(params["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"])).max()
+    unchanged = np.abs(np.asarray(merged2["blocks"][0]["attn1"]["to_q"]["kernel"])
+                       - np.asarray(params["blocks"][0]["attn1"]["to_q"]["kernel"])).max()
+    assert changed > 0 and unchanged == 0
+
+
+def test_dpo_step_runs_and_updates(monkeypatch):
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    mcfg = CogVideoXMOTConfig.tiny(in_channels=4, out_channels=2)
+    cfg = TrainStepConfig(model=mcfg, remat=False)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_cogvideox_mot(jax.random.PRNGKey(0), mcfg)
+        tx = get_optimizer("adamw", get_lr_schedule("constant", 1e-3))
+        init_fn, step_fn = make_dpo_step(cfg, tx, lora_rank=2, lora_alpha=2.0)
+        lora, opt_state = init_fn(params, jax.random.PRNGKey(1))
+
+        B, F, C, H, W = 2, 2, 2, 4, 4  # 2B rows: win + lose
+        T = mcfg.max_text_seq_length
+        k = jax.random.PRNGKey(2)
+        batch = {
+            "latents": jax.random.normal(k, (2 * B, F, C, H, W)),
+            "image_latents": jax.random.normal(k, (2 * B, F, C, H, W)),
+            "latents_mot_ref": jax.random.normal(k, (2 * B, F, C, H, W)),
+            "image_latents_mot_ref": jax.random.normal(k, (2 * B, F, C, H, W)),
+            "encoder_hidden_states": jax.random.normal(k, (2 * B, T, mcfg.text_embed_dim)),
+            "encoder_hidden_states_mot_ref": jax.random.normal(k, (2 * B, T, mcfg.text_embed_dim)),
+            "dpo_weight": jnp.ones((B,)),
+        }
+        step = jax.jit(step_fn)
+        lora0 = [np.asarray(x).copy() for x in jax.tree.leaves(lora)]
+        lora, opt_state, metrics = step(lora, params, opt_state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["grad_norm"]) > 0
+        # at least one adapter leaf moved (A factors have zero grad at init
+        # since B starts at zero; the B factors must move)
+        moved = any(
+            not np.allclose(np.asarray(after), before)
+            for after, before in zip(jax.tree.leaves(lora), lora0)
+        )
+        assert moved

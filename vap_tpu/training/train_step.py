@@ -198,3 +198,180 @@ def make_train_step(cfg: TrainStepConfig, optimizer: optax.GradientTransformatio
         return train_params, opt_state, metrics
 
     return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
+# DPO (reference trainer.py:774-825): LoRA policy vs frozen reference model,
+# -logsigmoid(-0.5 * beta * (model_diff - ref_diff)) * dpo_weight over
+# win/lose latent pairs stacked along batch.
+# ---------------------------------------------------------------------------
+
+def _per_sample_weighted_mse(cfg: TrainStepConfig, params, batch, key):
+    """Per-sample (non-reduced) weighted v-pred loss, shared by DPO policy and
+    reference passes. batch latents: [2B, ...] (win then lose)."""
+    mcfg = cfg.model
+    latents = batch["latents"].astype(jnp.float32)
+    b, f_lat, c, lat_h, lat_w = latents.shape
+    latents_ref = batch["latents_mot_ref"].astype(jnp.float32)
+    num_mot_ref = latents_ref.shape[1] // f_lat
+
+    alphas_cumprod = jnp.asarray(make_alphas_cumprod(rescale_betas_zero_snr=True))
+    k_t, k_n = jax.random.split(key)
+    # win/lose pairs share the timestep + noise (batch-doubling hack, spec :742)
+    half = b // 2
+    t_half = jax.random.randint(k_t, (half,), 0, cfg.num_train_timesteps)
+    timesteps = jnp.concatenate([t_half, t_half])
+    n_half = jax.random.normal(k_n, (half,) + latents.shape[1:], jnp.float32)
+    noise = jnp.concatenate([n_half, n_half])
+    noisy_latents = add_noise(alphas_cumprod, latents, noise, timesteps)
+
+    hidden = jnp.concatenate([noisy_latents, batch["image_latents"].astype(jnp.float32)], axis=2)
+    hidden_ref = jnp.concatenate(
+        [latents_ref, batch["image_latents_mot_ref"].astype(jnp.float32)], axis=2)
+    rope, rope_ref = _rope_tables(mcfg, lat_h, lat_w, f_lat, num_mot_ref, cfg.ref_type)
+
+    dtype = batch["encoder_hidden_states"].dtype
+    velocity, _ = cogvideox_mot_forward(
+        params, mcfg,
+        hidden_states=hidden.astype(dtype),
+        encoder_hidden_states=batch["encoder_hidden_states"],
+        timestep=timesteps.astype(jnp.float32),
+        image_rotary_emb=rope,
+        hidden_states_mot_ref=hidden_ref.astype(dtype),
+        encoder_hidden_states_mot_ref=batch["encoder_hidden_states_mot_ref"],
+        image_rotary_emb_mot_ref=rope_ref,
+        num_mot_ref=num_mot_ref,
+        remat=cfg.remat,
+    )
+    pred = get_velocity(alphas_cumprod, velocity.astype(jnp.float32), noisy_latents, timesteps)
+    weights = (1.0 / (1.0 - alphas_cumprod[timesteps])).reshape(b, 1, 1, 1, 1)
+    per_sample = jnp.mean(weights * jnp.square(pred - latents), axis=(1, 2, 3, 4))
+    return per_sample  # [2B]
+
+
+def make_dpo_step(cfg: TrainStepConfig, optimizer, *, beta: float = 500.0,
+                  lora_rank: int = 64, lora_alpha: float = 64.0):
+    """DPO over win/lose pairs. Policy = frozen base + LoRA adapters; the
+    frozen model itself is the DPO reference (no deepcopy needed — pure fns).
+
+    step(lora_params, base_params, opt_state, batch, key) ->
+        (lora_params, opt_state, metrics)
+    batch latents are [2B, ...] win-then-lose; batch["dpo_weight"]: [B]."""
+    from .lora import apply_lora
+
+    def init_fn(base_params, key):
+        from .lora import init_lora
+
+        lora = init_lora(key, base_params, rank=lora_rank, mot_only=True)
+        return lora, optimizer.init(lora)
+
+    def step_fn(lora_params, base_params, opt_state, batch, key):
+        ref_losses = _per_sample_weighted_mse(cfg, base_params, batch, key)
+        ref_w, ref_l = jnp.split(ref_losses, 2)
+        ref_diff = ref_w - ref_l
+
+        def loss_fn(lp):
+            policy = apply_lora(base_params, lp, alpha=lora_alpha, rank=lora_rank)
+            losses = _per_sample_weighted_mse(cfg, policy, batch, key)
+            lw, ll = jnp.split(losses, 2)
+            model_diff = lw - ll
+            inside = -0.5 * beta * (model_diff - jax.lax.stop_gradient(ref_diff))
+            dpo_w = batch.get("dpo_weight", jnp.ones_like(model_diff))
+            loss = jnp.mean(-jax.nn.log_sigmoid(inside) * dpo_w)
+            return loss, {"loss": loss, "model_diff": jnp.mean(model_diff),
+                          "ref_diff": jnp.mean(ref_diff)}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora_params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+        lora_params = optax.apply_updates(lora_params, updates)
+        return lora_params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
+# Wan flow-matching VAP loss (reference WanModelSpecification.forward,
+# finetrainers/models/wan/base_specification.py:745-925): latents normalized
+# per-channel, x_t = (1-sigma) x0 + sigma n, target = n - x0, 36-channel
+# conditioning [noisy ‖ mask ‖ cond], references clean at fixed t≈1.
+# ---------------------------------------------------------------------------
+
+def wan_vap_loss(
+    params: Dict[str, Any],
+    cfg,  # WanTrainStepConfig
+    batch: Dict[str, Array],
+    key: Array,
+) -> Tuple[Array, Dict[str, Array]]:
+    """batch (channel-last [B, F, H, W, C], latents already mean/std-normalized):
+      latents [.,16], condition [.,20] (mask+cond), latents_mot_ref [B,R*F,..16],
+      condition_mot_ref [B,R*F,..20], encoder_hidden_states [B,512,Dt],
+      encoder_hidden_states_mot_ref [B,R*512,Dt], image embeds analogs."""
+    from ..models.wan.transformer_mot import wan_mot_forward
+
+    latents = batch["latents"].astype(jnp.float32)
+    b = latents.shape[0]
+    f_lat = latents.shape[1]
+    latents_ref = batch["latents_mot_ref"].astype(jnp.float32)
+    num_mot_ref = latents_ref.shape[1] // f_lat
+
+    k_t, k_n = jax.random.split(key)
+    # uniform sigma sampling over the train grid (flow_weighting_scheme="none")
+    u = jax.random.uniform(k_t, (b,))
+    sigmas = u  # sigma in (0, 1)
+    timesteps = sigmas * cfg.num_train_timesteps
+    noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+    s = sigmas.reshape(b, 1, 1, 1, 1)
+    noisy = (1.0 - s) * latents + s * noise        # flow_match_xt
+    target = noise - latents                        # flow target
+
+    hidden = jnp.concatenate([noisy, batch["condition"].astype(jnp.float32)], axis=-1)
+    hidden_ref = jnp.concatenate(
+        [latents_ref, batch["condition_mot_ref"].astype(jnp.float32)], axis=-1)
+
+    dtype = batch["encoder_hidden_states"].dtype
+    t_ref = jnp.ones((b, num_mot_ref), jnp.float32)  # fixed near-zero timestep
+    velocity, _ = wan_mot_forward(
+        params, cfg.model,
+        hidden_states=hidden.astype(dtype),
+        timestep=timesteps,
+        encoder_hidden_states=batch["encoder_hidden_states"],
+        encoder_hidden_states_image=batch.get("encoder_hidden_states_image"),
+        hidden_states_mot_ref=hidden_ref.astype(dtype),
+        timestep_mot_ref=t_ref,
+        encoder_hidden_states_mot_ref=batch["encoder_hidden_states_mot_ref"],
+        encoder_hidden_states_image_mot_ref=batch.get("encoder_hidden_states_image_mot_ref"),
+        num_mot_ref=num_mot_ref,
+        remat=cfg.remat,
+    )
+    loss = jnp.mean(jnp.square(velocity.astype(jnp.float32) - target))
+    return loss, {"loss": loss, "loss_main": loss}
+
+
+@dataclasses.dataclass(frozen=True)
+class WanTrainStepConfig:
+    model: Any  # WanMOTConfig
+    num_train_timesteps: int = 1000
+    remat: bool = True
+
+
+def make_wan_train_step(cfg: WanTrainStepConfig, optimizer: optax.GradientTransformation):
+    """Wan variant of make_train_step (same MoT-only partitioning)."""
+
+    def init_fn(params):
+        mask = trainable_mask(params)
+        train, frozen = partition_params(params, mask)
+        return train, frozen, optimizer.init(train)
+
+    def step_fn(train_params, frozen_params, opt_state, batch, key):
+        def loss_fn(tp):
+            merged = merge_params(tp, frozen_params)
+            return wan_vap_loss(merged, cfg, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, train_params)
+        train_params = optax.apply_updates(train_params, updates)
+        return train_params, opt_state, metrics
+
+    return init_fn, step_fn
