@@ -129,3 +129,46 @@ def get_model_spec_cls(model_name: str, training_type: str):
     if key not in SUPPORTED_MODEL_SPECS:
         raise ValueError(f"unsupported (model, training_type): {key}")
     return SUPPORTED_MODEL_SPECS[key]
+
+
+def _cogvideox_validation(spec: "CogVideoXSpec", merged_params: Dict[str, Any],
+                          sample: Dict[str, Any], **gen_kwargs):
+    """Run a full VAP generation with live training weights (reference
+    spec.validation, cogvideox spec :821-899). Returns video [F, H, W, 3]."""
+    from ..pipelines.cogvideox_i2v_mot import CogVideoXVAPPipeline
+
+    pipe = CogVideoXVAPPipeline(
+        transformer_cfg=spec.transformer_cfg, vae_cfg=spec.vae_cfg, text_cfg=spec.text_cfg,
+        params={**spec.params, "transformer": merged_params},
+        tokenizer=spec.tokenizer, dtype=spec.dtype,
+    )
+    defaults = dict(num_inference_steps=50, guidance_scale=6.0, use_dynamic_cfg=True,
+                    max_sequence_length=spec.transformer_cfg.max_text_seq_length)
+    defaults.update(gen_kwargs)
+    video = pipe(
+        image=sample["image"], prompt=sample["caption"],
+        ref_videos=sample["ref_videos"], prompt_mot_ref=sample["caption_mot_ref"],
+        **defaults,
+    )
+    return video[0]
+
+
+CogVideoXSpec.validation = _cogvideox_validation
+
+
+# Upstream-finetrainers model families not yet wired on TPU: registered so the
+# CLI reports a clear status instead of a KeyError (reference supports
+# ltx_video / hunyuan_video / flux / cogview4 SFT — finetrainers/config.py:48-84).
+class _NotYetImplementedSpec:
+    FAMILY = "?"
+
+    def __init__(self, *a, **k):
+        raise NotImplementedError(
+            f"model family {self.FAMILY!r} is not yet implemented in vap_tpu; "
+            "supported today: cogvideox (full), wan (models/pipeline/train step)")
+
+
+for _family in ("ltx_video", "hunyuan_video", "flux", "cogview4"):
+    _cls = type(f"_{_family}_spec", (_NotYetImplementedSpec,), {"FAMILY": _family})
+    for _tt in ("sft", "lora"):
+        SUPPORTED_MODEL_SPECS[(_family, _tt)] = _cls

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataloader import PrefetchingDataLoader
-from ..data.dataset import VideoAsPromptDataset
+from ..data.dataset import VideoAsPromptDataset, VideoAsPromptValidationDataset
+from ..data.video import export_to_video
 from ..data.sampler import ResolutionSampler, collate_tensor_dicts
 from ..data.video import resize_to_nearest_bucket
 from ..parallel import MeshConfig, make_mesh, shard_params
@@ -123,7 +124,11 @@ class SFTTrainer:
         while self.train_state.step < args.train_steps:
             # fill a resolution bucket
             while not sampler.is_ready:
-                cond, lat = self._preprocess(next(data_iter))
+                raw = next(data_iter)
+                if self.train_state.step == 0 and not getattr(self, "_dumped_sample", False):
+                    self.dump_training_sample(raw)
+                    self._dumped_sample = True
+                cond, lat = self._preprocess(raw)
                 sampler.consume(cond, lat)
             conds, lats = sampler.get_batch()
             batch = {**collate_tensor_dicts(conds), **collate_tensor_dicts(lats)}
@@ -143,6 +148,10 @@ class SFTTrainer:
                 self.tracker.log(host_metrics, step=self.train_state.step)
                 logger.info(f"step {self.train_state.step}: loss={host_metrics.get('loss', 0):.4f}")
 
+            if args.validation_dataset_file and self.train_state.step % args.validation_steps == 0:
+                with self.tracker.timed("timing/validation"):
+                    self._validate(key)
+
             if self.train_state.step % args.checkpointing_steps == 0:
                 with self.tracker.timed("timing/checkpoint"):
                     self.checkpointer.save(
@@ -156,6 +165,48 @@ class SFTTrainer:
         self.checkpointer.wait()
         self.tracker.finish()
         return self.train_state
+
+    # ------------------------------------------------------------------
+    def _validate(self, key, num_samples: int = 1):
+        """Full pipeline sampling with live training weights
+        (reference SFTTrainer._validate, trainer.py:939-1110)."""
+        from .train_step import merge_params
+
+        args = self.args
+        merged = merge_params(self.train_params, self.frozen_params)
+        ds = VideoAsPromptValidationDataset(
+            args.validation_dataset_file,
+            shard_index=jax.process_index(), num_shards=max(jax.process_count(), 1))
+        out_dir = os.path.join(args.output_dir, "validation", f"{self.train_state.step:06d}")
+        os.makedirs(out_dir, exist_ok=True)
+        artifacts = {}
+        for i, sample in enumerate(ds):
+            if i >= num_samples:
+                break
+            fb = args.video_resolution_buckets[0]
+            video = self.spec.validation(
+                merged, sample, height=fb[1], width=fb[2], num_frames=fb[0],
+                num_inference_steps=50, seed=args.seed)
+            path = os.path.join(out_dir, f"sample_{i}.mp4")
+            export_to_video((np.asarray(video) + 1.0) / 2.0, path, fps=16)
+            artifacts[f"validation/sample_{i}"] = path
+            logger.info(f"validation sample written: {path}")
+        self.tracker.log_artifacts(artifacts, step=self.train_state.step)
+
+    def dump_training_sample(self, sample: Dict[str, Any], step: int = 0):
+        """Step-0 training-sample dump (reference trainer.py:524-580): write the
+        decoded target + reference videos and captions for visual QA."""
+        out_dir = os.path.join(self.args.output_dir, "training_samples")
+        os.makedirs(out_dir, exist_ok=True)
+        export_to_video((sample["video"] + 1.0) / 2.0,
+                        os.path.join(out_dir, f"{step}-training_sample.mp4"), fps=16)
+        for ri, rv in enumerate(sample.get("ref_videos", [])):
+            export_to_video((rv + 1.0) / 2.0,
+                            os.path.join(out_dir, f"{step}-ref_{ri}.mp4"), fps=16)
+        with open(os.path.join(out_dir, f"{step}-caption.txt"), "w") as f:
+            f.write(str(sample.get("caption", "")) + "\n")
+            for c in sample.get("caption_mot_ref", []):
+                f.write(str(c) + "\n")
 
     # ------------------------------------------------------------------
     def export(self, path: Optional[str] = None) -> str:
