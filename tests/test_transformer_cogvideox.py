@@ -207,3 +207,54 @@ def test_jit_and_remat(monkeypatch):
     out_remat = fwd(params, hs, ehs, hs_ref, ehs_ref, t, remat=True)
     assert out.shape == (B, F_lat, cfg.out_channels, H_lat, W_lat)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_remat), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["ablation_single_encoder", "ablation_residual_addition"])
+def test_ablation_modes_parity(torch_reference, mode):
+    torch = torch_reference
+    cfg = CogVideoXMOTConfig.tiny(block_idx_with_mot_ref=(0, 1), **{mode: True})
+    model = _make_reference(
+        torch, cfg,
+        ablation_single_encoder=cfg.ablation_single_encoder,
+        ablation_residual_addition=cfg.ablation_residual_addition,
+    )
+
+    B, F_lat, C, H_lat, W_lat = 1, 2, cfg.in_channels, 8, 8
+    T = cfg.max_text_seq_length
+    rng = np.random.default_rng(5)
+    hs = rng.standard_normal((B, F_lat, C, H_lat, W_lat), np.float32)
+    ehs = rng.standard_normal((B, T, cfg.text_embed_dim), np.float32)
+    hs_ref = rng.standard_normal((B, F_lat, C, H_lat, W_lat), np.float32)
+    ehs_ref = rng.standard_normal((B, T, cfg.text_embed_dim), np.float32)
+    t = np.array([300.0], np.float32)
+
+    rope = _rope_tables(cfg, H_lat * 8, W_lat * 8, F_lat)
+    rope_ref = _rope_tables(cfg, H_lat * 8, W_lat * 8, F_lat, mot_num=1)
+
+    with torch.no_grad():
+        ref_out = model(
+            hidden_states=torch.from_numpy(hs),
+            encoder_hidden_states=torch.from_numpy(ehs),
+            timestep=torch.from_numpy(t),
+            image_rotary_emb=tuple(torch.from_numpy(np.asarray(x)) for x in rope),
+            return_dict=False,
+            num_mot_ref=1,
+            hidden_states_mot_ref=torch.from_numpy(hs_ref),
+            encoder_hidden_states_mot_ref=torch.from_numpy(ehs_ref),
+            image_rotary_emb_mot_ref=tuple(torch.from_numpy(np.asarray(x)) for x in rope_ref),
+        )[0].numpy()
+
+    params = convert_cogvideox_mot_state_dict(torch_state_dict_to_numpy(model), cfg)
+    with jax.default_device(jax.devices("cpu")[0]), attention_provider("xla"):
+        got, _ = cogvideox_mot_forward(
+            params, cfg,
+            hidden_states=jnp.asarray(hs),
+            encoder_hidden_states=jnp.asarray(ehs),
+            timestep=jnp.asarray(t),
+            image_rotary_emb=rope,
+            hidden_states_mot_ref=jnp.asarray(hs_ref),
+            encoder_hidden_states_mot_ref=jnp.asarray(ehs_ref),
+            image_rotary_emb_mot_ref=rope_ref,
+            num_mot_ref=1,
+        )
+    np.testing.assert_allclose(np.asarray(got), ref_out, atol=3e-4, rtol=3e-3)

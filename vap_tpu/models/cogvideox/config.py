@@ -39,6 +39,9 @@ class CogVideoXMOTConfig:
     supported_effect_types: Tuple[str, ...] = ()
     num_ref_embeddings: Optional[int] = None
     reference_train_mode: Optional[str] = None  # None | "reference_independent"
+    # ablations (cogvideox_transformer_3d_mot.py:205-373)
+    ablation_single_encoder: bool = False
+    ablation_residual_addition: bool = False
 
     @property
     def inner_dim(self) -> int:

@@ -278,6 +278,11 @@ def _block_forward(
         ehs = ehs + e_gate2[:, None] * ff_out[:, :text_len]
         return hs, ehs, hs_ref, ehs_ref
 
+    if cfg.ablation_single_encoder or cfg.ablation_residual_addition:
+        return _block_forward_ablation(
+            bp, cfg, hs, ehs, temb, rope, hs_ref, ehs_ref, temb_ref, rope_ref, num_mot_ref,
+            nhs, nehs, gate, e_gate)
+
     # ---- MoT joint path ----
     r = num_mot_ref
     # per-ref modulation of the reference branch
@@ -324,6 +329,77 @@ def _block_forward(
     hs_ref = _merge_ref(_per_ref(hs_ref, r) + r_gate2[:, :, None] * _per_ref(ff_ref[:, ref_text_len:], r))
     ehs_ref = _merge_ref(_per_ref(ehs_ref, r) + re_gate2[:, :, None] * _per_ref(ff_ref[:, :ref_text_len], r))
 
+    return hs, ehs, hs_ref, ehs_ref
+
+
+def _block_forward_ablation(
+    bp, cfg, hs, ehs, temb, rope, hs_ref, ehs_ref, temb_ref, rope_ref, num_mot_ref,
+    nhs, nehs, gate, e_gate,
+):
+    """Ablation block modes (cogvideox_transformer_3d_mot.py:205-373).
+
+    Both modes run the reference stream through its own full sub-block
+    (`*_mot_ref` weights, standard non-joint attention) first; then either
+    - single_encoder: concat updated ref tokens into the target attention
+      sequence (with concatenated RoPE) and slice back, or
+    - residual_addition: run the target block independently and add the ref
+      stream as a residual.
+    Per-ref temb modulation uses temb_ref[:, 0] (these ablations ship with one
+    reference, mirroring the reference's temb_mot_ref non-list path)."""
+    heads = cfg.num_attention_heads
+    text_len = ehs.shape[1]
+    ref_text_len = ehs_ref.shape[1]
+    t_ref = temb_ref[:, 0]
+
+    # --- reference encoder sub-block (standard attention over its own stream)
+    r_shift, r_scale, r_gate, re_shift, re_scale, re_gate = _norm_zero_mods(bp["norm1_mot_ref"], t_ref)
+    nref = layer_norm(bp["norm1_mot_ref"]["norm"], hs_ref, cfg.norm_eps) * (1 + r_scale[:, None]) + r_shift[:, None]
+    neref = layer_norm(bp["norm1_mot_ref"]["norm"], ehs_ref, cfg.norm_eps) * (1 + re_scale[:, None]) + re_shift[:, None]
+    # NOTE (reference quirk): the ref encoder applies the TARGET RoPE table
+    # (:223 passes image_rotary_emb, not the biased ref table)
+    q_r, k_r, v_r = _attn_qkv(bp["attn1_mot_ref"], jnp.concatenate([neref, nref], axis=1), heads, rope, ref_text_len)
+    attn_r = _attn_out(bp["attn1_mot_ref"], scaled_dot_product_attention(q_r, k_r, v_r))
+    hs_ref = hs_ref + r_gate[:, None] * attn_r[:, ref_text_len:]
+    ehs_ref = ehs_ref + re_gate[:, None] * attn_r[:, :ref_text_len]
+
+    r_shift2, r_scale2, r_gate2, re_shift2, re_scale2, re_gate2 = _norm_zero_mods(bp["norm2_mot_ref"], t_ref)
+    nref = layer_norm(bp["norm2_mot_ref"]["norm"], hs_ref, cfg.norm_eps) * (1 + r_scale2[:, None]) + r_shift2[:, None]
+    neref = layer_norm(bp["norm2_mot_ref"]["norm"], ehs_ref, cfg.norm_eps) * (1 + re_scale2[:, None]) + re_shift2[:, None]
+    ff_r = feed_forward(bp["ff_mot_ref"], jnp.concatenate([neref, nref], axis=1))
+    hs_ref = hs_ref + r_gate2[:, None] * ff_r[:, ref_text_len:]
+    ehs_ref = ehs_ref + re_gate2[:, None] * ff_r[:, :ref_text_len]
+
+    if cfg.ablation_single_encoder:
+        # concat updated ref stream into the target sequence for attention
+        hs_cat = jnp.concatenate([hs, hs_ref], axis=1)
+        ehs_cat = jnp.concatenate([ehs, ehs_ref], axis=1)
+        rope_cat = (jnp.concatenate([rope[0], rope_ref[0]], axis=0),
+                    jnp.concatenate([rope[1], rope_ref[1]], axis=0))
+        cat_text_len = ehs_cat.shape[1]
+        shift, scale, gate_c, e_shift, e_scale, e_gate_c = _norm_zero_mods(bp["norm1"], temb)
+        nh = layer_norm(bp["norm1"]["norm"], hs_cat, cfg.norm_eps) * (1 + scale[:, None]) + shift[:, None]
+        ne = layer_norm(bp["norm1"]["norm"], ehs_cat, cfg.norm_eps) * (1 + e_scale[:, None]) + e_shift[:, None]
+        q, k, v = _attn_qkv(bp["attn1"], jnp.concatenate([ne, nh], axis=1), heads, rope_cat, cat_text_len)
+        attn = _attn_out(bp["attn1"], scaled_dot_product_attention(q, k, v))
+        vid_len = hs.shape[1]
+        hs = hs + gate_c[:, None] * attn[:, cat_text_len:cat_text_len + vid_len]
+        ehs = ehs + e_gate_c[:, None] * attn[:, :text_len]
+    else:  # residual_addition: independent target attention
+        q, k, v = _attn_qkv(bp["attn1"], jnp.concatenate([nehs, nhs], axis=1), heads, rope, text_len)
+        attn = _attn_out(bp["attn1"], scaled_dot_product_attention(q, k, v))
+        hs = hs + gate[:, None] * attn[:, text_len:]
+        ehs = ehs + e_gate[:, None] * attn[:, :text_len]
+
+    shift2, scale2, gate2, e_shift2, e_scale2, e_gate2 = _norm_zero_mods(bp["norm2"], temb)
+    nh = layer_norm(bp["norm2"]["norm"], hs, cfg.norm_eps) * (1 + scale2[:, None]) + shift2[:, None]
+    ne = layer_norm(bp["norm2"]["norm"], ehs, cfg.norm_eps) * (1 + e_scale2[:, None]) + e_shift2[:, None]
+    ff = feed_forward(bp["ff"], jnp.concatenate([ne, nh], axis=1))
+    hs = hs + gate2[:, None] * ff[:, text_len:]
+    ehs = ehs + e_gate2[:, None] * ff[:, :text_len]
+
+    if cfg.ablation_residual_addition:
+        hs = hs + hs_ref
+        ehs = ehs + ehs_ref
     return hs, ehs, hs_ref, ehs_ref
 
 
