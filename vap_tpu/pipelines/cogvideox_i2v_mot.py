@@ -129,6 +129,10 @@ class CogVideoXVAPPipeline:
     # ------------------------------------------------------------------
     def _build_denoise_fn(self, num_inference_steps: int, num_mot_ref: int, use_dpm: bool,
                           height: int, width: int, num_latent_frames: int, ref_type: str):
+        key = (num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type)
+        cache = self.__dict__.setdefault("_denoise_cache", {})
+        if key in cache:
+            return cache[key]
         cfg = self.transformer_cfg
         rope = prepare_cogvideox_rotary_embeddings(
             height, width, num_latent_frames,
@@ -197,6 +201,7 @@ class CogVideoXVAPPipeline:
                 step_fn, (latents.astype(jnp.float32), jnp.zeros_like(latents, jnp.float32), key), per_step)
             return latents
 
+        cache[key] = denoise
         return denoise
 
     # ------------------------------------------------------------------

@@ -121,6 +121,10 @@ class WanVAPPipeline:
         return jnp.asarray((img - mean) / std)[None]
 
     def _build_denoise_fn(self, use_unipc: bool, num_mot_ref: int):
+        key = (use_unipc, num_mot_ref)
+        cache = self.__dict__.setdefault("_denoise_cache", {})
+        if key in cache:
+            return cache[key]
         cfg = self.transformer_cfg
         scheduler = self.scheduler
 
@@ -171,6 +175,7 @@ class WanVAPPipeline:
             (latents, _, _, _), _ = jax.lax.scan(step_fn, (latents, z, z, z), per)
             return latents
 
+        cache[key] = denoise
         return denoise
 
     def __call__(
