@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+
+from vap_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 from vap_tpu.models.cogvideox.config import CogVideoXMOTConfig

@@ -1,0 +1,60 @@
+"""Micro-benchmark: Pallas flash attention block-size sweep at VAP shapes.
+
+Usage: python scripts/attn_bench.py [--quick]
+Shapes: [B=2, H=48, S=35552, D=64] (CogVideoX-5B VAP joint stream, CFG batch).
+Prints achieved TFLOP/s per (block_q, block_k).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from vap_tpu.ops.flash_attention import flash_attention
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--seq", type=int, default=35552)
+    p.add_argument("--heads", type=int, default=48)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--dim", type=int, default=64)
+    args = p.parse_args()
+
+    B, H, S, D = args.batch, args.heads, args.seq, args.dim
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, H, S, D), jnp.bfloat16)
+    k = jax.random.normal(key, (B, H, S, D), jnp.bfloat16)
+    v = jax.random.normal(key, (B, H, S, D), jnp.bfloat16)
+    flops = 4.0 * B * H * S * S * D  # QK^T + AV
+
+    configs = [(256, 512), (512, 512), (512, 1024), (1024, 512), (1024, 1024), (2048, 512)]
+    if args.quick:
+        configs = [(256, 512), (1024, 512)]
+
+    for bq, bk in configs:
+        try:
+            fn = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(q, k, v, None, bq, bk))
+            out = fn(q, k, v)
+            jax.block_until_ready(out)
+            # chained timing: feed the output back as q so iterations serialize
+            n = 4
+            t0 = time.perf_counter()
+            cur = q
+            for _ in range(n):
+                cur = fn(cur, k, v)
+            jax.block_until_ready(cur)
+            dt = (time.perf_counter() - t0) / n
+            print(f"bq={bq:5d} bk={bk:5d}: {dt*1e3:8.1f} ms  {flops/dt/1e12:6.1f} TFLOP/s", flush=True)
+        except Exception as e:
+            print(f"bq={bq:5d} bk={bk:5d}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
@@ -49,7 +49,21 @@ def _pad_to(x: Array, axis: int, multiple: int) -> Array:
 # forward
 # ---------------------------------------------------------------------------
 
+LANES = 128
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scale, kv_len, block_k):
+    """VPU-lean online-softmax step.
+
+    The VPU, not the MXU, bounds D=64 attention, so:
+      * softmax stats (m, l) live as [block_q, 128] lane-replicated registers;
+        the per-element correction uses `jnp.tile` of a full 128-lane vector
+        instead of a 1-lane broadcast across the whole [bq, bk] scores tile;
+      * the scale is folded into q on the small [bq, D] tile;
+      * the key-padding mask is applied only in the LAST kv block;
+      * the row-sum of p rides the AV matmul as a ones-column appended to V
+        (lanes D..127 are padding anyway at D=64) — saves a VPU reduce pass.
+    """
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -59,36 +73,40 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scal
         m_sc[:] = jnp.full_like(m_sc, NEG_INF)
         l_sc[:] = jnp.zeros_like(l_sc)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(k_ref.dtype)  # [bq, D]
     k = k_ref[0]  # [bk, D]
     s = jax.lax.dot_general(
-        q.astype(k.dtype), k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
 
-    # mask padded key columns
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    # mask padded key columns (tail block only; static no-op when aligned)
+    if kv_len % block_k != 0:
+        def _mask(sv):
+            col = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 1) + ki * block_k
+            return jnp.where(col < kv_len, sv, NEG_INF)
+        s = jax.lax.cond(ki == nk - 1, _mask, lambda sv: sv, s)
 
-    m_prev = m_sc[:]  # [bq, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # [bq, bk]
-    l_new = alpha * l_sc[:] + jnp.sum(p, axis=-1, keepdims=True)
+    m_prev = m_sc[:]  # [bq, 128]
+    m_cur = jnp.max(s, axis=1)[:, None]  # [bq, 1]
+    m_new = jnp.maximum(m_prev, m_cur)   # [bq, 128]
+    p = jnp.exp(s - jnp.tile(m_new, (1, block_k // LANES))).astype(v_ref.dtype)
+    alpha = jnp.exp(m_prev - m_new)      # [bq, 128]
 
+    # V carries a ones column at lane D: pv[:, :D] = p@V, pv[:, D] = sum(p)
     pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, D]
-    acc_sc[:] = acc_sc[:] * alpha + pv
+        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, v_dim]
+    d = acc_sc.shape[-1]
+    acc_sc[:] = acc_sc[:] * alpha[:, :d] + pv[:, :d]
+    l_sc[:] = alpha * l_sc[:] + pv[:, d:d + 1]
     m_sc[:] = m_new
-    l_sc[:] = l_new
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        l = l_sc[:]
+        l = l_sc[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_sc[:] + jnp.log(l_safe))[:, 0]
+        lse_ref[0, 0] = (m_sc[:, :1] + jnp.log(l_safe))[:, 0]
 
 
 def _flash_attention_forward(q, k, v, scale, block_q, block_k):
@@ -98,6 +116,14 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
     qp = _pad_to(q.reshape(batch * heads, q_len, dim), 1, block_q)
     kp = _pad_to(k.reshape(batch * heads, kv_len, dim), 1, block_k)
     vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
+    # ones-column for the fused row-sum (see _fwd_kernel); pad V lanes to the
+    # next 128 multiple, which is free for D=64
+    v_dim = ((dim + 1 + 127) // 128) * 128
+    vp = jnp.concatenate([
+        vp,
+        jnp.ones((*vp.shape[:2], 1), vp.dtype),
+        jnp.zeros((*vp.shape[:2], v_dim - dim - 1), vp.dtype),
+    ], axis=-1)
     bh, q_pad, _ = qp.shape
     k_pad = kp.shape[1]
     nq = q_pad // block_q
@@ -110,7 +136,7 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
         in_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, v_dim), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
@@ -122,8 +148,8 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, dim), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -139,6 +165,12 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
 # backward
 # ---------------------------------------------------------------------------
 
+
+def _row_stat_tiled(row, block_k):
+    """[bq] row stats -> [bq, block_k] via one lane broadcast + cheap tiling."""
+    lanes = jnp.tile(row[:, None], (1, LANES))
+    return jnp.tile(lanes, (1, block_k // LANES))
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_sc, *, scale, kv_len, block_k):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -147,18 +179,21 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_s
     def _init():
         dq_sc[:] = jnp.zeros_like(dq_sc)
 
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(k_ref.dtype)
     k = k_ref[0]
-    s = jax.lax.dot_general(q.astype(k.dtype), k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if kv_len % block_k != 0:
+        def _mask(sv):
+            col = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 1) + ki * block_k
+            return jnp.where(col < kv_len, sv, NEG_INF)
+        s = jax.lax.cond(ki == nk - 1, _mask, lambda sv: sv, s)
 
-    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [bq, bk]
+    p = jnp.exp(s - _row_stat_tiled(lse_ref[0, 0], s.shape[-1]))  # [bq, bk]
     do = do_ref[0].astype(jnp.float32)
     dp = jax.lax.dot_general(
         do.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    ds = p * (dp - delta_ref[0, 0][:, None])  # [bq, bk]
+    ds = p * (dp - _row_stat_tiled(delta_ref[0, 0], s.shape[-1]))  # [bq, bk]
     dq_sc[:] += scale * jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -172,18 +207,22 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
     ki = pl.program_id(1)
+    nk = pl.num_programs(1)
 
     @pl.when(qi == 0)
     def _init():
         dk_sc[:] = jnp.zeros_like(dk_sc)
         dv_sc[:] = jnp.zeros_like(dv_sc)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(k_ref.dtype)  # [bq, D]
     k = k_ref[0]  # [bk, D]
-    s = jax.lax.dot_general(q.astype(k.dtype), k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0, 0][:, None])  # [bq, bk]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if kv_len % block_k != 0:
+        def _mask(sv):
+            col = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 1) + ki * block_k
+            return jnp.where(col < kv_len, sv, NEG_INF)
+        s = jax.lax.cond(ki == nk - 1, _mask, lambda sv: sv, s)
+    p = jnp.exp(s - _row_stat_tiled(lse_ref[0, 0], s.shape[-1]))  # [bq, bk]
 
     do = do_ref[0].astype(jnp.float32)  # [bq, D]
     dv_sc[:] += jax.lax.dot_general(
@@ -192,9 +231,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
     dp = jax.lax.dot_general(
         do.astype(v_ref.dtype), v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
-    ds = p * (dp - delta_ref[0, 0][:, None])  # [bq, bk]
+    ds = p * (dp - _row_stat_tiled(delta_ref[0, 0], s.shape[-1]))  # [bq, bk]
     dk_sc[:] += scale * jax.lax.dot_general(
-        ds.astype(q_ref.dtype), q_ref[0].astype(jnp.float32).astype(q_ref.dtype),
+        ds.astype(q_ref.dtype), q_ref[0],
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [bk, D]
 
