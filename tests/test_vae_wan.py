@@ -62,3 +62,22 @@ def test_wan_decode_parity(torch_reference, ref_vae, latent_frames):
     with jax.default_device(jax.devices("cpu")[0]):
         got = wan_vae_decode(params, cfg, jnp.asarray(z.transpose(0, 2, 3, 4, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3), ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_wan_tiled_decode_matches_full(torch_reference, ref_vae):
+    """Tiled decode equals full decode away from tile seams (interior)."""
+    from vap_tpu.models.wan.vae import wan_vae_decode_tiled
+
+    cfg = WanVAEConfig.tiny()
+    params = _params(ref_vae, cfg)
+    rng = np.random.default_rng(2)
+    # 64x64 latent -> 512x512 output with tile 256 / stride 192
+    z = rng.standard_normal((1, 1, 64, 64, cfg.z_dim)).astype(np.float32) * 0.1
+    zj = jnp.asarray(z)
+    with jax.default_device(jax.devices("cpu")[0]):
+        full = np.asarray(wan_vae_decode(params, cfg, zj))
+        tiled = np.asarray(wan_vae_decode_tiled(params, cfg, zj))
+    assert tiled.shape == full.shape
+    # interior of the first tile matches exactly (no blending there)
+    np.testing.assert_allclose(tiled[:, :, 8:120, 8:120], full[:, :, 8:120, 8:120], atol=5e-4)

@@ -75,6 +75,16 @@ def main(argv=None):
     args = parse_args(argv)
     os.environ.setdefault("VAP_ATTN_PROVIDER", args.attn_provider_training)
 
+    # multi-host: the TPU-native replacement for torchrun/NCCL rendezvous
+    # (reference train_single_node.sh:128-133). On TPU pods jax.distributed
+    # auto-discovers the topology; set JAX_COORDINATOR_ADDRESS to force.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("VAP_MULTIHOST"):
+        jax.distributed.initialize()
+
+    from vap_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     structure = args.model_structure()
     if args.model_name == "cogvideox":
         t_cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(

@@ -302,3 +302,73 @@ def denormalize_latents(cfg: WanVAEConfig, z: Array) -> Array:
     mean = jnp.asarray(cfg.latents_mean, z.dtype)
     std = jnp.asarray(cfg.latents_std, z.dtype)
     return z * std + mean
+
+
+# ---------------------------------------------------------------------------
+# spatial tiling (AutoencoderKLWan.tiled_decode / tiled_encode,
+# autoencoder_kl_wan.py:940-1063): stride-based overlapping tiles with linear
+# blending, cropped to the stride and concatenated.
+# ---------------------------------------------------------------------------
+
+TILE_SAMPLE_MIN = 256
+TILE_SAMPLE_STRIDE = 192
+
+
+def _blend_axis(a: Array, b: Array, extent: int, axis: int) -> Array:
+    extent = min(a.shape[axis], b.shape[axis], extent)
+    if extent == 0:
+        return b
+    shape = [1] * b.ndim
+    shape[axis] = extent
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(shape)
+    a_sl = jax.lax.slice_in_dim(a, a.shape[axis] - extent, a.shape[axis], axis=axis).astype(jnp.float32)
+    b_head = jax.lax.slice_in_dim(b, 0, extent, axis=axis).astype(jnp.float32)
+    b_tail = jax.lax.slice_in_dim(b, extent, b.shape[axis], axis=axis)
+    blended = (a_sl * (1 - w) + b_head * w).astype(b.dtype)
+    return jnp.concatenate([blended, b_tail], axis=axis)
+
+
+def wan_vae_decode_tiled(
+    params: Params, cfg: WanVAEConfig, latents: Array,
+    tile_sample_min: int = TILE_SAMPLE_MIN,
+    tile_sample_stride: int = TILE_SAMPLE_STRIDE,
+    decode_fn=None,
+) -> Array:
+    """Spatially tiled Wan decode (channel-last [B, F', H', W', z])."""
+    if decode_fn is None:
+        import functools as _ft
+
+        decode_fn = _jitted_wan_tile_decode(cfg)
+    b, f, h, w, c = latents.shape
+    ratio = 8
+    tlm = tile_sample_min // ratio
+    tls = tile_sample_stride // ratio
+    blend = tile_sample_min - tile_sample_stride
+
+    rows = []
+    for i in range(0, h, tls):
+        row = []
+        for j in range(0, w, tls):
+            row.append(decode_fn(params, latents[:, :, i:i + tlm, j:j + tlm]))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_axis(rows[i - 1][j], tile, blend, axis=2)
+            if j > 0:
+                tile = _blend_axis(row[j - 1], tile, blend, axis=3)
+            result_row.append(tile[:, :, :tile_sample_stride, :tile_sample_stride])
+        result_rows.append(jnp.concatenate(result_row, axis=3))
+    out = jnp.concatenate(result_rows, axis=2)
+    return out[:, :, :h * ratio, :w * ratio]
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _jitted_wan_tile_decode(cfg: WanVAEConfig):
+    return jax.jit(lambda p, z: wan_vae_decode(p, cfg, z))

@@ -60,9 +60,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scal
         the per-element correction uses `jnp.tile` of a full 128-lane vector
         instead of a 1-lane broadcast across the whole [bq, bk] scores tile;
       * the scale is folded into q on the small [bq, D] tile;
-      * the key-padding mask is applied only in the LAST kv block;
-      * the row-sum of p rides the AV matmul as a ones-column appended to V
-        (lanes D..127 are padding anyway at D=64) — saves a VPU reduce pass.
+      * the key-padding mask is applied only in the LAST kv block.
+    (A ones-column-on-V row-sum trick was tried and reverted: it doubles the
+    AV matmul's output lanes at D=64, costing more MXU than the saved VPU.)
     """
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -89,16 +89,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scal
     m_prev = m_sc[:]  # [bq, 128]
     m_cur = jnp.max(s, axis=1)[:, None]  # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)   # [bq, 128]
-    p = jnp.exp(s - jnp.tile(m_new, (1, block_k // LANES))).astype(v_ref.dtype)
+    p_f32 = jnp.exp(s - jnp.tile(m_new, (1, block_k // LANES)))
+    p = p_f32.astype(v_ref.dtype)
     alpha = jnp.exp(m_prev - m_new)      # [bq, 128]
 
-    # V carries a ones column at lane D: pv[:, :D] = p@V, pv[:, D] = sum(p)
     pv = jax.lax.dot_general(
         p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, v_dim]
+    )  # [bq, D]
     d = acc_sc.shape[-1]
-    acc_sc[:] = acc_sc[:] * alpha[:, :d] + pv[:, :d]
-    l_sc[:] = alpha * l_sc[:] + pv[:, d:d + 1]
+    acc_sc[:] = acc_sc[:] * alpha[:, :d] + pv
+    l_sc[:] = alpha * l_sc[:] + jnp.sum(p_f32, axis=1)[:, None]
     m_sc[:] = m_new
 
     @pl.when(ki == nk - 1)
@@ -116,14 +116,6 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
     qp = _pad_to(q.reshape(batch * heads, q_len, dim), 1, block_q)
     kp = _pad_to(k.reshape(batch * heads, kv_len, dim), 1, block_k)
     vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
-    # ones-column for the fused row-sum (see _fwd_kernel); pad V lanes to the
-    # next 128 multiple, which is free for D=64
-    v_dim = ((dim + 1 + 127) // 128) * 128
-    vp = jnp.concatenate([
-        vp,
-        jnp.ones((*vp.shape[:2], 1), vp.dtype),
-        jnp.zeros((*vp.shape[:2], v_dim - dim - 1), vp.dtype),
-    ], axis=-1)
     bh, q_pad, _ = qp.shape
     k_pad = kp.shape[1]
     nq = q_pad // block_q
@@ -136,7 +128,7 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
         in_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, v_dim), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
