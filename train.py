@@ -95,11 +95,42 @@ def main(argv=None):
         )
         vae_cfg = CogVideoXVAEConfig()
         txt_cfg = T5Config.t5_xxl()
-    else:
-        raise NotImplementedError("wan trainer wiring lands with the Wan spec")
+        dtype = jnp.bfloat16 if args.transformer_dtype == "bfloat16" else jnp.float32
+        params = _load_or_init_params(args, t_cfg, vae_cfg, txt_cfg, dtype)
+    else:  # wan
+        from vap_tpu.models.wan import WanMOTConfig, convert_wan_mot_state_dict, init_wan_mot
+        from vap_tpu.models.wan.vae import WanVAEConfig
+        from vap_tpu.models.wan.vae_weights import convert_wan_vae_state_dict
+        from vap_tpu.models.text_encoders.t5 import convert_t5_state_dict
 
-    dtype = jnp.bfloat16 if args.transformer_dtype == "bfloat16" else jnp.float32
-    params = _load_or_init_params(args, t_cfg, vae_cfg, txt_cfg, dtype)
+        t_cfg = WanMOTConfig.wan_14b_i2v_vap(
+            **{k: tuple(v) if isinstance(v, list) else v for k, v in structure.items()
+               if k in ("block_idx_with_mot_ref", "num_layers", "num_attention_heads",
+                         "attention_head_dim")})
+        vae_cfg = WanVAEConfig()
+        txt_cfg = T5Config.umt5_xxl()
+        dtype = jnp.bfloat16 if args.transformer_dtype == "bfloat16" else jnp.float32
+        base = args.pretrained_model_name_or_path
+
+        def maybe(path):
+            return path if path and os.path.exists(path) else None
+
+        key = jax.random.PRNGKey(args.seed)
+        tr = maybe(os.path.join(base, "transformer", "model.safetensors")) if base else None
+        params = {
+            "transformer": (convert_wan_mot_state_dict(load_safetensors(tr), t_cfg, dtype)
+                            if tr else init_wan_mot(key, t_cfg, dtype)),
+        }
+        vp = maybe(os.path.join(base, "vae", "model.safetensors")) if base else None
+        if vp:
+            params["vae"] = convert_wan_vae_state_dict(load_safetensors(vp), vae_cfg, dtype)
+        else:
+            raise FileNotFoundError("wan training needs a VAE checkpoint (no random init for 14B runs)")
+        te = maybe(os.path.join(base, "text_encoder", "model.safetensors")) if base else None
+        if te:
+            params["text_encoder"] = convert_t5_state_dict(load_safetensors(te), txt_cfg, dtype)
+        else:
+            params["text_encoder"] = init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, dtype)
 
     tokenizer = None
     if args.pretrained_model_name_or_path:

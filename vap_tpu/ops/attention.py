@@ -29,7 +29,7 @@ Array = jnp.ndarray
 
 _state = threading.local()
 
-_VALID_PROVIDERS = ("flash", "xla", "ring")
+_VALID_PROVIDERS = ("flash", "jax_flash", "xla", "ring")
 
 
 def _default_provider() -> str:
@@ -70,6 +70,41 @@ def dense_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(q.dtype)
 
 
+def jax_flash_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None) -> Array:
+    """jax.experimental.pallas library flash kernel with segment-id masking for
+    ragged lengths (requires seq % 512 == 0 internally; we pad and mask)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention as _lib_flash,
+    )
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    blk = 1024  # pad to the block size so block_q/block_k divide evenly
+    pad_q = (-sq) % blk
+    pad_kv = (-skv) % blk
+
+    def padseq(x, pad):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else x
+
+    qp, kp, vp = padseq(q, pad_q), padseq(k, pad_kv), padseq(v, pad_kv)
+    seg = None
+    if pad_q or pad_kv:
+        q_ids = (jnp.arange(sq + pad_q) >= sq).astype(jnp.int32)[None].repeat(b, 0)
+        kv_ids = (jnp.arange(skv + pad_kv) >= skv).astype(jnp.int32)[None].repeat(b, 0) * 2
+        seg = SegmentIds(q=q_ids, kv=kv_ids)  # pads get non-matching ids
+    bq = min(1024, qp.shape[2])
+    bkv = min(1024, kp.shape[2])
+    bs = BlockSizes(block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+                    block_q_major_dkv=bq, block_k_major_dkv=bkv, block_k_dkv=bkv, block_q_dkv=bq,
+                    block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq)
+    out = _lib_flash(qp, kp, vp, segment_ids=seg, causal=False, sm_scale=scale, block_sizes=bs)
+    return out[:, :, :sq]
+
+
 def scaled_dot_product_attention(
     q: Array,
     k: Array,
@@ -81,6 +116,8 @@ def scaled_dot_product_attention(
     provider = provider or get_attention_provider()
     if provider == "flash":
         return flash_attention(q, k, v, scale)
+    elif provider == "jax_flash":
+        return jax_flash_attention(q, k, v, scale)
     elif provider == "xla":
         return dense_attention(q, k, v, scale)
     elif provider == "ring":

@@ -57,6 +57,8 @@ class CogVideoXSpec:
     """CogVideoX VAP model spec (reference CogVideoXModelSpecification,
     finetrainers/models/cogvideox/base_specification.py)."""
 
+    family = "cogvideox"
+
     def __init__(self, transformer_cfg: CogVideoXMOTConfig, vae_cfg: CogVideoXVAEConfig,
                  text_cfg: T5Config, params: Dict[str, Any], tokenizer=None,
                  dtype=jnp.bfloat16):
@@ -172,3 +174,95 @@ for _family in ("ltx_video", "hunyuan_video", "flux", "cogview4"):
     _cls = type(f"_{_family}_spec", (_NotYetImplementedSpec,), {"FAMILY": _family})
     for _tt in ("sft", "lora"):
         SUPPORTED_MODEL_SPECS[(_family, _tt)] = _cls
+
+
+class WanSpec:
+    """Wan2.1 VAP model spec (reference WanModelSpecification,
+    finetrainers/models/wan/base_specification.py:426+): UMT5 conditions, CLIP
+    image embeds, Wan-VAE latents normalized by per-channel mean/std, 36-ch
+    conditioning assembled in the loss."""
+
+    family = "wan"
+
+    def __init__(self, transformer_cfg, vae_cfg, text_cfg, params: Dict[str, Any],
+                 tokenizer=None, clip_cfg=None, dtype=jnp.bfloat16):
+        from ..models.wan.vae import normalize_latents, wan_vae_encode
+
+        self.transformer_cfg = transformer_cfg
+        self.vae_cfg = vae_cfg
+        self.text_cfg = text_cfg
+        self.clip_cfg = clip_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+
+        def _enc(p, v):
+            moments = wan_vae_encode(p, vae_cfg, v)
+            mean, _ = jnp.split(moments, 2, axis=-1)
+            return normalize_latents(vae_cfg, mean)
+
+        self._vae = jax.jit(_enc)
+        self._t5 = jax.jit(lambda p, ids, mask: t5_encode(p, text_cfg, ids, mask)
+                           * mask[..., None].astype(jnp.float32))
+
+    def prepare_conditions(self, sample: Dict[str, Any], max_length: int = 512) -> Dict[str, Any]:
+        def encode(text: str):
+            toks = self.tokenizer([text], padding="max_length", max_length=max_length,
+                                  truncation=True, add_special_tokens=True, return_tensors="np")
+            return np.asarray(self._t5(self.params["text_encoder"],
+                                       jnp.asarray(toks["input_ids"]),
+                                       jnp.asarray(toks["attention_mask"])))
+
+        cond = {"encoder_hidden_states": encode(sample["caption"])}
+        cond["encoder_hidden_states_mot_ref"] = np.concatenate(
+            [encode(c) for c in sample["caption_mot_ref"]], axis=1)
+        if self.clip_cfg is not None and "image_encoder" in self.params:
+            from ..models.text_encoders.clip_vision import clip_vision_encode
+            from ..pipelines.wan_i2v_mot import WanVAPPipeline
+
+            pipe_like = WanVAPPipeline.__new__(WanVAPPipeline)
+            pipe_like.clip_cfg = self.clip_cfg
+            pipe_like.params = self.params
+            pipe_like.dtype = self.dtype
+            cond["encoder_hidden_states_image"] = np.asarray(
+                pipe_like.encode_image(sample["video"][0]).astype(jnp.float32))
+            cond["encoder_hidden_states_image_mot_ref"] = np.concatenate(
+                [np.asarray(pipe_like.encode_image(rv[0]).astype(jnp.float32))
+                 for rv in sample["ref_videos"]], axis=1)
+        return cond
+
+    def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        from ..pipelines.wan_i2v_mot import make_i2v_mask
+
+        def enc(video_np: np.ndarray) -> np.ndarray:
+            v = jnp.asarray(video_np, jnp.float32)[None].astype(self.dtype)
+            return np.asarray(self._vae(self.params["vae"], v), np.float32)
+
+        video = sample["video"]
+        num_frames, h, w = video.shape[:3]
+        latents = enc(video)
+        f_lat, lh, lw = latents.shape[1:4]
+        mask = make_i2v_mask(1, num_frames, lh, lw)
+
+        # conditioning latent: first frame + zero padding, VAE-encoded
+        vc = np.concatenate([video[:1], np.zeros((num_frames - 1, h, w, 3), np.float32)], axis=0)
+        cond_latent = enc(vc)
+        condition = np.concatenate([mask.astype(np.float32), cond_latent], axis=-1)
+
+        ref_lat, ref_cond = [], []
+        for rv in sample["ref_videos"]:
+            ref_lat.append(enc(rv))
+            rvc = np.concatenate([rv[:1], np.zeros((num_frames - 1, h, w, 3), np.float32)], axis=0)
+            cl = enc(rvc)
+            ref_cond.append(np.concatenate([mask.astype(np.float32), cl], axis=-1))
+        return {
+            "latents": latents,
+            "condition": condition,
+            "latents_mot_ref": np.concatenate(ref_lat, axis=1),
+            "condition_mot_ref": np.concatenate(ref_cond, axis=1),
+        }
+
+
+SUPPORTED_MODEL_SPECS[("wan", "video_as_prompt_mot")] = WanSpec
+SUPPORTED_MODEL_SPECS[("wan", "sft")] = WanSpec
+SUPPORTED_MODEL_SPECS[("wan", "lora")] = WanSpec

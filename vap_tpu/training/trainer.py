@@ -27,7 +27,12 @@ from ..utils.trackers import initialize_trackers
 from .args import TrainingArgs
 from .checkpoint import Checkpointer, TrainState, export_safetensors
 from .optimizer import get_lr_schedule, get_optimizer
-from .train_step import TrainStepConfig, make_train_step
+from .train_step import (
+    TrainStepConfig,
+    WanTrainStepConfig,
+    make_train_step,
+    make_wan_train_step,
+)
 
 logger = get_logger("vap_tpu.trainer")
 
@@ -41,22 +46,28 @@ class SFTTrainer:
         mesh_cfg = MeshConfig(args.data_degree, args.fsdp_degree, args.seq_degree, args.tensor_degree)
         self.mesh = make_mesh(mesh_cfg) if mesh_cfg.world_size > 1 else None
 
-        self.step_cfg = TrainStepConfig(
-            model=model_spec.transformer_cfg,
-            reference_train_mode=args.reference_train_mode,
-            random_refer_noise=args.random_refer_noise,
-            num_ref_diffusion_time_sigmas=args.num_ref_diffusion_time_sigmas,
-            sample_ref_videos_num=args.sample_ref_videos_num,
-            ref_type=args.ref_type,
-            remat=args.gradient_checkpointing,
-        )
+        family = getattr(model_spec, "family", "cogvideox")
+        if family == "wan":
+            self.step_cfg = WanTrainStepConfig(
+                model=model_spec.transformer_cfg, remat=args.gradient_checkpointing)
+        else:
+            self.step_cfg = TrainStepConfig(
+                model=model_spec.transformer_cfg,
+                reference_train_mode=args.reference_train_mode,
+                random_refer_noise=args.random_refer_noise,
+                num_ref_diffusion_time_sigmas=args.num_ref_diffusion_time_sigmas,
+                sample_ref_videos_num=args.sample_ref_videos_num,
+                ref_type=args.ref_type,
+                remat=args.gradient_checkpointing,
+            )
         schedule = get_lr_schedule(
             args.lr_scheduler, args.lr, warmup_steps=args.lr_warmup_steps, train_steps=args.train_steps)
         self.optimizer = get_optimizer(
             args.optimizer, schedule, beta1=args.beta1, beta2=args.beta2,
             epsilon=args.epsilon, weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm)
 
-        init_fn, step_fn = make_train_step(self.step_cfg, self.optimizer)
+        step_factory = make_wan_train_step if family == "wan" else make_train_step
+        init_fn, step_fn = step_factory(self.step_cfg, self.optimizer)
         params = model_spec.params["transformer"]
         if self.mesh is not None:
             params = shard_params(params, self.mesh)
