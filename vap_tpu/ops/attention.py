@@ -40,7 +40,10 @@ def _default_provider() -> str:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no backend at import time
         platform = "cpu"
-    return "flash" if platform == "tpu" else "xla"
+    # jax_flash (library kernel + segment-id pad masking) currently measures
+    # ~68 TFLOP/s vs ~40 for the in-repo kernel at VAP shapes; use it by
+    # default until vap_tpu's kernel closes the gap (see scripts/attn_bench.py)
+    return "jax_flash" if platform == "tpu" else "xla"
 
 
 def get_attention_provider() -> str:
