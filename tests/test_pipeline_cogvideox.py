@@ -90,3 +90,24 @@ def test_end_to_end_generation(tiny_pipeline, scheduler_cls, monkeypatch):
         )
     assert video.shape == (1, F, H, W, 3)
     assert np.isfinite(video).all()
+
+
+@pytest.mark.parametrize("mode", ["ablation_single_branch", "baseline_single_condition"])
+def test_single_branch_modes(tiny_pipeline, monkeypatch, mode):
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    pipe = tiny_pipeline
+    pipe.scheduler = CogVideoXDDIMScheduler()
+    H = W = 32
+    F = 9
+    image = np.random.default_rng(2).uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    ref_video = np.random.default_rng(3).uniform(-1, 1, (F, H, W, 3)).astype(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        video = pipe(
+            image=image, prompt="a cat", ref_videos=[ref_video],
+            prompt_mot_ref=["fx"], height=H, width=W, num_frames=F,
+            num_inference_steps=1, guidance_scale=6.0,
+            max_sequence_length=pipe.transformer_cfg.max_text_seq_length,
+            **{mode: True},
+        )
+    assert video.shape == (1, F, H, W, 3)
+    assert np.isfinite(video).all()

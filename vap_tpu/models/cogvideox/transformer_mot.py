@@ -423,8 +423,14 @@ def cogvideox_mot_forward(
     effect_ids: Optional[Array] = None,        # [R] int ids into supported_effect_types
     ofs: Optional[Array] = None,
     remat: bool = False,
+    single_branch: bool = False,
 ):
-    """Returns (output, output_mot_ref_or_None); output: [B, F, C_out, H, W]."""
+    """Returns (output, output_mot_ref_or_None); output: [B, F, C_out, H, W].
+
+    single_branch=True runs the plain base trunk over `hidden_states` alone
+    (callers concatenate target+ref along frames and pass concatenated RoPE;
+    reference ablation_single_branch, pipeline :959-1022 + spec :757-769).
+    MoT weights and reference streams are unused in that mode."""
     b, num_frames, _, height, width = hidden_states.shape
     t_text = encoder_hidden_states.shape[1]
     dtype = hidden_states.dtype
@@ -436,6 +442,26 @@ def cogvideox_mot_forward(
         timestep, inner, flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift
     ).astype(dtype)
     emb = timestep_embedding_mlp(params["time_embedding"], t_emb)  # [B, time_embed_dim]
+
+    if single_branch:
+        tokens = _patchify(params["patch_embed"], cfg, encoder_hidden_states, hidden_states)
+        ehs, hs = tokens[:, :t_text], tokens[:, t_text:]
+        carry = (hs, ehs, None, None)
+        for (start, length, has_mot), sp in zip(cfg.mot_segments, params["blocks"]):
+            def body(carry, bp):
+                hs, ehs, _, _ = carry
+                out = _block_forward(bp, cfg, False, hs, ehs, emb, image_rotary_emb,
+                                     None, None, None, None, 0)
+                return out, None
+            if remat:
+                body = jax.checkpoint(body, prevent_cse=False)
+            carry, _ = jax.lax.scan(body, carry, sp)
+        hs = carry[0]
+        hs = layer_norm(params["norm_final"], hs, cfg.norm_eps)
+        shift, scale = jnp.split(linear(params["norm_out"]["linear"], silu(emb)), 2, axis=-1)
+        hs = layer_norm(params["norm_out"]["norm"], hs, cfg.norm_eps) * (1 + scale[:, None]) + shift[:, None]
+        hs = linear(params["proj_out"], hs)
+        return _unpatchify(cfg, hs, num_frames, height, width), None
 
     if timestep_mot_ref is None:
         timestep_mot_ref = jnp.broadcast_to(timestep[:, None], (b, r))

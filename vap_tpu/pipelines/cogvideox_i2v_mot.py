@@ -128,8 +128,10 @@ class CogVideoXVAPPipeline:
     # the jit-scanned denoise loop
     # ------------------------------------------------------------------
     def _build_denoise_fn(self, num_inference_steps: int, num_mot_ref: int, use_dpm: bool,
-                          height: int, width: int, num_latent_frames: int, ref_type: str):
-        key = (num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type)
+                          height: int, width: int, num_latent_frames: int, ref_type: str,
+                          single_branch: bool = False, concat_refs: bool = False):
+        key = (num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames,
+               ref_type, single_branch, concat_refs)
         cache = self.__dict__.setdefault("_denoise_cache", {})
         if key in cache:
             return cache[key]
@@ -170,17 +172,41 @@ class CogVideoXVAPPipeline:
                 latent_in = jnp.concatenate([latents.astype(self.dtype)] * mult, axis=0)
                 latent_in = jnp.concatenate([latent_in, image_in], axis=2)
 
-                noise_pred, _ = cogvideox_mot_forward(
-                    params_t, cfg,
-                    hidden_states=latent_in,
-                    encoder_hidden_states=prompt_embeds,
-                    timestep=jnp.broadcast_to(t, (mult * bsz,)),
-                    image_rotary_emb=rope,
-                    hidden_states_mot_ref=ref_in,
-                    encoder_hidden_states_mot_ref=prompt_embeds_ref,
-                    image_rotary_emb_mot_ref=rope_ref,
-                    num_mot_ref=num_mot_ref,
-                )
+                if single_branch:
+                    # ablation: one trunk over [target ‖ refs] with concat RoPE
+                    # (pipeline :1003-1022); baseline: target only
+                    tgt_frames = latents.shape[1]
+                    if concat_refs:
+                        latent_in = jnp.concatenate([latent_in, ref_in], axis=1)
+                        rope_cat = (jnp.concatenate([rope[0], rope_ref[0]], axis=0),
+                                    jnp.concatenate([rope[1], rope_ref[1]], axis=0))
+                    else:
+                        rope_cat = rope
+                    noise_pred, _ = cogvideox_mot_forward(
+                        params_t, cfg,
+                        hidden_states=latent_in,
+                        encoder_hidden_states=prompt_embeds,
+                        timestep=jnp.broadcast_to(t, (mult * bsz,)),
+                        image_rotary_emb=rope_cat,
+                        hidden_states_mot_ref=ref_in,
+                        encoder_hidden_states_mot_ref=prompt_embeds_ref,
+                        image_rotary_emb_mot_ref=rope_ref,
+                        num_mot_ref=num_mot_ref,
+                        single_branch=True,
+                    )
+                    noise_pred = noise_pred[:, :tgt_frames]
+                else:
+                    noise_pred, _ = cogvideox_mot_forward(
+                        params_t, cfg,
+                        hidden_states=latent_in,
+                        encoder_hidden_states=prompt_embeds,
+                        timestep=jnp.broadcast_to(t, (mult * bsz,)),
+                        image_rotary_emb=rope,
+                        hidden_states_mot_ref=ref_in,
+                        encoder_hidden_states_mot_ref=prompt_embeds_ref,
+                        image_rotary_emb_mot_ref=rope_ref,
+                        num_mot_ref=num_mot_ref,
+                    )
                 noise_pred = noise_pred.astype(jnp.float32)
                 if do_cfg:
                     uncond, cond = jnp.split(noise_pred, 2, axis=0)
@@ -230,9 +256,13 @@ class CogVideoXVAPPipeline:
         negative_prompt_embeds_mot_ref: Optional[Array] = None,
         latents: Optional[Array] = None,
         output_type: str = "np",
+        ablation_single_branch: bool = False,
+        baseline_single_condition: bool = False,
     ):
         key = jax.random.PRNGKey(seed)
         do_cfg = guidance_scale > 1.0
+        single_branch = ablation_single_branch or baseline_single_condition
+        concat_refs = ablation_single_branch and not baseline_single_condition
 
         # 1. prompts
         if prompt_embeds is None:
@@ -302,7 +332,8 @@ class CogVideoXVAPPipeline:
             guidance = np.full_like(ts, guidance_scale)
 
         denoise = self._build_denoise_fn(
-            num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type)
+            num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type,
+            single_branch=single_branch, concat_refs=concat_refs)
         key, dkey = jax.random.split(key)
         latents = denoise(
             self.params["transformer"], latents, image_latents_m, ref_latents_m, ref_image_latents_m,
