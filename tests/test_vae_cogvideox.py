@@ -95,3 +95,18 @@ def test_roundtrip_shapes(jax_cfg, torch_reference, ref_vae):
         z = posterior_mode(moments)
         out = vae_decode(params, jax_cfg, z)
     assert out.shape == (1, 9, 32, 32, 3)
+
+
+def test_decode_chunking_is_semantic(torch_reference, ref_vae, jax_cfg):
+    """Decode chunking is SEMANTIC (SpatialNorm3D interpolates zq per chunk):
+    document that frame_batch != 2 diverges, guarding against 'optimizing' it."""
+    params = convert_cogvideox_vae_state_dict(
+        {k: v.numpy() for k, v in ref_vae.state_dict().items()}, jax_cfg
+    )
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.standard_normal((1, 5, 4, 4, jax_cfg.latent_channels)).astype(np.float32))
+    with jax.default_device(jax.devices("cpu")[0]):
+        chunked = vae_decode(params, jax_cfg, z)            # default: 2-frame chunks
+        mono = vae_decode(params, jax_cfg, z, frame_batch=None)
+    diff = float(jnp.abs(mono - chunked).max())
+    assert diff > 1e-3  # genuinely different paths

@@ -288,14 +288,19 @@ NUM_SAMPLE_FRAMES_BATCH = 8
 NUM_LATENT_FRAMES_BATCH = 2
 
 
-def vae_encode(params: Params, cfg: CogVideoXVAEConfig, video: Array) -> Array:
+def vae_encode(params: Params, cfg: CogVideoXVAEConfig, video: Array,
+               frame_batch: Optional[int] = NUM_SAMPLE_FRAMES_BATCH) -> Array:
     """video: [B, F, H, W, 3] -> latent moments [B, F', H', W', 2*Cz].
 
     Streams over temporal frame batches with the conv cache carried, matching
     AutoencoderKLCogVideoX._encode (autoencoder_kl_cogvideox.py:1148-1171).
+    Encoder chunking IS mathematically invariant (group norms are per-chunk
+    frame-independent... no: group_norm normalizes over (F,H,W) per chunk —
+    also chunk-dependent). The default matches the reference exactly; treat
+    frame_batch as reference-parity-only.
     """
     num_frames = video.shape[1]
-    fb = NUM_SAMPLE_FRAMES_BATCH
+    fb = frame_batch or num_frames
     num_batches = max(num_frames // fb, 1)
     remaining = num_frames % fb
     cache = None
@@ -308,13 +313,17 @@ def vae_encode(params: Params, cfg: CogVideoXVAEConfig, video: Array) -> Array:
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
-def vae_decode(params: Params, cfg: CogVideoXVAEConfig, latents: Array) -> Array:
+def vae_decode(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
+               frame_batch: Optional[int] = NUM_LATENT_FRAMES_BATCH) -> Array:
     """latents: [B, F', H', W', Cz] -> video [B, F, H, W, 3] in [-1, 1].
 
     Streams over latent frame batches of 2 (autoencoder_kl_cogvideox.py:1201-1224).
+    WARNING: decode chunking is SEMANTIC, not just a memory knob — the decoder's
+    SpatialNorm3D interpolates zq per chunk, and the checkpoint was trained at
+    frame_batch=2 (see the reference's own comment, :1060-1073). Keep 2.
     """
     num_frames = latents.shape[1]
-    fb = NUM_LATENT_FRAMES_BATCH
+    fb = frame_batch or num_frames
     num_batches = max(num_frames // fb, 1)
     remaining = num_frames % fb
     cache = None
@@ -557,10 +566,10 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=8)
-def _jitted_tile_decode(cfg: CogVideoXVAEConfig):
-    return jax.jit(lambda p, z: vae_decode(p, cfg, z))
+def _jitted_tile_decode(cfg: CogVideoXVAEConfig, frame_batch: Optional[int] = None):
+    return jax.jit(lambda p, z: vae_decode(p, cfg, z, frame_batch))
 
 
 @_functools.lru_cache(maxsize=8)
-def _jitted_tile_encode(cfg: CogVideoXVAEConfig):
-    return jax.jit(lambda p, x: vae_encode(p, cfg, x))
+def _jitted_tile_encode(cfg: CogVideoXVAEConfig, frame_batch: Optional[int] = None):
+    return jax.jit(lambda p, x: vae_encode(p, cfg, x, frame_batch))
