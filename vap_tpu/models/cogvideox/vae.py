@@ -294,10 +294,9 @@ def vae_encode(params: Params, cfg: CogVideoXVAEConfig, video: Array,
 
     Streams over temporal frame batches with the conv cache carried, matching
     AutoencoderKLCogVideoX._encode (autoencoder_kl_cogvideox.py:1148-1171).
-    Encoder chunking IS mathematically invariant (group norms are per-chunk
-    frame-independent... no: group_norm normalizes over (F,H,W) per chunk —
-    also chunk-dependent). The default matches the reference exactly; treat
-    frame_batch as reference-parity-only.
+    NOTE: encoder chunking is also semantic — group_norm normalizes over the
+    chunk's (F, H, W) extent. The default of 8 sample frames matches the
+    reference training configuration; treat frame_batch as a parity knob.
     """
     num_frames = video.shape[1]
     fb = frame_batch or num_frames
