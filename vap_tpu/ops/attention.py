@@ -40,10 +40,9 @@ def _default_provider() -> str:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no backend at import time
         platform = "cpu"
-    # jax_flash (library kernel + segment-id pad masking) currently measures
-    # ~68 TFLOP/s vs ~40 for the in-repo kernel at VAP shapes; use it by
-    # default until vap_tpu's kernel closes the gap (see scripts/attn_bench.py)
-    return "jax_flash" if platform == "tpu" else "xla"
+    # the in-repo kernel matches the jax library kernel (~65 TFLOP/s at VAP
+    # shapes) with native ragged-length support (scripts/attn_bench.py)
+    return "flash" if platform == "tpu" else "xla"
 
 
 def get_attention_provider() -> str:

@@ -52,7 +52,7 @@ def _pad_to(x: Array, axis: int, multiple: int) -> Array:
 LANES = 128
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scale, kv_len, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scale, kv_len, block_k):
     """VPU-lean online-softmax step.
 
     The VPU, not the MXU, bounds D=64 attention, so:
@@ -79,12 +79,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scal
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk]
 
-    # mask padded key columns (tail block only; static no-op when aligned)
+    # padded key columns: one additive bias row (0 valid / -inf pad) — cheaper
+    # and more pipeline-friendly than per-step masking or lax.cond
     if kv_len % block_k != 0:
-        def _mask(sv):
-            col = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 1) + ki * block_k
-            return jnp.where(col < kv_len, sv, NEG_INF)
-        s = jax.lax.cond(ki == nk - 1, _mask, lambda sv: sv, s)
+        s = s + kvb_ref[0]
 
     m_prev = m_sc[:]  # [bq, 128]
     m_cur = jnp.max(s, axis=1)[:, None]  # [bq, 1]
@@ -120,6 +118,7 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
     k_pad = kp.shape[1]
     nq = q_pad // block_q
     nk = k_pad // block_k
+    kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None]
 
     grid = (bh, nq, nk)
     out, lse = pl.pallas_call(
@@ -129,6 +128,7 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k), lambda b, qi, ki: (0, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
@@ -146,7 +146,7 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(qp, kp, vp)
+    )(qp, kp, vp, kv_bias)
 
     out = out[:, :q_len].reshape(batch, heads, q_len, dim)
     lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
@@ -163,7 +163,7 @@ def _row_stat_tiled(row, block_k):
     lanes = jnp.tile(row[:, None], (1, LANES))
     return jnp.tile(lanes, (1, block_k // LANES))
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_sc, *, scale, kv_len, block_k):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dq_ref, dq_sc, *, scale, kv_len, block_k):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -175,10 +175,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_s
     k = k_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if kv_len % block_k != 0:
-        def _mask(sv):
-            col = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 1) + ki * block_k
-            return jnp.where(col < kv_len, sv, NEG_INF)
-        s = jax.lax.cond(ki == nk - 1, _mask, lambda sv: sv, s)
+        s = s + kvb_ref[0]
 
     p = jnp.exp(s - _row_stat_tiled(lse_ref[0, 0], s.shape[-1]))  # [bq, bk]
     do = do_ref[0].astype(jnp.float32)
@@ -195,7 +192,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_s
         dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_sc, dv_sc, *, scale, kv_len, block_k):
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dk_ref, dv_ref, dk_sc, dv_sc, *, scale, kv_len, block_k):
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
     ki = pl.program_id(1)
@@ -210,10 +207,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_
     k = k_ref[0]  # [bk, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     if kv_len % block_k != 0:
-        def _mask(sv):
-            col = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 1) + ki * block_k
-            return jnp.where(col < kv_len, sv, NEG_INF)
-        s = jax.lax.cond(ki == nk - 1, _mask, lambda sv: sv, s)
+        s = s + kvb_ref[0]
     p = jnp.exp(s - _row_stat_tiled(lse_ref[0, 0], s.shape[-1]))  # [bq, bk]
 
     do = do_ref[0].astype(jnp.float32)  # [bq, D]
@@ -258,6 +252,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
     k_pad = kp.shape[1]
     nq = q_pad // block_q
     nk = k_pad // block_k
+    kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
@@ -269,6 +264,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
             pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, block_k), lambda b, qi, ki: (0, ki)),
         ],
         out_specs=pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, q_pad, dim), q.dtype),
@@ -276,7 +272,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(qp, kp, vp, dop, lsep, deltap, kv_bias)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
@@ -288,6 +284,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
             pl.BlockSpec((1, block_q, dim), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
             pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, block_k), lambda b, ki, qi: (0, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
@@ -304,7 +301,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(qp, kp, vp, dop, lsep, deltap)
+    )(qp, kp, vp, dop, lsep, deltap, kv_bias)
 
     dq = dq[:, :q_len].reshape(batch, heads, q_len, dim)
     dk = dk[:, :kv_len].reshape(batch, heads, kv_len, dim)

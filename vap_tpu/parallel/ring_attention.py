@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.attention import dense_attention, jax_flash_attention
+from ..ops.attention import dense_attention
+from ..ops.flash_attention import flash_attention
 
 _ctx = threading.local()
 
@@ -44,7 +45,7 @@ def get_attention_mesh():
 
 def _local_attention(q, k, v, scale, platform: str):
     if platform == "tpu":
-        return jax_flash_attention(q, k, v, scale)
+        return flash_attention(q, k, v, scale)
     return dense_attention(q, k, v, scale)
 
 
