@@ -21,7 +21,7 @@ from ..data.dataset import VideoAsPromptDataset, VideoAsPromptValidationDataset
 from ..data.video import export_to_video
 from ..data.sampler import ResolutionSampler, collate_tensor_dicts
 from ..data.video import resize_to_nearest_bucket
-from ..parallel import MeshConfig, make_mesh, shard_params
+from ..parallel import MeshConfig, batch_sharding, make_mesh, shard_params
 from ..utils.logging import get_logger
 from ..utils.trackers import initialize_trackers
 from .args import TrainingArgs
@@ -143,7 +143,13 @@ class SFTTrainer:
                 sampler.consume(cond, lat)
             conds, lats = sampler.get_batch()
             batch = {**collate_tensor_dicts(conds), **collate_tensor_dicts(lats)}
-            batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+            if self.mesh is not None:
+                batch = {
+                    k: jax.device_put(np.asarray(v), batch_sharding(self.mesh, np.asarray(v).ndim))
+                    for k, v in batch.items() if not isinstance(v, list)
+                }
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
 
             self.train_state.step += 1
             self.train_state.observed_data_samples += args.batch_size * max(args.data_degree, 1)
