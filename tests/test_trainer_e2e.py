@@ -106,3 +106,40 @@ def test_trainer_end_to_end(tmp_path, monkeypatch):
         path = trainer.export()
     assert os.path.exists(path)
     assert len(trainer.tracker.history) >= 3
+
+
+@pytest.mark.slow
+def test_trainer_with_mesh(tmp_path, monkeypatch):
+    """2-device data-parallel trainer on the virtual CPU mesh."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    root = _make_dataset_dir(tmp_path)
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "transformer": init_cogvideox_mot(key, t_cfg, jnp.float32),
+        "vae": _init_vae_params_cpu(vae_cfg),
+        "text_encoder": init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, jnp.float32),
+    }
+    spec = CogVideoXSpec(t_cfg, vae_cfg, txt_cfg, params, FakeTokenizer(), jnp.float32)
+    spec.prepare_conditions = lambda s, _o=spec.prepare_conditions: _o(s, max_length=t_cfg.max_text_seq_length)
+
+    args = TrainingArgs(
+        data_root=str(root), train_steps=2, batch_size=2, logging_steps=1,
+        checkpointing_steps=10, output_dir=str(tmp_path / "outm"),
+        video_resolution_buckets=((9, 32, 32),), lr=1e-4,
+        gradient_checkpointing=False, mask_caption_ratio=0.0,
+        data_degree=2,
+    )
+    trainer = SFTTrainer(args, spec)
+    assert trainer.mesh is not None and trainer.mesh.devices.size == 2
+    state = trainer.run()
+    assert state.step == 2
+
+
+def _init_vae_params_cpu(cfg):
+    from vap_tpu.models.cogvideox.vae import init_cogvideox_vae
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return init_cogvideox_vae(jax.random.PRNGKey(1), cfg, jnp.float32)

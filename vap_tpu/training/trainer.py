@@ -44,7 +44,13 @@ class SFTTrainer:
         self.tracker = initialize_trackers(args.report_to, args.tracker_name, args.output_dir)
 
         mesh_cfg = MeshConfig(args.data_degree, args.fsdp_degree, args.seq_degree, args.tensor_degree)
-        self.mesh = make_mesh(mesh_cfg) if mesh_cfg.world_size > 1 else None
+        if mesh_cfg.world_size > 1:
+            devices = jax.devices()
+            if len(devices) < mesh_cfg.world_size:
+                devices = jax.devices("cpu")  # virtual-device testing
+            self.mesh = make_mesh(mesh_cfg, devices)
+        else:
+            self.mesh = None
 
         family = getattr(model_spec, "family", "cogvideox")
         if family == "wan":
