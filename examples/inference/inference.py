@@ -53,8 +53,8 @@ class Inference:
 
         os.makedirs(args.output_dir, exist_ok=True)
         provider = args.attn_provider if self.mesh is None else "ring"
-        ctx = (self._attention_mesh(self.mesh) if self.mesh is not None
-               else _null_context())
+        ctx = (self._attention_mesh(self.mesh, rotate_method=args.cp_rotate_method)
+               if self.mesh is not None else _null_context())
         with self._attention_provider(provider), ctx:
             for i, sample in enumerate(ds):
                 ref = np.stack(select_frames(list(sample["ref_videos"][0]), args.num_frames, "evenly"))
@@ -91,6 +91,10 @@ def main():
     p.add_argument("--sp_degree", type=int, default=1,
                    help="sequence-parallel degree (reference --cp_degree)")
     p.add_argument("--attn_provider", default="flash", choices=["flash", "xla", "ring"])
+    p.add_argument("--cp_rotate_method", default="allgather",
+                   choices=["allgather", "ppermute"],
+                   help="KV rotation for sequence-parallel attention "
+                        "(reference --cp_rotate_method allgather/alltoall)")
     p.add_argument("--num_frames", type=int, default=49)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=720)

@@ -129,6 +129,7 @@ def scaled_dot_product_attention(
         if ctx is None:
             # no mesh installed: degenerate to the local fused kernel
             return flash_attention(q, k, v, scale)
-        mesh, axis = ctx
-        return sequence_parallel_attention(q, k, v, mesh, axis, scale)
+        mesh, axis, rotate_method = ctx
+        return sequence_parallel_attention(q, k, v, mesh, axis, scale,
+                                           rotate_method=rotate_method)
     raise ValueError(f"unknown attention provider {provider!r}")

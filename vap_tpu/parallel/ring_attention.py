@@ -1,11 +1,20 @@
 """Sequence-parallel (context-parallel) attention over a mesh axis.
 
-The reference implements CP as torch ring attention with an "allgather" KV
-rotation (finetrainers/models/attention_dispatch.py:82-92, rotate method set
-at trainer/base.py:81-83). The TPU-native equivalent: queries stay sharded on
-the token axis, K/V are all-gathered over the `seq` mesh axis (XLA schedules
-the gather on ICI and overlaps it with compute), and the local attention is
-the Pallas flash kernel.
+The reference implements CP as torch ring attention with two KV rotation
+methods, "allgather" and "alltoall" (finetrainers/models/attention_dispatch.py
+:82-92, :465-469; the trainer defaults to allgather — trainer/base.py:81-83).
+TPU-native equivalents of both:
+
+- ``rotate_method="allgather"`` (default, matches the reference default):
+  queries stay sharded on the token axis, K/V are all-gathered over the `seq`
+  mesh axis (XLA schedules the gather on ICI and overlaps it with compute),
+  and the local attention is the Pallas flash kernel. Simplest and fastest
+  when the gathered KV fits in HBM.
+
+- ``rotate_method="ppermute"``: true ring attention. Each device keeps only
+  its KV shard; KV blocks rotate around the `seq` ring via `lax.ppermute`
+  while a streaming online-softmax (m, l, acc) accumulates exact attention.
+  KV memory stays O(S/n) per chip — use for very long joint sequences.
 
 Exposed both as an explicit shard_map wrapper (`sequence_parallel_attention`)
 and through the "ring" provider of vap_tpu.ops.attention when an attention
@@ -29,10 +38,14 @@ _ctx = threading.local()
 
 
 @contextlib.contextmanager
-def attention_mesh(mesh: Mesh, axis: str = "seq"):
-    """Install the mesh used by the 'ring' attention provider."""
+def attention_mesh(mesh: Mesh, axis: str = "seq", rotate_method: str = "allgather"):
+    """Install the mesh used by the 'ring' attention provider.
+
+    rotate_method matches the reference's --cp_rotate_method knob:
+    "allgather" (default) or "ppermute" (true ring, the alltoall analog).
+    """
     prev = getattr(_ctx, "mesh_axis", None)
-    _ctx.mesh_axis = (mesh, axis)
+    _ctx.mesh_axis = (mesh, axis, rotate_method)
     try:
         yield
     finally:
@@ -56,20 +69,65 @@ def _mesh_platform(mesh: Mesh) -> str:
         return jax.devices()[0].platform
 
 
+def _ring_body(q_loc, k_loc, v_loc, *, axis: str, n: int, scale: float):
+    """One shard's streaming ring attention: rotate KV blocks around the
+    `axis` ring with ppermute, accumulating exact softmax online (fp32
+    m/l/acc carry, flash-attention style). Exact for any block order because
+    softmax is permutation-invariant over keys."""
+    b, h, sq, d = q_loc.shape
+    qf = q_loc.astype(jnp.float32) * scale
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        acc, m, l, k_cur, v_cur = carry
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32))
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + p.sum(axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32))
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        return (acc_new, m_new, l_new, k_nxt, v_nxt), None
+
+    init = (
+        jnp.zeros((b, h, sq, d), jnp.float32),
+        jnp.full((b, h, sq), -jnp.inf, jnp.float32),
+        jnp.zeros((b, h, sq), jnp.float32),
+        k_loc, v_loc,
+    )
+    (acc, _, l, _, _), _ = jax.lax.scan(step, init, None, length=n)
+    return (acc / l[..., None]).astype(q_loc.dtype)
+
+
 def sequence_parallel_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     mesh: Mesh, axis: str = "seq", scale: Optional[float] = None,
+    rotate_method: str = "allgather",
 ) -> jnp.ndarray:
     """q/k/v: [B, H, S, D] with S sharded over `axis`. Returns out with the
-    same sharding. K/V are all-gathered inside the shard; softmax is exact."""
+    same sharding. Softmax is exact for both rotate methods.
+
+    rotate_method: "allgather" gathers full KV per shard (reference default);
+    "ppermute" streams KV blocks around the ring (O(S/n) KV memory).
+    """
+    if rotate_method not in ("allgather", "ppermute"):
+        raise ValueError(f"unknown rotate_method: {rotate_method!r}")
     platform = _mesh_platform(mesh)
     if mesh.shape[axis] == 1:
         return _local_attention(q, k, v, scale, platform)
+    n = mesh.shape[axis]
+    sm_scale = scale if scale is not None else q.shape[-1] ** -0.5
 
-    def body(q_loc, k_loc, v_loc):
-        k_full = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)
-        v_full = jax.lax.all_gather(v_loc, axis, axis=2, tiled=True)
-        return _local_attention(q_loc, k_full, v_full, scale, platform)
+    if rotate_method == "ppermute":
+        def body(q_loc, k_loc, v_loc):
+            return _ring_body(q_loc, k_loc, v_loc, axis=axis, n=n, scale=sm_scale)
+    else:
+        def body(q_loc, k_loc, v_loc):
+            k_full = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)
+            v_full = jax.lax.all_gather(v_loc, axis, axis=2, tiled=True)
+            return _local_attention(q_loc, k_full, v_full, scale, platform)
 
     spec = P(None, None, axis, None)
     return jax.shard_map(
