@@ -2,8 +2,9 @@
 
 Mirrors finetrainers/optimizer.py:103-260: adam/adamw plus constant(+warmup),
 linear, cosine(+restarts), polynomial, and piecewise-constant schedules.
-bitsandbytes 8-bit variants have no TPU analogue; adafactor is offered instead
-as the memory-lean option.
+The bitsandbytes 8-bit variants map to a TPU-native blockwise-int8 Adam
+(vap_tpu/training/optim8bit.py); adafactor is also offered as the
+factored-state memory-lean option.
 """
 
 from __future__ import annotations
@@ -78,6 +79,15 @@ def get_optimizer(
         tx = optax.adamw(schedule, b1=beta1, b2=beta2, eps=epsilon, weight_decay=weight_decay)
     elif name == "adam":
         tx = optax.adam(schedule, b1=beta1, b2=beta2, eps=epsilon)
+    elif name in ("adamw-8bit", "adamw-bnb-8bit"):
+        from .optim8bit import adamw_8bit
+
+        tx = adamw_8bit(schedule, b1=beta1, b2=beta2, eps=epsilon,
+                        weight_decay=weight_decay)
+    elif name in ("adam-8bit", "adam-bnb-8bit"):
+        from .optim8bit import adam_8bit
+
+        tx = adam_8bit(schedule, b1=beta1, b2=beta2, eps=epsilon)
     elif name == "adafactor":
         tx = optax.adafactor(schedule)
     else:
