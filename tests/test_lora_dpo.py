@@ -39,6 +39,36 @@ def test_lora_targets_mot_only():
     assert changed > 0 and unchanged == 0
 
 
+def test_lora_export_peft_layout(tmp_path):
+    from vap_tpu.training.checkpoint import (
+        export_lora_safetensors, load_lora_metadata, load_safetensors)
+
+    cfg = CogVideoXMOTConfig.tiny()
+    params = init_cogvideox_mot(jax.random.PRNGKey(0), cfg)
+    lora = init_lora(jax.random.PRNGKey(1), params, rank=4, mot_only=True)
+    path = export_lora_safetensors(
+        lora, cfg, str(tmp_path / "lora.safetensors"), rank=4, alpha=8.0)
+
+    sd = load_safetensors(path)
+    assert sd, "no adapter tensors exported"
+    a_key = "transformer.transformer_blocks.0.attn1_mot_ref.to_q.lora_A.weight"
+    assert a_key in sd
+    assert sd[a_key].shape[0] == 4  # [r, in]
+    b_key = a_key.replace("lora_A", "lora_B")
+    assert sd[b_key].shape[1] == 4  # [out, r]
+    np.testing.assert_array_equal(sd[b_key], 0.0)  # B zero-init
+    # all adapters target MoT branches only
+    assert all("_mot_ref" in k for k in sd)
+    # every block with MoT carries adapters for attention + FFN
+    assert "transformer.transformer_blocks.0.ff_mot_ref.net.0.proj.lora_A.weight" in sd
+    assert "transformer.transformer_blocks.0.attn1_mot_ref.to_out.0.lora_A.weight" in sd
+
+    meta = load_lora_metadata(path)
+    assert meta["r"] == 4 and meta["lora_alpha"] == 8.0
+    assert "to_q" in meta["target_modules"]
+    assert "net.0.proj" in meta["target_modules"]
+
+
 def test_dpo_step_runs_and_updates(monkeypatch):
     monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
     mcfg = CogVideoXMOTConfig.tiny(in_channels=4, out_channels=2)

@@ -191,3 +191,67 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
 
     return load_file(path)
+
+
+_LORA_NAME_MAP = {"to_out": "to_out.0", "net_0": "net.0.proj", "net_2": "net.2"}
+
+
+def export_lora_safetensors(
+    lora: Dict[str, Any], cfg, path: str, *, rank: int, alpha: float,
+    targets=None, metadata: Optional[Dict[str, str]] = None,
+) -> str:
+    """Write LoRA adapters as PEFT-layout safetensors with the lora config
+    embedded in the header (the reference saves lora_config metadata alongside
+    adapter weights — finetrainers/trainer/sft_trainer/trainer.py:390-441).
+
+    Names follow the PEFT convention `transformer.<module>.lora_{A,B}.weight`
+    with torch [out, in] orientation; stacked scan leaves are unstacked per
+    transformer block."""
+    from safetensors.numpy import save_file
+
+    out: Dict[str, np.ndarray] = {}
+    targets_seen = set()
+
+    def add(name: str, short: str, node):
+        targets_seen.add(short)
+        out[f"transformer.{name}.lora_A.weight"] = np.ascontiguousarray(
+            np.asarray(node["A"]).T)  # [r, in]
+        out[f"transformer.{name}.lora_B.weight"] = np.ascontiguousarray(
+            np.asarray(node["B"]).T)  # [out, r]
+
+    def module(pre: str, sub: Dict[str, Any]):
+        for key, val in sub.items():
+            if not isinstance(val, dict) or ("A" in val and "B" in val):
+                continue
+            node = val.get("kernel")
+            if isinstance(node, dict) and "A" in node:
+                short = _LORA_NAME_MAP.get(key, key)
+                add(f"{pre}.{short}", short, node)
+            else:
+                module(f"{pre}.{key}", val)
+
+    for (start, length, _), seg in zip(cfg.mot_segments, lora["blocks"]):
+        for li in range(length):
+            bp = jax.tree.map(lambda x: x[li], seg)
+            module(f"transformer_blocks.{start + li}", bp)
+
+    config = {
+        "r": int(rank), "lora_alpha": float(alpha), "peft_type": "LORA",
+        "target_modules": sorted(targets_seen),
+    }
+    meta = {"format": "pt", "lora_config": json.dumps(config)}
+    meta.update(metadata or {})
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    save_file(out, path, metadata=meta)
+    return path
+
+
+def load_lora_metadata(path: str) -> Dict[str, Any]:
+    """Read the embedded lora_config from a safetensors header."""
+    import struct
+
+    with open(path, "rb") as f:
+        n = struct.unpack("<Q", f.read(8))[0]
+        header = json.loads(f.read(n))
+    meta = header.get("__metadata__", {})
+    return json.loads(meta["lora_config"]) if "lora_config" in meta else {}
