@@ -132,6 +132,19 @@ def main(argv=None):
         else:
             params["text_encoder"] = init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, dtype)
 
+        # Wan-I2V needs the CLIP ViT-H image encoder for conditioning
+        # (reference WanModelSpecification.load_condition_models)
+        from vap_tpu.models.text_encoders.clip_vision import (
+            CLIPVisionConfig, convert_clip_vision_state_dict, init_clip_vision)
+
+        clip_cfg = CLIPVisionConfig()
+        ie = maybe(os.path.join(base, "image_encoder", "model.safetensors")) if base else None
+        if ie:
+            params["image_encoder"] = convert_clip_vision_state_dict(
+                load_safetensors(ie), clip_cfg, dtype)
+        else:
+            params["image_encoder"] = init_clip_vision(jax.random.fold_in(key, 3), clip_cfg, dtype)
+
     tokenizer = None
     if args.pretrained_model_name_or_path:
         try:
@@ -143,7 +156,10 @@ def main(argv=None):
             logger.warning("no tokenizer found; pass precomputed embeddings")
 
     spec_cls = get_model_spec_cls(args.model_name, args.training_type)
-    spec = spec_cls(t_cfg, vae_cfg, txt_cfg, params, tokenizer, dtype)
+    if args.model_name == "wan":
+        spec = spec_cls(t_cfg, vae_cfg, txt_cfg, params, tokenizer, clip_cfg, dtype)
+    else:
+        spec = spec_cls(t_cfg, vae_cfg, txt_cfg, params, tokenizer, dtype)
 
     trainer = SFTTrainer(args, spec)
     try:
