@@ -67,3 +67,28 @@ def test_safetensors_export_roundtrip(tmp_path, torch_reference):
     reloaded = convert_cogvideox_mot_state_dict(sd, cfg)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(reloaded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_checkpoint_8bit_opt_state_roundtrip(tmp_path):
+    """int8 NamedTuple optimizer state must survive orbax save/restore
+    (resume path for adam-8bit runs)."""
+    import jax.numpy as jnp
+    from vap_tpu.training.optimizer import get_lr_schedule, get_optimizer
+
+    params = {"w": jnp.arange(100, dtype=jnp.float32).reshape(10, 10)}
+    tx = get_optimizer("adamw-8bit", get_lr_schedule("constant", 1e-3))
+    opt_state = tx.init(params)
+    import optax
+    u, opt_state = tx.update({"w": jnp.ones((10, 10)) * 0.3}, opt_state, params)
+    params = optax.apply_updates(params, u)
+
+    ckpt = Checkpointer(str(tmp_path / "c8"), async_save=False)
+    ckpt.save(1, params=params, opt_state=opt_state)
+    ckpt.wait()
+    restored = ckpt.restore(1, params_template=params, opt_state_template=opt_state)
+    for a, b in zip(jax.tree.leaves(restored["opt_state"]), jax.tree.leaves(opt_state)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed state continues stepping
+    u2, _ = tx.update({"w": jnp.ones((10, 10)) * 0.3}, restored["opt_state"], restored["params"])
+    assert np.isfinite(np.asarray(u2["w"])).all()
