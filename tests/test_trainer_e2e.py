@@ -143,3 +143,68 @@ def _init_vae_params_cpu(cfg):
 
     with jax.default_device(jax.devices("cpu")[0]):
         return init_cogvideox_vae(jax.random.PRNGKey(1), cfg, jnp.float32)
+
+
+def _make_dpo_dataset_dir(tmp_path, n=4):
+    import pandas as pd
+
+    vids = []
+    for i in range(2 * n):
+        frames = (np.random.default_rng(i).uniform(0, 1, (9, 32, 32, 3)) * 255).astype(np.uint8)
+        p = tmp_path / f"d{i}.mp4"
+        export_to_video(frames, str(p), fps=16)
+        vids.append(f"d{i}.mp4")
+    rows = [{
+        "video_paths": vids[2 * i],
+        "win_video_paths": vids[2 * i],
+        "lose_video_paths": vids[2 * i + 1],
+        "dpo_weight": 0.8,
+        "tar_video_caption": f"cap {i}",
+        "ref_video_paths": json.dumps([vids[(2 * i + 2) % (2 * n)]]),
+        "kind": "fx", "split": "train", "reference_alignment_score": 9.0,
+    } for i in range(n)]
+    pd.DataFrame(rows).to_csv(tmp_path / "vap_data.csv", index=False)
+    return tmp_path
+
+
+@pytest.mark.slow
+def test_trainer_dpo_end_to_end(tmp_path, monkeypatch):
+    """DPO training type: LoRA policy updates, frozen base untouched, LoRA
+    adapters exported alongside merged weights."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    root = _make_dpo_dataset_dir(tmp_path)
+
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "transformer": init_cogvideox_mot(key, t_cfg, jnp.float32),
+        "vae": _init_vae_params_cpu(vae_cfg),
+        "text_encoder": init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, jnp.float32),
+    }
+    spec = CogVideoXSpec(t_cfg, vae_cfg, txt_cfg, params, FakeTokenizer(), jnp.float32)
+    spec.prepare_conditions = lambda s, _o=spec.prepare_conditions: _o(s, max_length=t_cfg.max_text_seq_length)
+
+    args = TrainingArgs(
+        data_root=str(root), train_steps=2, batch_size=1, logging_steps=1,
+        checkpointing_steps=10, output_dir=str(tmp_path / "outd"),
+        video_resolution_buckets=((9, 32, 32),), lr=1e-3,
+        gradient_checkpointing=False, mask_caption_ratio=0.0,
+        training_type="dpo", rank=2, lora_alpha=2,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        trainer = SFTTrainer(args, spec)
+        assert trainer.dpo
+        base_leaf = np.asarray(jax.tree.leaves(trainer.frozen_params)[0]).copy()
+        state = trainer.run()
+        assert state.step == 2
+        path = trainer.export()
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(trainer.frozen_params)[0]), base_leaf)
+    assert os.path.exists(path)
+    lora_path = os.path.join(os.path.dirname(path), "pytorch_lora_weights.safetensors")
+    assert os.path.exists(lora_path)
+    from vap_tpu.training.checkpoint import load_lora_metadata
+
+    assert load_lora_metadata(lora_path)["r"] == 2

@@ -266,3 +266,4 @@ class WanSpec:
 SUPPORTED_MODEL_SPECS[("wan", "video_as_prompt_mot")] = WanSpec
 SUPPORTED_MODEL_SPECS[("wan", "sft")] = WanSpec
 SUPPORTED_MODEL_SPECS[("wan", "lora")] = WanSpec
+SUPPORTED_MODEL_SPECS[("wan", "dpo")] = WanSpec

@@ -249,10 +249,11 @@ def _per_sample_weighted_mse(cfg: TrainStepConfig, params, batch, key):
     return per_sample  # [2B]
 
 
-def make_dpo_step(cfg: TrainStepConfig, optimizer, *, beta: float = 500.0,
-                  lora_rank: int = 64, lora_alpha: float = 64.0):
-    """DPO over win/lose pairs. Policy = frozen base + LoRA adapters; the
-    frozen model itself is the DPO reference (no deepcopy needed — pure fns).
+def _make_dpo_step_from(per_sample_fn, cfg, optimizer, *, beta: float = 500.0,
+                        lora_rank: int = 64, lora_alpha: float = 64.0):
+    """DPO over win/lose pairs for any per-sample loss. Policy = frozen base +
+    LoRA adapters; the frozen model itself is the DPO reference (no deepcopy
+    needed — pure fns).
 
     step(lora_params, base_params, opt_state, batch, key) ->
         (lora_params, opt_state, metrics)
@@ -266,13 +267,13 @@ def make_dpo_step(cfg: TrainStepConfig, optimizer, *, beta: float = 500.0,
         return lora, optimizer.init(lora)
 
     def step_fn(lora_params, base_params, opt_state, batch, key):
-        ref_losses = _per_sample_weighted_mse(cfg, base_params, batch, key)
+        ref_losses = per_sample_fn(cfg, base_params, batch, key)
         ref_w, ref_l = jnp.split(ref_losses, 2)
         ref_diff = ref_w - ref_l
 
         def loss_fn(lp):
             policy = apply_lora(base_params, lp, alpha=lora_alpha, rank=lora_rank)
-            losses = _per_sample_weighted_mse(cfg, policy, batch, key)
+            losses = per_sample_fn(cfg, policy, batch, key)
             lw, ll = jnp.split(losses, 2)
             model_diff = lw - ll
             inside = -0.5 * beta * (model_diff - jax.lax.stop_gradient(ref_diff))
@@ -288,6 +289,13 @@ def make_dpo_step(cfg: TrainStepConfig, optimizer, *, beta: float = 500.0,
         return lora_params, opt_state, metrics
 
     return init_fn, step_fn
+
+
+def make_dpo_step(cfg: TrainStepConfig, optimizer, *, beta: float = 500.0,
+                  lora_rank: int = 64, lora_alpha: float = 64.0):
+    """CogVideoX DPO (v-prediction per-sample loss)."""
+    return _make_dpo_step_from(_per_sample_weighted_mse, cfg, optimizer,
+                               beta=beta, lora_rank=lora_rank, lora_alpha=lora_alpha)
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +361,57 @@ class WanTrainStepConfig:
     model: Any  # WanMOTConfig
     num_train_timesteps: int = 1000
     remat: bool = True
+
+
+def _wan_per_sample_mse(cfg: "WanTrainStepConfig", params, batch, key):
+    """Per-sample (non-reduced) flow-matching loss; win/lose halves share the
+    sigma + noise draw (reference DPO batch-doubling, cogvideox spec :742 —
+    the Wan analog uses the same pairing)."""
+    from ..models.wan.transformer_mot import wan_mot_forward
+
+    latents = batch["latents"].astype(jnp.float32)
+    b, f_lat = latents.shape[:2]
+    latents_ref = batch["latents_mot_ref"].astype(jnp.float32)
+    num_mot_ref = latents_ref.shape[1] // f_lat
+
+    k_t, k_n = jax.random.split(key)
+    half = b // 2
+    u_half = jax.random.uniform(k_t, (half,))
+    sigmas = jnp.concatenate([u_half, u_half])
+    timesteps = sigmas * cfg.num_train_timesteps
+    n_half = jax.random.normal(k_n, (half,) + latents.shape[1:], jnp.float32)
+    noise = jnp.concatenate([n_half, n_half])
+    s = sigmas.reshape(b, 1, 1, 1, 1)
+    noisy = (1.0 - s) * latents + s * noise
+    target = noise - latents
+
+    hidden = jnp.concatenate([noisy, batch["condition"].astype(jnp.float32)], axis=-1)
+    hidden_ref = jnp.concatenate(
+        [latents_ref, batch["condition_mot_ref"].astype(jnp.float32)], axis=-1)
+    dtype = batch["encoder_hidden_states"].dtype
+    t_ref = jnp.ones((b, num_mot_ref), jnp.float32)
+    velocity, _ = wan_mot_forward(
+        params, cfg.model,
+        hidden_states=hidden.astype(dtype),
+        timestep=timesteps,
+        encoder_hidden_states=batch["encoder_hidden_states"],
+        encoder_hidden_states_image=batch.get("encoder_hidden_states_image"),
+        hidden_states_mot_ref=hidden_ref.astype(dtype),
+        timestep_mot_ref=t_ref,
+        encoder_hidden_states_mot_ref=batch["encoder_hidden_states_mot_ref"],
+        encoder_hidden_states_image_mot_ref=batch.get("encoder_hidden_states_image_mot_ref"),
+        num_mot_ref=num_mot_ref,
+        remat=cfg.remat,
+    )
+    err = jnp.square(velocity.astype(jnp.float32) - target)
+    return jnp.mean(err, axis=tuple(range(1, err.ndim)))  # [2B]
+
+
+def make_wan_dpo_step(cfg: "WanTrainStepConfig", optimizer, *, beta: float = 500.0,
+                      lora_rank: int = 64, lora_alpha: float = 64.0):
+    """Wan DPO (flow-matching per-sample loss)."""
+    return _make_dpo_step_from(_wan_per_sample_mse, cfg, optimizer,
+                               beta=beta, lora_rank=lora_rank, lora_alpha=lora_alpha)
 
 
 def make_wan_train_step(cfg: WanTrainStepConfig, optimizer: optax.GradientTransformation):

@@ -30,7 +30,9 @@ from .optimizer import get_lr_schedule, get_optimizer
 from .train_step import (
     TrainStepConfig,
     WanTrainStepConfig,
+    make_dpo_step,
     make_train_step,
+    make_wan_dpo_step,
     make_wan_train_step,
 )
 
@@ -72,12 +74,23 @@ class SFTTrainer:
             args.optimizer, schedule, beta1=args.beta1, beta2=args.beta2,
             epsilon=args.epsilon, weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm)
 
-        step_factory = make_wan_train_step if family == "wan" else make_train_step
-        init_fn, step_fn = step_factory(self.step_cfg, self.optimizer)
+        self.dpo = bool(args.dpo or args.training_type == "dpo")
         params = model_spec.params["transformer"]
         if self.mesh is not None:
             params = shard_params(params, self.mesh)
-        self.train_params, self.frozen_params, self.opt_state = init_fn(params)
+        if self.dpo:
+            # LoRA policy over the frozen base; the base doubles as the DPO
+            # reference model (reference trainer.py:774-825)
+            dpo_factory = make_wan_dpo_step if family == "wan" else make_dpo_step
+            init_fn, step_fn = dpo_factory(
+                self.step_cfg, self.optimizer,
+                lora_rank=args.rank, lora_alpha=float(args.lora_alpha))
+            self.frozen_params = params
+            self.train_params, self.opt_state = init_fn(params, jax.random.PRNGKey(args.seed))
+        else:
+            step_factory = make_wan_train_step if family == "wan" else make_train_step
+            init_fn, step_fn = step_factory(self.step_cfg, self.optimizer)
+            self.train_params, self.frozen_params, self.opt_state = init_fn(params)
         self._step = jax.jit(step_fn)
 
         self.train_state = TrainState()
@@ -89,7 +102,12 @@ class SFTTrainer:
         args = self.args
         shard_index = jax.process_index()
         num_shards = max(jax.process_count(), 1)
-        dataset = VideoAsPromptDataset(
+        ds_cls = VideoAsPromptDataset
+        if self.dpo:
+            from ..data.dataset import VideoAsPromptDPODataset
+
+            ds_cls = VideoAsPromptDPODataset
+        dataset = ds_cls(
             args.data_root,
             meta_df_name=args.meta_df_name,
             infinite=True,
@@ -114,6 +132,13 @@ class SFTTrainer:
             cond = self.spec.prepare_conditions(sample)
         with self.tracker.timed("timing/prepare_latents"):
             lat = self.spec.prepare_latents(sample)
+        if self.dpo:
+            lose, _ = resize_to_nearest_bucket(
+                sample["video_lose"], self.args.video_resolution_buckets)
+            lat_lose = self.spec.prepare_latents(dict(sample, video=lose))
+            # only the target latents differ; image/ref conditioning is shared
+            lat["latents_lose"] = lat_lose["latents"]
+            lat["dpo_weight"] = np.asarray([sample.get("dpo_weight", 1.0)], np.float32)
         return cond, lat
 
     # ------------------------------------------------------------------
@@ -149,6 +174,8 @@ class SFTTrainer:
                 sampler.consume(cond, lat)
             conds, lats = sampler.get_batch()
             batch = {**collate_tensor_dicts(conds), **collate_tensor_dicts(lats)}
+            if self.dpo:
+                batch = _assemble_dpo_batch(batch)
             if self.mesh is not None:
                 batch = {
                     k: jax.device_put(np.asarray(v), batch_sharding(self.mesh, np.asarray(v).ndim))
@@ -190,13 +217,21 @@ class SFTTrainer:
         return self.train_state
 
     # ------------------------------------------------------------------
+    def _merged_params(self):
+        if self.dpo:
+            from .lora import apply_lora
+
+            return apply_lora(self.frozen_params, self.train_params,
+                              alpha=float(self.args.lora_alpha), rank=self.args.rank)
+        from .train_step import merge_params
+
+        return merge_params(self.train_params, self.frozen_params)
+
     def _validate(self, key, num_samples: int = 1):
         """Full pipeline sampling with live training weights
         (reference SFTTrainer._validate, trainer.py:939-1110)."""
-        from .train_step import merge_params
-
         args = self.args
-        merged = merge_params(self.train_params, self.frozen_params)
+        merged = self._merged_params()
         ds = VideoAsPromptValidationDataset(
             args.validation_dataset_file,
             shard_index=jax.process_index(), num_shards=max(jax.process_count(), 1))
@@ -234,10 +269,33 @@ class SFTTrainer:
     # ------------------------------------------------------------------
     def export(self, path: Optional[str] = None) -> str:
         """Merge trained MoT params back into the full tree and write HF-layout
-        safetensors (reference save_model_hook + _save_model_videoasprompt_mot)."""
-        from .train_step import merge_params
-
-        full = merge_params(self.train_params, self.frozen_params)
+        safetensors (reference save_model_hook + _save_model_videoasprompt_mot).
+        DPO runs additionally write the LoRA adapters in PEFT layout."""
+        full = self._merged_params()
         path = path or os.path.join(self.args.output_dir, "model_weights",
                                     f"{self.train_state.step:06d}", "model.safetensors")
-        return export_safetensors(full, self.spec.transformer_cfg, path)
+        out = export_safetensors(full, self.spec.transformer_cfg, path)
+        if self.dpo:
+            from .checkpoint import export_lora_safetensors
+
+            export_lora_safetensors(
+                self.train_params, self.spec.transformer_cfg,
+                os.path.join(os.path.dirname(path), "pytorch_lora_weights.safetensors"),
+                rank=self.args.rank, alpha=float(self.args.lora_alpha))
+        return out
+
+
+def _assemble_dpo_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Stack win-then-lose rows: [2B] batch with the first half the win
+    latents; everything without a *_lose twin is duplicated (shared
+    conditioning). dpo_weight stays [B]."""
+    out = {}
+    for k, v in batch.items():
+        if k.endswith("_lose") or k == "dpo_weight":
+            continue
+        v = np.asarray(v)
+        twin = batch.get(k + "_lose")
+        out[k] = np.concatenate([v, np.asarray(twin) if twin is not None else v], axis=0)
+    if "dpo_weight" in batch:
+        out["dpo_weight"] = np.asarray(batch["dpo_weight"], np.float32).reshape(-1)
+    return out
