@@ -167,13 +167,72 @@ class _NotYetImplementedSpec:
     def __init__(self, *a, **k):
         raise NotImplementedError(
             f"model family {self.FAMILY!r} is not yet implemented in vap_tpu; "
-            "supported today: cogvideox (full), wan (models/pipeline/train step)")
+            "supported today: cogvideox (full), wan (models/pipeline/train step), "
+            "flux (models/train step)")
 
 
-for _family in ("ltx_video", "hunyuan_video", "flux", "cogview4"):
+for _family in ("ltx_video", "hunyuan_video", "cogview4"):
     _cls = type(f"_{_family}_spec", (_NotYetImplementedSpec,), {"FAMILY": _family})
     for _tt in ("sft", "lora"):
         SUPPORTED_MODEL_SPECS[(_family, _tt)] = _cls
+
+
+class FluxSpec:
+    """Flux text-to-image spec (reference FluxModelSpecification,
+    finetrainers/models/flux/base_specification.py:80-365): CLIP pooled +
+    T5 sequence conditions, 2D AutoencoderKL latents with shift/scale
+    normalization, flow-matching SFT over packed latents. Images come from
+    the sample's first frame, as in the reference latent processor (:64)."""
+
+    family = "flux"
+
+    def __init__(self, transformer_cfg, vae_cfg, text_cfg, params: Dict[str, Any],
+                 tokenizer=None, clip_tokenizer=None, clip_text_cfg=None,
+                 dtype=jnp.bfloat16):
+        from ..models.autoencoder_kl import scale_latents, vae2d_encode
+
+        self.transformer_cfg = transformer_cfg
+        self.vae_cfg = vae_cfg
+        self.text_cfg = text_cfg          # T5 (text_encoder_2 in the reference)
+        self.clip_text_cfg = clip_text_cfg
+        self.params = params
+        self.tokenizer = tokenizer        # T5 tokenizer
+        self.clip_tokenizer = clip_tokenizer
+        self.dtype = dtype
+
+        def _enc(p, img):
+            moments = vae2d_encode(p, vae_cfg, img)
+            mean = moments[..., : vae_cfg.latent_channels]
+            return scale_latents(vae_cfg, mean)
+
+        self._vae = jax.jit(_enc)
+        self._t5 = jax.jit(lambda p, ids: t5_encode(p, text_cfg, ids))
+
+    def prepare_conditions(self, sample: Dict[str, Any], max_length: int = 512,
+                           clip_max_length: int = 77) -> Dict[str, Any]:
+        from ..models.text_encoders.clip_text import clip_text_encode
+
+        caption = sample["caption"]
+        toks = self.tokenizer([caption], padding="max_length", max_length=max_length,
+                              truncation=True, add_special_tokens=True, return_tensors="np")
+        embeds = np.asarray(self._t5(self.params["text_encoder_2"],
+                                     jnp.asarray(toks["input_ids"])))
+        ctoks = (self.clip_tokenizer or self.tokenizer)(
+            [caption], padding="max_length", max_length=clip_max_length,
+            truncation=True, return_tensors="np")
+        _, pooled = clip_text_encode(self.params["text_encoder"], self.clip_text_cfg,
+                                     jnp.asarray(ctoks["input_ids"]))
+        return {"encoder_hidden_states": embeds,
+                "pooled_projections": np.asarray(pooled)}
+
+    def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        image = sample["image"] if "image" in sample else sample["video"][0]
+        img = jnp.asarray(image, jnp.float32)[None].astype(self.dtype)  # [1, H, W, 3]
+        return {"latents": np.asarray(self._vae(self.params["vae"], img), np.float32)}
+
+
+SUPPORTED_MODEL_SPECS[("flux", "sft")] = FluxSpec
+SUPPORTED_MODEL_SPECS[("flux", "lora")] = FluxSpec
 
 
 class WanSpec:

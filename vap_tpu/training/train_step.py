@@ -414,6 +414,74 @@ def make_wan_dpo_step(cfg: "WanTrainStepConfig", optimizer, *, beta: float = 500
                                beta=beta, lora_rank=lora_rank, lora_alpha=lora_alpha)
 
 
+# ---------------------------------------------------------------------------
+# Flux flow-matching SFT loss (reference FluxModelSpecification.forward,
+# finetrainers/models/flux/base_specification.py:302-365): scaled image
+# latents, x_t = (1-sigma) x0 + sigma n packed 2x2, target = n - x0,
+# guidance embedding fixed at 1.0 during training.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FluxTrainStepConfig:
+    model: Any  # FluxConfig
+    remat: bool = True
+
+
+def flux_loss(params, cfg: "FluxTrainStepConfig", batch, key):
+    """batch: latents [B, h, w, C] (already shift/scale-normalized),
+    encoder_hidden_states [B, S, joint_dim], pooled_projections [B, P]."""
+    from ..models.flux.transformer import (
+        flux_forward, pack_latents, prepare_latent_image_ids, unpack_latents)
+
+    latents = batch["latents"].astype(jnp.float32)
+    b, h, w, c = latents.shape
+    k_t, k_n = jax.random.split(key)
+    sigmas = jax.random.uniform(k_t, (b,))
+    noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+    s = sigmas.reshape(b, 1, 1, 1)
+    noisy = (1.0 - s) * latents + s * noise
+
+    dtype = batch["encoder_hidden_states"].dtype
+    packed = pack_latents(noisy.transpose(0, 3, 1, 2)).astype(dtype)
+    img_ids = prepare_latent_image_ids(h // 2, w // 2)
+    pred = flux_forward(
+        params, cfg.model,
+        hidden_states=packed,
+        encoder_hidden_states=batch["encoder_hidden_states"],
+        pooled_projections=batch["pooled_projections"],
+        timestep=sigmas,
+        img_ids=img_ids,
+        guidance=jnp.ones((b,), jnp.float32) if cfg.model.guidance_embeds else None,
+        remat=cfg.remat,
+    )
+    pred = unpack_latents(pred.astype(jnp.float32), h, w).transpose(0, 2, 3, 1)
+    target = noise - latents
+    loss = jnp.mean(jnp.square(pred - target))
+    return loss, {"loss": loss}
+
+
+def make_flux_train_step(cfg: FluxTrainStepConfig, optimizer: optax.GradientTransformation):
+    """Full-finetune SFT step for Flux (reference trains the whole transformer
+    or LoRA; LoRA composes via training/lora.py as usual)."""
+
+    def init_fn(params):
+        return params, {}, optimizer.init(params)
+
+    def step_fn(train_params, frozen_params, opt_state, batch, key):
+        del frozen_params
+
+        def loss_fn(tp):
+            return flux_loss(tp, cfg, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, train_params)
+        train_params = optax.apply_updates(train_params, updates)
+        return train_params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
 def make_wan_train_step(cfg: WanTrainStepConfig, optimizer: optax.GradientTransformation):
     """Wan variant of make_train_step (same MoT-only partitioning)."""
 
