@@ -415,6 +415,89 @@ def make_wan_dpo_step(cfg: "WanTrainStepConfig", optimizer, *, beta: float = 500
 
 
 # ---------------------------------------------------------------------------
+# LTX-Video flow-matching SFT loss (reference LTXVideoModelSpecification
+# .forward, finetrainers/models/ltx_video/base_specification.py:282-358):
+# per-channel-normalized latents, with probability 0.1 the FIRST frame is
+# noised at a smaller sigma min(u*sigma, 0.25) (image conditioning, paper
+# §2.4); timesteps are broadcast per-token; target = n - x0.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LTXTrainStepConfig:
+    model: Any  # LTXVideoConfig
+    first_frame_conditioning_p: float = 0.1
+    min_first_frame_sigma: float = 0.25
+    frame_rate: float = 25.0
+    temporal_compression: int = 8
+    spatial_compression: int = 32
+    remat: bool = True
+
+
+def ltx_loss(params, cfg: "LTXTrainStepConfig", batch, key):
+    """batch: latents [B, C, F, H, W] (already normalized),
+    encoder_hidden_states [B, S, caption_channels], prompt_attention_mask."""
+    from ..models.ltx_video.transformer import ltx_video_forward, pack_ltx_latents
+
+    latents = batch["latents"].astype(jnp.float32)
+    b, c, f, h, w = latents.shape
+    k_s, k_n, k_p, k_ff = jax.random.split(key, 4)
+    sigmas = jax.random.uniform(k_s, (b,))
+    noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+
+    apply_ff = jax.random.uniform(k_p, ()) < cfg.first_frame_conditioning_p
+    ff_sigma = jnp.minimum(jax.random.uniform(k_ff, (b,)) * sigmas,
+                           cfg.min_first_frame_sigma)
+    sigma_first = jnp.where(apply_ff, ff_sigma, sigmas).reshape(b, 1, 1, 1, 1)
+    s = sigmas.reshape(b, 1, 1, 1, 1)
+    noisy_first = (1.0 - sigma_first) * latents[:, :, :1] + sigma_first * noise[:, :, :1]
+    noisy_rest = (1.0 - s) * latents[:, :, 1:] + s * noise[:, :, 1:]
+    noisy = jnp.concatenate([noisy_first, noisy_rest], axis=2)
+
+    pt, p = cfg.model.patch_size_t, cfg.model.patch_size
+    packed = pack_ltx_latents(noisy, p, pt)
+    seq = packed.shape[1]
+    timesteps = jnp.broadcast_to((sigmas * 1000.0)[:, None], (b, seq))
+
+    dtype = batch["encoder_hidden_states"].dtype
+    rope_scale = (cfg.temporal_compression / cfg.frame_rate,
+                  float(cfg.spatial_compression), float(cfg.spatial_compression))
+    pred = ltx_video_forward(
+        params, cfg.model,
+        hidden_states=packed.astype(dtype),
+        encoder_hidden_states=batch["encoder_hidden_states"],
+        timestep=timesteps,
+        num_frames=f // pt, height=h // p, width=w // p,
+        rope_interpolation_scale=rope_scale,
+        encoder_attention_mask=batch.get("prompt_attention_mask"),
+        remat=cfg.remat,
+    ).astype(jnp.float32)
+    target = pack_ltx_latents(noise - latents, p, pt)
+    loss = jnp.mean(jnp.square(pred - target))
+    return loss, {"loss": loss}
+
+
+def make_ltx_train_step(cfg: LTXTrainStepConfig, optimizer: optax.GradientTransformation):
+    """Full-finetune SFT step for LTX-Video."""
+
+    def init_fn(params):
+        return params, {}, optimizer.init(params)
+
+    def step_fn(train_params, frozen_params, opt_state, batch, key):
+        del frozen_params
+
+        def loss_fn(tp):
+            return ltx_loss(tp, cfg, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, train_params)
+        train_params = optax.apply_updates(train_params, updates)
+        return train_params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
 # Flux flow-matching SFT loss (reference FluxModelSpecification.forward,
 # finetrainers/models/flux/base_specification.py:302-365): scaled image
 # latents, x_t = (1-sigma) x0 + sigma n packed 2x2, target = n - x0,
