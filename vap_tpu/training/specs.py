@@ -171,10 +171,65 @@ class _NotYetImplementedSpec:
             "flux (models/train step)")
 
 
-for _family in ("hunyuan_video", "cogview4"):
+for _family in ("hunyuan_video",):
     _cls = type(f"_{_family}_spec", (_NotYetImplementedSpec,), {"FAMILY": _family})
     for _tt in ("sft", "lora"):
         SUPPORTED_MODEL_SPECS[(_family, _tt)] = _cls
+
+
+class CogView4Spec:
+    """CogView4 text-to-image spec (reference CogView4ModelSpecification,
+    finetrainers/models/cogview4/base_specification.py): GLM text conditions,
+    SD-style 2D AutoencoderKL latents with SDXL-like size conditions,
+    flow-matching SFT with resolution-dependent sigma shift. The GLM-4 text
+    encoder is not yet ported — pass precomputed `encoder_hidden_states` in
+    the sample; latents/size conditions are fully implemented."""
+
+    family = "cogview4"
+
+    def __init__(self, transformer_cfg, vae_cfg, text_cfg, params: Dict[str, Any],
+                 tokenizer=None, dtype=jnp.bfloat16):
+        from ..models.autoencoder_kl import scale_latents, vae2d_encode
+
+        self.transformer_cfg = transformer_cfg
+        self.vae_cfg = vae_cfg
+        self.text_cfg = text_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+
+        def _enc(p, img):
+            moments = vae2d_encode(p, vae_cfg, img)
+            return scale_latents(vae_cfg, moments[..., : vae_cfg.latent_channels])
+
+        self._vae = jax.jit(_enc)
+
+    def prepare_conditions(self, sample: Dict[str, Any], **_) -> Dict[str, Any]:
+        if "encoder_hidden_states" in sample:
+            return {"encoder_hidden_states": np.asarray(sample["encoder_hidden_states"],
+                                                        np.float32)}
+        raise NotImplementedError(
+            "the GLM-4 text encoder is not yet ported to vap_tpu — precompute "
+            "text embeddings (sample['encoder_hidden_states'], "
+            "[B, S, text_embed_dim]) to train CogView4")
+
+    def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        image = sample["image"] if "image" in sample else sample["video"][0]
+        oh, ow = sample.get("original_size", image.shape[:2])
+        img = jnp.asarray(image, jnp.float32)[None].astype(self.dtype)
+        lat = np.asarray(self._vae(self.params["vae"], img), np.float32)
+        # transformer layout is NCHW
+        lat = lat.transpose(0, 3, 1, 2)
+        return {
+            "latents": lat,
+            "original_size": np.asarray([[oh, ow]], np.float32),
+            "target_size": np.asarray([[image.shape[0], image.shape[1]]], np.float32),
+            "crop_coords": np.zeros((1, 2), np.float32),
+        }
+
+
+SUPPORTED_MODEL_SPECS[("cogview4", "sft")] = CogView4Spec
+SUPPORTED_MODEL_SPECS[("cogview4", "lora")] = CogView4Spec
 
 
 class LTXVideoSpec:

@@ -498,6 +498,84 @@ def make_ltx_train_step(cfg: LTXTrainStepConfig, optimizer: optax.GradientTransf
 
 
 # ---------------------------------------------------------------------------
+# CogView4 flow-matching SFT loss (reference CogView4ModelSpecification
+# .forward, finetrainers/models/cogview4/base_specification.py:289-338):
+# resolution-dependent sigma shift mu = sqrt(seq/256)*0.75 + 0.25,
+# shifted = mu / (mu + 1/sigma - 1); latents noised at the SHIFTED sigma while
+# the timestep embedding receives the UNSHIFTED sigma*1000; SDXL-style size
+# conditions; target = n - x0.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CogView4TrainStepConfig:
+    model: Any  # CogView4Config
+    base_image_sequence_length: int = 256
+    base_shift: float = 0.25
+    max_shift: float = 0.75
+    remat: bool = True
+
+
+def cogview4_loss(params, cfg: "CogView4TrainStepConfig", batch, key):
+    """batch: latents [B, C, H, W] (shift/scale-normalized),
+    encoder_hidden_states [B, S, text_embed_dim], original_size/target_size/
+    crop_coords [B, 2] (optional, derived from latent dims if absent)."""
+    from ..models.cogview4.transformer import cogview4_forward
+
+    latents = batch["latents"].astype(jnp.float32)
+    b, c, h, w = latents.shape
+    k_s, k_n = jax.random.split(key)
+    sigmas = jax.random.uniform(k_s, (b,))
+    noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+
+    seq = (h * w) // (cfg.model.patch_size ** 2)
+    mu = (seq / cfg.base_image_sequence_length) ** 0.5 * cfg.max_shift + cfg.base_shift
+    shifted = mu / (mu + (1.0 / sigmas - 1.0))
+    s = shifted.reshape(b, 1, 1, 1)
+    noisy = (1.0 - s) * latents + s * noise
+
+    comp = 8  # SD-family VAE spatial compression
+    default_size = jnp.broadcast_to(
+        jnp.asarray([[h * comp, w * comp]], jnp.float32), (b, 2))
+    dtype = batch["encoder_hidden_states"].dtype
+    pred = cogview4_forward(
+        params, cfg.model,
+        hidden_states=noisy.astype(dtype),
+        encoder_hidden_states=batch["encoder_hidden_states"],
+        timestep=sigmas * 1000.0,
+        original_size=batch.get("original_size", default_size),
+        target_size=batch.get("target_size", default_size),
+        crop_coords=batch.get("crop_coords", jnp.zeros((b, 2), jnp.float32)),
+        attention_mask=batch.get("prompt_attention_mask"),
+        remat=cfg.remat,
+    ).astype(jnp.float32)
+    target = noise - latents
+    loss = jnp.mean(jnp.square(pred - target))
+    return loss, {"loss": loss}
+
+
+def make_cogview4_train_step(cfg: CogView4TrainStepConfig,
+                             optimizer: optax.GradientTransformation):
+    """Full-finetune SFT step for CogView4."""
+
+    def init_fn(params):
+        return params, {}, optimizer.init(params)
+
+    def step_fn(train_params, frozen_params, opt_state, batch, key):
+        del frozen_params
+
+        def loss_fn(tp):
+            return cogview4_loss(tp, cfg, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, train_params)
+        train_params = optax.apply_updates(train_params, updates)
+        return train_params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
 # Flux flow-matching SFT loss (reference FluxModelSpecification.forward,
 # finetrainers/models/flux/base_specification.py:302-365): scaled image
 # latents, x_t = (1-sigma) x0 + sigma n packed 2x2, target = n - x0,
