@@ -158,23 +158,62 @@ def _cogvideox_validation(spec: "CogVideoXSpec", merged_params: Dict[str, Any],
 CogVideoXSpec.validation = _cogvideox_validation
 
 
-# Upstream-finetrainers model families not yet wired on TPU: registered so the
-# CLI reports a clear status instead of a KeyError (reference supports
-# ltx_video / hunyuan_video / flux / cogview4 SFT — finetrainers/config.py:48-84).
-class _NotYetImplementedSpec:
-    FAMILY = "?"
+class HunyuanVideoSpec:
+    """HunyuanVideo spec (reference HunyuanVideoModelSpecification,
+    finetrainers/models/hunyuan_video/base_specification.py): LLaMA text
+    embeds + CLIP-L pooled conditions, causal-3D-VAE latents, flow-matching
+    SFT with a fixed distilled-guidance embedding. The LLaMA text encoder and
+    Hunyuan causal VAE are not yet ported — pass precomputed
+    `encoder_hidden_states` and `latents`; CLIP-L pooled conditions are
+    computed natively when a CLIP text encoder is provided."""
 
-    def __init__(self, *a, **k):
+    family = "hunyuan_video"
+
+    def __init__(self, transformer_cfg, vae_cfg, text_cfg, params: Dict[str, Any],
+                 tokenizer=None, clip_text_cfg=None, dtype=jnp.bfloat16):
+        self.transformer_cfg = transformer_cfg
+        self.vae_cfg = vae_cfg
+        self.text_cfg = text_cfg
+        self.clip_text_cfg = clip_text_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+
+    def prepare_conditions(self, sample: Dict[str, Any], clip_max_length: int = 77,
+                           **_) -> Dict[str, Any]:
+        if "encoder_hidden_states" not in sample:
+            raise NotImplementedError(
+                "the LLaMA text encoder is not yet ported to vap_tpu — "
+                "precompute text embeddings (sample['encoder_hidden_states'])")
+        cond = {
+            "encoder_hidden_states": np.asarray(sample["encoder_hidden_states"], np.float32),
+        }
+        if "prompt_attention_mask" in sample:
+            cond["prompt_attention_mask"] = np.asarray(sample["prompt_attention_mask"], np.float32)
+        if "pooled_projections" in sample:
+            cond["pooled_projections"] = np.asarray(sample["pooled_projections"], np.float32)
+        elif self.clip_text_cfg is not None and self.tokenizer is not None:
+            from ..models.text_encoders.clip_text import clip_text_encode
+
+            toks = self.tokenizer([sample["caption"]], padding="max_length",
+                                  max_length=min(clip_max_length,
+                                                 self.clip_text_cfg.max_position_embeddings),
+                                  truncation=True, return_tensors="np")
+            _, pooled = clip_text_encode(self.params["text_encoder_2"], self.clip_text_cfg,
+                                         jnp.asarray(toks["input_ids"]))
+            cond["pooled_projections"] = np.asarray(pooled, np.float32)
+        return cond
+
+    def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
+        if "latents" in sample:
+            return {"latents": np.asarray(sample["latents"], np.float32)}
         raise NotImplementedError(
-            f"model family {self.FAMILY!r} is not yet implemented in vap_tpu; "
-            "supported today: cogvideox (full), wan (models/pipeline/train step), "
-            "flux (models/train step)")
+            "the Hunyuan causal 3D VAE is not yet ported to vap_tpu — "
+            "precompute latents (sample['latents'], [B, C, F, H, W], scaled)")
 
 
-for _family in ("hunyuan_video",):
-    _cls = type(f"_{_family}_spec", (_NotYetImplementedSpec,), {"FAMILY": _family})
-    for _tt in ("sft", "lora"):
-        SUPPORTED_MODEL_SPECS[(_family, _tt)] = _cls
+SUPPORTED_MODEL_SPECS[("hunyuan_video", "sft")] = HunyuanVideoSpec
+SUPPORTED_MODEL_SPECS[("hunyuan_video", "lora")] = HunyuanVideoSpec
 
 
 class CogView4Spec:

@@ -498,6 +498,73 @@ def make_ltx_train_step(cfg: LTXTrainStepConfig, optimizer: optax.GradientTransf
 
 
 # ---------------------------------------------------------------------------
+# HunyuanVideo flow-matching SFT loss (reference HunyuanVideoModel
+# Specification.forward, finetrainers/models/hunyuan_video/
+# base_specification.py:310-341): scaled latents, x_t = (1-sigma) x0 +
+# sigma n, guidance embedding fixed at 1.0*1000 during training,
+# target = n - x0.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanTrainStepConfig:
+    model: Any  # HunyuanVideoConfig
+    guidance: float = 1.0
+    remat: bool = True
+
+
+def hunyuan_loss(params, cfg: "HunyuanTrainStepConfig", batch, key):
+    """batch: latents [B, C, F, H, W] (already scaled), encoder_hidden_states
+    [B, S, text_embed_dim] (LLaMA embeds), pooled_projections [B, P],
+    prompt_attention_mask [B, S]."""
+    from ..models.hunyuan_video.transformer import hunyuan_video_forward
+
+    latents = batch["latents"].astype(jnp.float32)
+    b = latents.shape[0]
+    k_s, k_n = jax.random.split(key)
+    sigmas = jax.random.uniform(k_s, (b,))
+    noise = jax.random.normal(k_n, latents.shape, jnp.float32)
+    s = sigmas.reshape(b, 1, 1, 1, 1)
+    noisy = (1.0 - s) * latents + s * noise
+
+    dtype = batch["encoder_hidden_states"].dtype
+    pred = hunyuan_video_forward(
+        params, cfg.model,
+        hidden_states=noisy.astype(dtype),
+        encoder_hidden_states=batch["encoder_hidden_states"],
+        pooled_projections=batch["pooled_projections"],
+        timestep=sigmas * 1000.0,
+        guidance=jnp.full((b,), cfg.guidance * 1000.0, jnp.float32),
+        encoder_attention_mask=batch.get("prompt_attention_mask"),
+        remat=cfg.remat,
+    ).astype(jnp.float32)
+    target = noise - latents
+    loss = jnp.mean(jnp.square(pred - target))
+    return loss, {"loss": loss}
+
+
+def make_hunyuan_train_step(cfg: HunyuanTrainStepConfig,
+                            optimizer: optax.GradientTransformation):
+    """Full-finetune SFT step for HunyuanVideo."""
+
+    def init_fn(params):
+        return params, {}, optimizer.init(params)
+
+    def step_fn(train_params, frozen_params, opt_state, batch, key):
+        del frozen_params
+
+        def loss_fn(tp):
+            return hunyuan_loss(tp, cfg, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, train_params)
+        train_params = optax.apply_updates(train_params, updates)
+        return train_params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
 # CogView4 flow-matching SFT loss (reference CogView4ModelSpecification
 # .forward, finetrainers/models/cogview4/base_specification.py:289-338):
 # resolution-dependent sigma shift mu = sqrt(seq/256)*0.75 + 0.25,
