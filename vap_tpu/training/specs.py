@@ -173,21 +173,33 @@ class HunyuanVideoSpec:
                  tokenizer=None, clip_text_cfg=None, dtype=jnp.bfloat16):
         self.transformer_cfg = transformer_cfg
         self.vae_cfg = vae_cfg
-        self.text_cfg = text_cfg
+        self.text_cfg = text_cfg  # LlamaConfig (or None for precomputed embeds)
         self.clip_text_cfg = clip_text_cfg
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = dtype
 
     def prepare_conditions(self, sample: Dict[str, Any], clip_max_length: int = 77,
-                           **_) -> Dict[str, Any]:
-        if "encoder_hidden_states" not in sample:
+                           max_length: int = 256, **_) -> Dict[str, Any]:
+        if "encoder_hidden_states" in sample:
+            cond = {"encoder_hidden_states": np.asarray(sample["encoder_hidden_states"],
+                                                        np.float32)}
+        elif self.text_cfg is not None and self.tokenizer is not None \
+                and "text_encoder" in self.params:
+            from ..models.text_encoders.llama import llama_encode
+
+            toks = self.tokenizer([sample["caption"]], padding="max_length",
+                                  max_length=max_length, truncation=True,
+                                  return_tensors="np")
+            hidden = llama_encode(self.params["text_encoder"], self.text_cfg,
+                                  jnp.asarray(toks["input_ids"]),
+                                  jnp.asarray(toks["attention_mask"]))
+            cond = {"encoder_hidden_states": np.asarray(hidden, np.float32),
+                    "prompt_attention_mask": np.asarray(toks["attention_mask"], np.float32)}
+        else:
             raise NotImplementedError(
-                "the LLaMA text encoder is not yet ported to vap_tpu — "
-                "precompute text embeddings (sample['encoder_hidden_states'])")
-        cond = {
-            "encoder_hidden_states": np.asarray(sample["encoder_hidden_states"], np.float32),
-        }
+                "provide a LLaMA text encoder (params['text_encoder'] + LlamaConfig "
+                "+ tokenizer) or precomputed sample['encoder_hidden_states']")
         if "prompt_attention_mask" in sample:
             cond["prompt_attention_mask"] = np.asarray(sample["prompt_attention_mask"], np.float32)
         if "pooled_projections" in sample:
