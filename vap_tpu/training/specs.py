@@ -255,14 +255,26 @@ class CogView4Spec:
 
         self._vae = jax.jit(_enc)
 
-    def prepare_conditions(self, sample: Dict[str, Any], **_) -> Dict[str, Any]:
+    def prepare_conditions(self, sample: Dict[str, Any], max_length: int = 224,
+                           **_) -> Dict[str, Any]:
         if "encoder_hidden_states" in sample:
             return {"encoder_hidden_states": np.asarray(sample["encoder_hidden_states"],
                                                         np.float32)}
+        if self.text_cfg is not None and self.tokenizer is not None \
+                and "text_encoder" in self.params:
+            from ..models.text_encoders.glm import glm_encode
+
+            toks = self.tokenizer([sample["caption"]], padding="max_length",
+                                  max_length=max_length, truncation=True,
+                                  return_tensors="np")
+            hidden = glm_encode(self.params["text_encoder"], self.text_cfg,
+                                jnp.asarray(toks["input_ids"]),
+                                jnp.asarray(toks["attention_mask"]))
+            return {"encoder_hidden_states": np.asarray(hidden, np.float32),
+                    "prompt_attention_mask": np.asarray(toks["attention_mask"], np.float32)}
         raise NotImplementedError(
-            "the GLM-4 text encoder is not yet ported to vap_tpu — precompute "
-            "text embeddings (sample['encoder_hidden_states'], "
-            "[B, S, text_embed_dim]) to train CogView4")
+            "provide a GLM text encoder (params['text_encoder'] + GlmConfig + "
+            "tokenizer) or precomputed sample['encoder_hidden_states']")
 
     def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
         image = sample["image"] if "image" in sample else sample["video"][0]
