@@ -80,3 +80,21 @@ def test_flux_spec_preprocessing(monkeypatch):
 def test_flux_registered():
     assert get_model_spec_cls("flux", "sft") is FluxSpec
     assert get_model_spec_cls("flux", "lora") is FluxSpec
+
+
+def test_lora_on_flux(monkeypatch):
+    """LoRA adapters attach to Flux attention/FFN kernels (mot_only=False)."""
+    from vap_tpu.training.lora import apply_lora, init_lora, lora_param_count
+
+    mcfg = FluxConfig.tiny()
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_flux(jax.random.PRNGKey(0), mcfg)
+        lora = init_lora(jax.random.PRNGKey(1), params, rank=2, mot_only=False)
+        assert lora_param_count(lora) > 0
+        assert lora["dual_blocks"]["attn"]["to_q"]["kernel"] is not None
+        assert lora["single_blocks"]["attn"]["to_q"]["kernel"] is not None
+        # identity at init (B zero)
+        merged = apply_lora(params, lora, alpha=4, rank=2)
+        np.testing.assert_allclose(
+            np.asarray(merged["dual_blocks"]["attn"]["to_q"]["kernel"]),
+            np.asarray(params["dual_blocks"]["attn"]["to_q"]["kernel"]))
