@@ -48,3 +48,17 @@ def test_hunyuan_spec_registered():
         spec.prepare_latents({"video": np.zeros((3, 8, 8, 3))})
     with pytest.raises(NotImplementedError):
         spec.prepare_conditions({"caption": "raw"})
+
+
+def test_hunyuan_spec_native_vae_latents():
+    from vap_tpu.models.hunyuan_video.vae import HunyuanVideoVAEConfig, init_hunyuan_vae
+
+    vae_cfg = HunyuanVideoVAEConfig.tiny()
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = {"vae": init_hunyuan_vae(jax.random.PRNGKey(0), vae_cfg, jnp.float32)}
+        spec = HunyuanVideoSpec(None, vae_cfg, None, params, None, dtype=jnp.float32)
+        video = np.random.default_rng(0).uniform(-1, 1, (5, 8, 8, 3)).astype(np.float32)
+        lat = spec.prepare_latents({"video": video})
+    # tiny cfg: 2x spatial (2 blocks, ratio 2), 2x temporal on block 0
+    assert lat["latents"].shape == (1, vae_cfg.latent_channels, 3, 4, 4)
+    assert np.isfinite(lat["latents"]).all()

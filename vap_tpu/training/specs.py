@@ -219,9 +219,17 @@ class HunyuanVideoSpec:
     def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
         if "latents" in sample:
             return {"latents": np.asarray(sample["latents"], np.float32)}
+        if self.vae_cfg is not None and "vae" in self.params:
+            from ..models.hunyuan_video.vae import hunyuan_vae_encode
+
+            video = jnp.asarray(sample["video"], jnp.float32)[None].astype(self.dtype)
+            moments = hunyuan_vae_encode(self.params["vae"], self.vae_cfg, video)
+            mean = moments[..., : self.vae_cfg.latent_channels]
+            lat = np.asarray(mean, np.float32) * self.vae_cfg.scaling_factor
+            return {"latents": lat.transpose(0, 4, 1, 2, 3)}  # -> [B, C, F, H, W]
         raise NotImplementedError(
-            "the Hunyuan causal 3D VAE is not yet ported to vap_tpu — "
-            "precompute latents (sample['latents'], [B, C, F, H, W], scaled)")
+            "provide a Hunyuan VAE (params['vae'] + HunyuanVideoVAEConfig) or "
+            "precomputed latents (sample['latents'], [B, C, F, H, W], scaled)")
 
 
 SUPPORTED_MODEL_SPECS[("hunyuan_video", "sft")] = HunyuanVideoSpec
