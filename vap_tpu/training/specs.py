@@ -336,9 +336,17 @@ class LTXVideoSpec:
     def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
         if "latents" in sample:
             return {"latents": np.asarray(sample["latents"], np.float32)}
+        if self.vae_cfg is not None and "vae" in self.params:
+            from ..models.ltx_video.vae import ltx_vae_encode, normalize_latents
+
+            video = jnp.asarray(sample["video"], jnp.float32)[None].astype(self.dtype)
+            moments = ltx_vae_encode(self.params["vae"], self.vae_cfg, video)
+            mean = moments[..., : self.vae_cfg.latent_channels]
+            lat = np.asarray(normalize_latents(self.vae_cfg, mean), np.float32)
+            return {"latents": lat.transpose(0, 4, 1, 2, 3)}  # -> [B, C, F, H, W]
         raise NotImplementedError(
-            "the LTX causal 3D VAE is not yet ported to vap_tpu — precompute "
-            "latents (sample['latents'], [B, C, F, H, W], normalized) to train")
+            "provide an LTX VAE (params['vae'] + LTXVideoVAEConfig) or "
+            "precompute latents (sample['latents'], [B, C, F, H, W], normalized)")
 
 
 SUPPORTED_MODEL_SPECS[("ltx_video", "sft")] = LTXVideoSpec
