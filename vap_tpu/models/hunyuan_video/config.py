@@ -24,7 +24,7 @@ class HunyuanVideoConfig:
     pooled_projection_dim: int = 768
     rope_theta: float = 256.0
     rope_axes_dim: Tuple[int, ...] = (16, 56, 56)
-    image_condition_type: Optional[str] = None  # None | "latent_concat"
+    image_condition_type: Optional[str] = None  # None | "latent_concat" | "token_replace"
 
     @property
     def inner_dim(self) -> int:

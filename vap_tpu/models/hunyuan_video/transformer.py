@@ -280,8 +280,14 @@ def hunyuan_video_forward(
     s_img = hs.shape[1]
 
     tte = params["time_text_embed"]
-    temb = (timestep_embedding_mlp(tte["timestep_embedder"], _sinu(timestep, dtype))
-            + timestep_embedding_mlp(tte["text_embedder"], pooled_projections.astype(dtype)))
+    pooled_emb = timestep_embedding_mlp(tte["text_embedder"], pooled_projections.astype(dtype))
+    temb = timestep_embedding_mlp(tte["timestep_embedder"], _sinu(timestep, dtype)) + pooled_emb
+    tr_temb = None
+    if cfg.image_condition_type == "token_replace":
+        # first-frame tokens are conditioned at t=0 (HunyuanVideoConditionEmbedding
+        # :290-307); guidance is NOT added to the token-replace embedding
+        tr_temb = (timestep_embedding_mlp(
+            tte["timestep_embedder"], _sinu(jnp.zeros_like(timestep), dtype)) + pooled_emb)
     if cfg.guidance_embeds:
         g = guidance if guidance is not None else jnp.full((b,), 1000.0, jnp.float32)
         temb = temb + timestep_embedding_mlp(tte["guidance_embedder"], _sinu(g, dtype))
@@ -302,14 +308,29 @@ def hunyuan_video_forward(
         key_bias = jnp.where(keep > 0, 0.0, -jnp.inf
                              ).astype(jnp.float32)[:, None, None, :]
 
-    def _mod6(pm, n=6):
-        m = linear(pm["linear"], silu(temb.astype(jnp.float32)).astype(dtype))
+    # token-replace selectors: first-frame image tokens take the t=0 mods
+    # (HunyuanVideoTokenReplace*Block :647-822). sel shape [1, S, 1].
+    n_first = (h // p) * (w // p)
+    if tr_temb is not None:
+        sel_img = (jnp.arange(s_img) < n_first).astype(jnp.float32)[None, :, None]
+        sel_full = (jnp.arange(s_img + s_txt) < n_first).astype(jnp.float32)[None, :, None]
+
+    def _mod6(pm, emb, n=6):
+        m = linear(pm["linear"], silu(emb.astype(jnp.float32)).astype(dtype))
         return [v.astype(jnp.float32)[:, None] for v in jnp.split(m, n, axis=-1)]
+
+    def _mods_tr(pm, sel, n=6):
+        """Per-token blend of standard and token-replace modulations."""
+        std = _mod6(pm, temb, n)
+        if tr_temb is None:
+            return std
+        tr = _mod6(pm, tr_temb, n)
+        return [sel * t + (1.0 - sel) * s for s, t in zip(std, tr)]
 
     def dual(carry, bp):
         hs, enc = carry
-        sh, sc, g, sh_mlp, sc_mlp, g_mlp = _mod6(bp["norm1"])
-        c_sh, c_sc, c_g, c_sh_mlp, c_sc_mlp, c_g_mlp = _mod6(bp["norm1_context"])
+        sh, sc, g, sh_mlp, sc_mlp, g_mlp = _mods_tr(bp["norm1"], sel_img if tr_temb is not None else None)
+        c_sh, c_sc, c_g, c_sh_mlp, c_sc_mlp, c_g_mlp = _mod6(bp["norm1_context"], temb)
         nhs = (layer_norm({}, hs, _EPS).astype(jnp.float32) * (1 + sc) + sh).astype(dtype)
         nenc = (layer_norm({}, enc, _EPS).astype(jnp.float32) * (1 + c_sc) + c_sh).astype(dtype)
 
@@ -343,7 +364,7 @@ def hunyuan_video_forward(
         return (hs, enc), None
 
     def single(x, bp):
-        shift, scale, gate = _mod6(bp["norm"], 3)
+        shift, scale, gate = _mods_tr(bp["norm"], sel_full if tr_temb is not None else None, 3)
         n = (layer_norm({}, x, _EPS).astype(jnp.float32) * (1 + scale) + shift).astype(dtype)
         mlp = jax.nn.gelu(linear(bp["proj_mlp"], n), approximate=True)
         a = bp["attn"]
