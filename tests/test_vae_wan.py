@@ -65,19 +65,30 @@ def test_wan_decode_parity(torch_reference, ref_vae, latent_frames):
 
 
 @pytest.mark.slow
-def test_wan_tiled_decode_matches_full(torch_reference, ref_vae):
-    """Tiled decode equals full decode away from tile seams (interior)."""
+def test_wan_tiled_decode_matches_reference_tiled(torch_reference, ref_vae):
+    """Tiled decode parity vs the TORCH tiled path at a real tile layout
+    (64x64 latent -> 512x512 output, tile 256 / stride 192; seams included).
+    Note tiled != full even away from seams: the decoder's receptive field at
+    latent scale exceeds any practical interior margin."""
+    import torch
+
     from vap_tpu.models.wan.vae import wan_vae_decode_tiled
 
     cfg = WanVAEConfig.tiny()
     params = _params(ref_vae, cfg)
     rng = np.random.default_rng(2)
-    # 64x64 latent -> 512x512 output with tile 256 / stride 192
     z = rng.standard_normal((1, 1, 64, 64, cfg.z_dim)).astype(np.float32) * 0.1
-    zj = jnp.asarray(z)
+
+    ref_vae.enable_tiling(tile_sample_min_height=256, tile_sample_min_width=256,
+                          tile_sample_stride_height=192, tile_sample_stride_width=192)
+    try:
+        with torch.no_grad():
+            ref = ref_vae.tiled_decode(
+                torch.from_numpy(z.transpose(0, 4, 1, 2, 3)), return_dict=False)[0].numpy()
+    finally:
+        ref_vae.disable_tiling()
+
     with jax.default_device(jax.devices("cpu")[0]):
-        full = np.asarray(wan_vae_decode(params, cfg, zj))
-        tiled = np.asarray(wan_vae_decode_tiled(params, cfg, zj))
-    assert tiled.shape == full.shape
-    # interior of the first tile matches exactly (no blending there)
-    np.testing.assert_allclose(tiled[:, :, 8:120, 8:120], full[:, :, 8:120, 8:120], atol=5e-4)
+        tiled = np.asarray(wan_vae_decode_tiled(params, cfg, jnp.asarray(z)))
+    assert tiled.transpose(0, 4, 1, 2, 3).shape == ref.shape
+    np.testing.assert_allclose(tiled.transpose(0, 4, 1, 2, 3), ref, atol=5e-4, rtol=1e-3)

@@ -511,11 +511,15 @@ def vae_decode_tiled(
     result_rows = []
     for i, row in enumerate(rows):
         result_row = []
-        for j, tile in enumerate(row):
+        for j in range(len(row)):
+            tile = row[j]
             if i > 0:
                 tile = _blend_v(rows[i - 1][j], tile, blend_h_ext)
             if j > 0:
                 tile = _blend_h(row[j - 1], tile, blend_w_ext)
+            # reference blend_v/h mutate the tile in place: later neighbors
+            # must blend against the already-blended tile
+            row[j] = tile
             result_row.append(tile[:, :, :row_limit_h, :row_limit_w])
         result_rows.append(jnp.concatenate(result_row, axis=3))
     return jnp.concatenate(result_rows, axis=2)
@@ -551,11 +555,15 @@ def vae_encode_tiled(
     result_rows = []
     for i, row in enumerate(rows):
         result_row = []
-        for j, tile in enumerate(row):
+        for j in range(len(row)):
+            tile = row[j]
             if i > 0:
                 tile = _blend_v(rows[i - 1][j], tile, blend_h_ext)
             if j > 0:
                 tile = _blend_h(row[j - 1], tile, blend_w_ext)
+            # reference blend_v/h mutate the tile in place: later neighbors
+            # must blend against the already-blended tile
+            row[j] = tile
             result_row.append(tile[:, :, :row_limit_h, :row_limit_w])
         result_rows.append(jnp.concatenate(result_row, axis=3))
     return jnp.concatenate(result_rows, axis=2)

@@ -355,11 +355,15 @@ def wan_vae_decode_tiled(
     result_rows = []
     for i, row in enumerate(rows):
         result_row = []
-        for j, tile in enumerate(row):
+        for j in range(len(row)):
+            tile = row[j]
             if i > 0:
                 tile = _blend_axis(rows[i - 1][j], tile, blend, axis=2)
             if j > 0:
                 tile = _blend_axis(row[j - 1], tile, blend, axis=3)
+            # the reference blends IN PLACE (blend_v/h mutate `b`), so later
+            # neighbors must see the already-blended tile — write it back
+            row[j] = tile
             result_row.append(tile[:, :, :tile_sample_stride, :tile_sample_stride])
         result_rows.append(jnp.concatenate(result_row, axis=3))
     out = jnp.concatenate(result_rows, axis=2)
