@@ -103,3 +103,19 @@ def test_dpo_step_runs_and_updates(monkeypatch):
             for after, before in zip(jax.tree.leaves(lora), lora0)
         )
         assert moved
+
+
+def test_lora_export_flux_layout(tmp_path):
+    """PEFT export generalizes to non-MoT families (Flux dual/single blocks)."""
+    from vap_tpu.models.flux import FluxConfig, init_flux
+    from vap_tpu.training.checkpoint import export_lora_safetensors, load_safetensors
+
+    cfg = FluxConfig.tiny()
+    params = init_flux(jax.random.PRNGKey(0), cfg)
+    lora = init_lora(jax.random.PRNGKey(1), params, rank=2, mot_only=False)
+    path = export_lora_safetensors(
+        lora, cfg, str(tmp_path / "flux_lora.safetensors"), rank=2, alpha=4.0)
+    sd = load_safetensors(path)
+    assert "transformer.transformer_blocks.0.attn.to_q.lora_A.weight" in sd
+    assert "transformer.single_transformer_blocks.1.attn.to_q.lora_B.weight" in sd
+    assert sd["transformer.transformer_blocks.0.attn.to_q.lora_A.weight"].shape[0] == 2

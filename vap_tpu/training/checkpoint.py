@@ -230,10 +230,24 @@ def export_lora_safetensors(
             else:
                 module(f"{pre}.{key}", val)
 
-    for (start, length, _), seg in zip(cfg.mot_segments, lora["blocks"]):
-        for li in range(length):
-            bp = jax.tree.map(lambda x: x[li], seg)
-            module(f"transformer_blocks.{start + li}", bp)
+    # map stacked-scan block containers to HF module prefixes
+    _BLOCK_PREFIX = {"blocks": "transformer_blocks",
+                     "dual_blocks": "transformer_blocks",
+                     "single_blocks": "single_transformer_blocks"}
+    if hasattr(cfg, "mot_segments"):  # CogVideoX: segmented scan over blocks
+        for (start, length, _), seg in zip(cfg.mot_segments, lora["blocks"]):
+            for li in range(length):
+                bp = jax.tree.map(lambda x: x[li], seg)
+                module(f"transformer_blocks.{start + li}", bp)
+    else:
+        for key, prefix in _BLOCK_PREFIX.items():
+            seg = lora.get(key)
+            if seg is None or not jax.tree.leaves(seg):
+                continue
+            length = jax.tree.leaves(seg)[0].shape[0]
+            for li in range(length):
+                bp = jax.tree.map(lambda x: x[li], seg)
+                module(f"{prefix}.{li}", bp)
 
     config = {
         "r": int(rank), "lora_alpha": float(alpha), "peft_type": "LORA",
