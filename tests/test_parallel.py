@@ -146,3 +146,34 @@ def test_sharded_forward_matches_single(mesh8, monkeypatch):
     with jax.set_mesh(mesh8):
         got = jax.jit(fwd)(sharded_params, *args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out), atol=2e-4, rtol=2e-3)
+
+
+def test_flux_sharded_step_matches_single(mesh8, monkeypatch):
+    """Flux flow-match loss under data-parallel sharding == single device."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    import jax.numpy as jnp
+    from vap_tpu.models.flux import FluxConfig, init_flux
+    from vap_tpu.training.train_step import FluxTrainStepConfig, flux_loss
+
+    mcfg = FluxConfig.tiny()
+    cfg = FluxTrainStepConfig(model=mcfg, remat=False)
+    cpu = cpu_devices()[0]
+    with jax.default_device(cpu):
+        params = init_flux(jax.random.PRNGKey(0), mcfg)
+        B, h, w = 2, 4, 4
+        k = jax.random.PRNGKey(1)
+        batch = {
+            "latents": jax.random.normal(k, (B, h, w, mcfg.in_channels // 4)),
+            "encoder_hidden_states": jax.random.normal(k, (B, 6, mcfg.joint_attention_dim)),
+            "pooled_projections": jax.random.normal(k, (B, mcfg.pooled_projection_dim)),
+        }
+        ref_loss, _ = flux_loss(params, cfg, batch, jax.random.PRNGKey(7))
+
+    batch_spec = NamedSharding(mesh8, P("data"))
+    sharded_batch = {kk: jax.device_put(np.asarray(v), batch_spec) for kk, v in batch.items()}
+    repl = NamedSharding(mesh8, P())
+    sharded_params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
+    with jax.set_mesh(mesh8):
+        got_loss, _ = jax.jit(lambda p, b, key: flux_loss(p, cfg, b, key))(
+            sharded_params, sharded_batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), atol=1e-4, rtol=1e-4)
