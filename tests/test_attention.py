@@ -8,11 +8,13 @@ import pytest
 from vap_tpu.ops.attention import dense_attention
 from vap_tpu.ops.flash_attention import flash_attention
 
-from conftest import has_tpu
+import os
 
 
 def _run(fn, *args):
-    if has_tpu():
+    # the suite pins tests to the CPU backend (conftest); only run the real
+    # kernel when the run explicitly opts into TPU
+    if os.environ.get("VAP_TEST_TPU"):
         return fn(*args)
     from jax.experimental.pallas import tpu as pltpu
 

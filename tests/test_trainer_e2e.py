@@ -208,3 +208,62 @@ def test_trainer_dpo_end_to_end(tmp_path, monkeypatch):
     from vap_tpu.training.checkpoint import load_lora_metadata
 
     assert load_lora_metadata(lora_path)["r"] == 2
+
+
+@pytest.mark.slow
+def test_trainer_resume_exact(tmp_path, monkeypatch):
+    """Resume fidelity (VERDICT round-1 weak #4): interrupt at step 2, resume
+    to step 4 — final params must be bit-identical to an uninterrupted 4-step
+    run. Exercises: fold_in step keys (no replay of steps 1..N), per-shard
+    sample_index + dataset RNG state restored from the checkpointed
+    dataloader_state (not observed_data_samples)."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    root = _make_dataset_dir(tmp_path)
+
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+
+    def make_spec():
+        params = {
+            "transformer": init_cogvideox_mot(key, t_cfg, jnp.float32),
+            "vae": _init_vae_params_cpu(vae_cfg),
+            "text_encoder": init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, jnp.float32),
+        }
+        spec = CogVideoXSpec(t_cfg, vae_cfg, txt_cfg, params, FakeTokenizer(), jnp.float32)
+        spec.prepare_conditions = (
+            lambda s, _o=spec.prepare_conditions: _o(s, max_length=t_cfg.max_text_seq_length))
+        return spec
+
+    # nonzero mask ratios so the dataset RNG actually advances per sample
+    common = dict(
+        data_root=str(root), batch_size=1, logging_steps=10,
+        video_resolution_buckets=((9, 32, 32),), lr=1e-3,
+        gradient_checkpointing=False, mask_caption_ratio=0.5, mask_ref_ratio=0.0,
+    )
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        # (a) uninterrupted 4-step run
+        args_a = TrainingArgs(train_steps=4, checkpointing_steps=100,
+                              output_dir=str(tmp_path / "outa"), **common)
+        tr_a = SFTTrainer(args_a, make_spec())
+        tr_a.run()
+
+        # (b) interrupted run: 2 steps, checkpoint at 2
+        args_b = TrainingArgs(train_steps=2, checkpointing_steps=2,
+                              output_dir=str(tmp_path / "outb"), **common)
+        tr_b = SFTTrainer(args_b, make_spec())
+        tr_b.run()
+        tr_b.checkpointer.wait()
+
+        # (c) resume from (b)'s checkpoint, continue to 4
+        args_c = TrainingArgs(train_steps=4, checkpointing_steps=100,
+                              output_dir=str(tmp_path / "outb"),
+                              resume_from_checkpoint="latest", **common)
+        tr_c = SFTTrainer(args_c, make_spec())
+        state = tr_c.run()
+        assert state.step == 4
+
+    for la, lc in zip(jax.tree.leaves(tr_a.train_params), jax.tree.leaves(tr_c.train_params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))

@@ -73,7 +73,8 @@ def _load_or_init_params(args, t_cfg, vae_cfg, txt_cfg, dtype):
 
 def main(argv=None):
     args = parse_args(argv)
-    os.environ.setdefault("VAP_ATTN_PROVIDER", args.attn_provider_training)
+    if args.attn_provider_training not in (None, "", "auto"):
+        os.environ.setdefault("VAP_ATTN_PROVIDER", args.attn_provider_training)
 
     # multi-host: the TPU-native replacement for torchrun/NCCL rendezvous
     # (reference train_single_node.sh:128-133). On TPU pods jax.distributed

@@ -26,7 +26,11 @@ class PrefetchingDataLoader:
     def _worker(self):
         try:
             for sample in self.dataset:
-                self._queue.put(sample)
+                # snapshot dataset state right after it produced this sample so
+                # the consumer-side state_dict reflects CONSUMED samples, not
+                # the prefetch position (torchdata StatefulDataLoader contract)
+                state = self.dataset.state_dict() if hasattr(self.dataset, "state_dict") else None
+                self._queue.put((sample, state))
         except Exception as e:  # surface errors on the consumer side
             self._error = e
         finally:
@@ -36,16 +40,23 @@ class PrefetchingDataLoader:
         self._queue = queue.Queue(maxsize=self.prefetch)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        self._consumed_state = getattr(self, "_consumed_state", None)
         while True:
             item = self._queue.get()
             if item is self._SENTINEL:
                 if self._error is not None:
                     raise self._error
                 return
-            yield item
+            sample, state = item
+            if state is not None:
+                self._consumed_state = state
+            yield sample
 
-    # checkpointable state (dataset-level sample index)
+    # checkpointable state: dataset state as of the last CONSUMED sample
     def state_dict(self) -> Dict[str, Any]:
+        state = getattr(self, "_consumed_state", None)
+        if state is not None:
+            return {"dataset": state}
         if hasattr(self.dataset, "state_dict"):
             return {"dataset": self.dataset.state_dict()}
         return {}

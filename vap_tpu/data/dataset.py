@@ -130,11 +130,19 @@ class VideoAsPromptDataset:
         self._sample_index = 0
         self._rng = random.Random(seed)
 
-    def state_dict(self) -> Dict[str, int]:
-        return {"sample_index": self._sample_index}
+    def state_dict(self) -> Dict[str, Any]:
+        # rng state covers ref-selection / caption-mask draws so a resumed run
+        # replays the exact sample stream of an uninterrupted one; stored
+        # JSON-serializably (checkpoint meta is JsonSave)
+        v, internal, gauss = self._rng.getstate()
+        return {"sample_index": self._sample_index,
+                "rng_state": [v, list(internal), gauss]}
 
-    def load_state_dict(self, state: Dict[str, int]):
+    def load_state_dict(self, state: Dict[str, Any]):
         self._sample_index = state["sample_index"]
+        rs = state.get("rng_state")
+        if rs is not None:
+            self._rng.setstate((rs[0], tuple(rs[1]), rs[2]))
 
     def __len__(self) -> int:
         return len(self.rows)

@@ -28,8 +28,10 @@ class TrainingArgs:
     pretrained_model_name_or_path: str = ""
     videoasprompt_mot_name_or_path: Optional[str] = None
     model_structure_config: Optional[str] = None  # JSON with block_idx_with_mot_ref etc.
-    training_type: str = "video_as_prompt_mot"    # | sft | lora | dpo
-    layerwise_upcasting: bool = False
+    training_type: str = "video_as_prompt_mot"    # | sft | lora | dpo | control
+    # (the reference's --layerwise_upcasting is a torch fp8-storage trick with
+    # no TPU counterpart — bf16 params/compute natively cover that use case,
+    # so the flag is intentionally absent rather than silently ignored)
     transformer_dtype: str = "bfloat16"
 
     # dataset
@@ -37,6 +39,7 @@ class TrainingArgs:
     data_root: Optional[str] = None
     meta_df_name: str = "vap_data.csv"
     video_resolution_buckets: Tuple[Tuple[int, int, int], ...] = ((49, 480, 720),)
+    enable_precomputation: bool = False
     precomputation_items: int = 8
     precomputation_dir: Optional[str] = None
     precomputation_once: bool = False
@@ -88,9 +91,10 @@ class TrainingArgs:
     report_to: Tuple[str, ...] = ("dummy",)
     tracker_name: str = "vap_tpu"
 
-    # attention
-    attn_provider_training: str = "flash"
-    attn_provider_inference: str = "flash"
+    # attention ("auto" = VAP_ATTN_PROVIDER env var, else platform default:
+    # Pallas flash on TPU, xla elsewhere — ops/attention.py:35-45)
+    attn_provider_training: str = "auto"
+    attn_provider_inference: str = "auto"
 
     def model_structure(self) -> Dict[str, Any]:
         if self.model_structure_config:
@@ -99,12 +103,21 @@ class TrainingArgs:
         return {}
 
     def validate(self):
-        if self.training_type not in ("video_as_prompt_mot", "sft", "lora", "dpo"):
+        if self.training_type not in ("video_as_prompt_mot", "sft", "lora", "dpo", "control"):
             raise ValueError(f"unknown training_type {self.training_type}")
-        if self.model_name not in ("cogvideox", "wan"):
+        if self.model_name not in ("cogvideox", "wan", "ltx_video", "hunyuan_video",
+                                   "cogview4", "flux"):
             raise ValueError(f"unknown model_name {self.model_name}")
         if self.reference_train_mode not in (None, "reference_independent"):
             raise ValueError(f"unknown reference_train_mode {self.reference_train_mode}")
+        from .train_step import FLOW_WEIGHTING_SCHEMES
+
+        if self.flow_weighting_scheme not in FLOW_WEIGHTING_SCHEMES:
+            raise ValueError(
+                f"unknown flow_weighting_scheme {self.flow_weighting_scheme!r}; "
+                f"valid: {FLOW_WEIGHTING_SCHEMES}")
+        if self.gradient_accumulation_steps < 1:
+            raise ValueError("gradient_accumulation_steps must be >= 1")
 
 
 def parse_args(argv: Optional[List[str]] = None) -> TrainingArgs:
@@ -112,7 +125,8 @@ def parse_args(argv: Optional[List[str]] = None) -> TrainingArgs:
     for f in dataclasses.fields(TrainingArgs):
         name = "--" + f.name
         if f.type in ("bool", bool) or isinstance(f.default, bool):
-            parser.add_argument(name, action="store_true", default=f.default)
+            # --flag / --no-flag so True defaults stay disable-able
+            parser.add_argument(name, action=argparse.BooleanOptionalAction, default=f.default)
         elif f.name == "video_resolution_buckets":
             parser.add_argument(name, type=str, default=None,
                                 help="e.g. 49x480x720,49x480x832")

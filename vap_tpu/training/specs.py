@@ -162,10 +162,10 @@ class HunyuanVideoSpec:
     """HunyuanVideo spec (reference HunyuanVideoModelSpecification,
     finetrainers/models/hunyuan_video/base_specification.py): LLaMA text
     embeds + CLIP-L pooled conditions, causal-3D-VAE latents, flow-matching
-    SFT with a fixed distilled-guidance embedding. The LLaMA text encoder and
-    Hunyuan causal VAE are not yet ported — pass precomputed
-    `encoder_hidden_states` and `latents`; CLIP-L pooled conditions are
-    computed natively when a CLIP text encoder is provided."""
+    SFT with a fixed distilled-guidance embedding. The LLaMA (GQA) text
+    encoder, CLIP-L pooled conditions, and the Hunyuan causal VAE all run
+    natively when their params/configs are supplied; precomputed
+    `encoder_hidden_states` / `latents` in the sample are used otherwise."""
 
     family = "hunyuan_video"
 
@@ -241,8 +241,9 @@ class CogView4Spec:
     finetrainers/models/cogview4/base_specification.py): GLM text conditions,
     SD-style 2D AutoencoderKL latents with SDXL-like size conditions,
     flow-matching SFT with resolution-dependent sigma shift. The GLM-4 text
-    encoder is not yet ported — pass precomputed `encoder_hidden_states` in
-    the sample; latents/size conditions are fully implemented."""
+    encoder runs natively when params/config/tokenizer are supplied (falls
+    back to precomputed `encoder_hidden_states`); latents/size conditions are
+    fully implemented."""
 
     family = "cogview4"
 
@@ -307,8 +308,8 @@ class LTXVideoSpec:
     """LTX-Video spec (reference LTXVideoModelSpecification,
     finetrainers/models/ltx_video/base_specification.py): T5 conditions with
     attention mask, per-channel-normalized 3D latents, flow-matching SFT with
-    first-frame conditioning. The LTX causal VAE is not yet ported — training
-    runs from precomputed latents (pass `latents` in the sample); the
+    first-frame conditioning. The LTX causal VAE (0.9.0) encodes natively when
+    params/config are supplied (falls back to precomputed `latents`); the
     transformer, loss, and conditions are fully implemented and parity-tested."""
 
     family = "ltx_video"

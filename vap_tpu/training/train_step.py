@@ -39,6 +39,58 @@ Array = jnp.ndarray
 
 TRAINABLE_MARKERS = ("_mot_ref", "effect_embeddings", "ref_embeddings")
 
+FLOW_WEIGHTING_SCHEMES = ("none", "logit_normal", "mode", "sigma_sqrt", "cosmap")
+
+
+def sample_flow_sigmas(
+    key: Array,
+    batch_size: int,
+    *,
+    scheme: str = "none",
+    logit_mean: float = 0.0,
+    logit_std: float = 1.0,
+    mode_scale: float = 1.29,
+    num_train_timesteps: int = 1000,
+    shift: float = 1.0,
+) -> Array:
+    """Training-sigma sampling for flow-matching families.
+
+    Matches reference prepare_sigmas + compute_density_for_timestep_sampling
+    (finetrainers/utils/diffusion.py:49-127): draw a density u per scheme
+    (logit_normal = sigmoid(N(mean, std)), SD3 §3.1; mode = Rafie Walker's
+    mode-scale curve; otherwise uniform), index the FlowMatchEuler training
+    grid sigma[i] = (N - i)/N with i = floor(u * N), then apply the scheduler
+    shift sigma -> s*sigma / (1 + (s-1)*sigma).
+    """
+    if scheme == "logit_normal":
+        u = jax.nn.sigmoid(logit_mean + logit_std * jax.random.normal(key, (batch_size,)))
+    elif scheme == "mode":
+        u = jax.random.uniform(key, (batch_size,))
+        u = 1.0 - u - mode_scale * (jnp.cos(jnp.pi * u / 2.0) ** 2 - 1.0 + u)
+    elif scheme in ("none", "sigma_sqrt", "cosmap"):
+        # sigma_sqrt/cosmap re-weight the loss, not the sampling density
+        u = jax.random.uniform(key, (batch_size,))
+    else:
+        raise ValueError(
+            f"unknown flow_weighting_scheme {scheme!r}; valid: {FLOW_WEIGHTING_SCHEMES}")
+    idx = jnp.clip((u * num_train_timesteps).astype(jnp.int32), 0, num_train_timesteps - 1)
+    sigmas = (num_train_timesteps - idx).astype(jnp.float32) / num_train_timesteps
+    if shift != 1.0:
+        sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+    return sigmas
+
+
+def flow_loss_weights(sigmas: Array, scheme: str = "none") -> Array:
+    """Per-sample loss weights (reference prepare_loss_weights ->
+    diffusers compute_loss_weighting_for_sd3): sigma_sqrt = sigma^-2,
+    cosmap = 2/(pi*(1 - 2*sigma + 2*sigma^2)), all other schemes = 1."""
+    if scheme == "sigma_sqrt":
+        return sigmas ** -2.0
+    if scheme == "cosmap":
+        bot = 1.0 - 2.0 * sigmas + 2.0 * sigmas ** 2
+        return 2.0 / (jnp.pi * bot)
+    return jnp.ones_like(sigmas)
+
 
 @dataclasses.dataclass(frozen=True)
 class TrainStepConfig:
@@ -172,32 +224,69 @@ def cogvideox_vap_loss(
     return loss, metrics
 
 
+def make_grad_and_apply(loss_fn, cfg, optimizer: optax.GradientTransformation,
+                        *, partitioned: bool = False):
+    """Split train step for gradient accumulation (reference
+    trainer.py:712-772, 841-846: per-micro-batch backward of loss/accum, one
+    optimizer step per accumulation boundary).
+
+    grad_fn(train_params, frozen_params, batch, key) -> (grads, metrics)
+    apply_fn(train_params, opt_state, grads) -> (train_params, opt_state, norm)
+
+    apply_fn expects MEAN-over-micro-batch grads (the trainer divides the
+    accumulated sum by accum_steps). Unlike the reference — which clips
+    partially-accumulated grads on every micro step — clipping lives in the
+    optax chain, so it runs once on the full accumulated gradient.
+    """
+
+    def grad_fn(train_params, frozen_params, batch, key):
+        def f(tp):
+            merged = merge_params(tp, frozen_params) if partitioned else tp
+            return loss_fn(merged, cfg, batch, key)
+
+        (_, metrics), grads = jax.value_and_grad(f, has_aux=True)(train_params)
+        return grads, metrics
+
+    def apply_fn(train_params, opt_state, grads):
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, train_params)
+        return optax.apply_updates(train_params, updates), opt_state, grad_norm
+
+    return grad_fn, apply_fn
+
+
+def _make_sft_step(loss_fn, cfg, optimizer: optax.GradientTransformation,
+                   *, partitioned: bool):
+    """Shared (init_fn, step_fn) factory. partitioned=True differentiates only
+    the MoT-expert leaves (trainable_mask); False is a full finetune."""
+    grad_fn, apply_fn = make_grad_and_apply(loss_fn, cfg, optimizer, partitioned=partitioned)
+
+    def init_fn(params):
+        if partitioned:
+            mask = trainable_mask(params)
+            train, frozen = partition_params(params, mask)
+        else:
+            train, frozen = params, {}
+        return train, frozen, optimizer.init(train)
+
+    def step_fn(train_params, frozen_params, opt_state, batch, key):
+        grads, metrics = grad_fn(train_params, frozen_params, batch, key)
+        train_params, opt_state, grad_norm = apply_fn(train_params, opt_state, grads)
+        metrics["grad_norm"] = grad_norm
+        return train_params, opt_state, metrics
+
+    return init_fn, step_fn
+
+
 def make_train_step(cfg: TrainStepConfig, optimizer: optax.GradientTransformation):
-    """Returns (init_fn, step_fn).
+    """CogVideoX VAP SFT step: (init_fn, step_fn).
 
     step_fn(train_params, frozen_params, opt_state, batch, key) ->
         (train_params, opt_state, metrics)
     Differentiates only the MoT-expert partition; wrap in jax.jit (optionally
     with NamedShardings on params/batch for multi-chip).
     """
-
-    def init_fn(params):
-        mask = trainable_mask(params)
-        train, frozen = partition_params(params, mask)
-        return train, frozen, optimizer.init(train)
-
-    def step_fn(train_params, frozen_params, opt_state, batch, key):
-        def loss_fn(tp):
-            merged = merge_params(tp, frozen_params)
-            return cogvideox_vap_loss(merged, cfg, batch, key)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, opt_state, train_params)
-        train_params = optax.apply_updates(train_params, updates)
-        return train_params, opt_state, metrics
-
-    return init_fn, step_fn
+    return _make_sft_step(cogvideox_vap_loss, cfg, optimizer, partitioned=True)
 
 
 # ---------------------------------------------------------------------------
@@ -324,14 +413,21 @@ def wan_vap_loss(
     num_mot_ref = latents_ref.shape[1] // f_lat
 
     k_t, k_n = jax.random.split(key)
-    # uniform sigma sampling over the train grid (flow_weighting_scheme="none")
-    u = jax.random.uniform(k_t, (b,))
-    sigmas = u  # sigma in (0, 1)
+    # density-weighted sigma sampling over the FlowMatchEuler train grid
+    # (reference trainer.py:617-629 -> utils/diffusion.py prepare_sigmas);
+    # the shipped Wan VAP recipe uses --flow_weighting_scheme logit_normal
+    # (examples/training/sft/wan/vap_mot/train_single_node.sh:77)
+    sigmas = sample_flow_sigmas(
+        k_t, b, scheme=cfg.flow_weighting_scheme,
+        logit_mean=cfg.flow_logit_mean, logit_std=cfg.flow_logit_std,
+        mode_scale=cfg.flow_mode_scale,
+        num_train_timesteps=cfg.num_train_timesteps)
     timesteps = sigmas * cfg.num_train_timesteps
     noise = jax.random.normal(k_n, latents.shape, jnp.float32)
     s = sigmas.reshape(b, 1, 1, 1, 1)
     noisy = (1.0 - s) * latents + s * noise        # flow_match_xt
     target = noise - latents                        # flow target
+    loss_w = flow_loss_weights(sigmas, cfg.flow_weighting_scheme).reshape(b, 1, 1, 1, 1)
 
     hidden = jnp.concatenate([noisy, batch["condition"].astype(jnp.float32)], axis=-1)
     hidden_ref = jnp.concatenate(
@@ -352,7 +448,7 @@ def wan_vap_loss(
         num_mot_ref=num_mot_ref,
         remat=cfg.remat,
     )
-    loss = jnp.mean(jnp.square(velocity.astype(jnp.float32) - target))
+    loss = jnp.mean(loss_w * jnp.square(velocity.astype(jnp.float32) - target))
     return loss, {"loss": loss, "loss_main": loss}
 
 
@@ -360,6 +456,10 @@ def wan_vap_loss(
 class WanTrainStepConfig:
     model: Any  # WanMOTConfig
     num_train_timesteps: int = 1000
+    flow_weighting_scheme: str = "none"
+    flow_logit_mean: float = 0.0
+    flow_logit_std: float = 1.0
+    flow_mode_scale: float = 1.29
     remat: bool = True
 
 
@@ -376,8 +476,12 @@ def _wan_per_sample_mse(cfg: "WanTrainStepConfig", params, batch, key):
 
     k_t, k_n = jax.random.split(key)
     half = b // 2
-    u_half = jax.random.uniform(k_t, (half,))
-    sigmas = jnp.concatenate([u_half, u_half])
+    s_half = sample_flow_sigmas(
+        k_t, half, scheme=cfg.flow_weighting_scheme,
+        logit_mean=cfg.flow_logit_mean, logit_std=cfg.flow_logit_std,
+        mode_scale=cfg.flow_mode_scale,
+        num_train_timesteps=cfg.num_train_timesteps)
+    sigmas = jnp.concatenate([s_half, s_half])
     timesteps = sigmas * cfg.num_train_timesteps
     n_half = jax.random.normal(k_n, (half,) + latents.shape[1:], jnp.float32)
     noise = jnp.concatenate([n_half, n_half])
@@ -403,7 +507,9 @@ def _wan_per_sample_mse(cfg: "WanTrainStepConfig", params, batch, key):
         num_mot_ref=num_mot_ref,
         remat=cfg.remat,
     )
-    err = jnp.square(velocity.astype(jnp.float32) - target)
+    lw = flow_loss_weights(sigmas, cfg.flow_weighting_scheme)
+    err = lw.reshape((b,) + (1,) * (latents.ndim - 1)) * jnp.square(
+        velocity.astype(jnp.float32) - target)
     return jnp.mean(err, axis=tuple(range(1, err.ndim)))  # [2B]
 
 
@@ -430,6 +536,10 @@ class LTXTrainStepConfig:
     frame_rate: float = 25.0
     temporal_compression: int = 8
     spatial_compression: int = 32
+    flow_weighting_scheme: str = "none"
+    flow_logit_mean: float = 0.0
+    flow_logit_std: float = 1.0
+    flow_mode_scale: float = 1.29
     remat: bool = True
 
 
@@ -441,7 +551,10 @@ def ltx_loss(params, cfg: "LTXTrainStepConfig", batch, key):
     latents = batch["latents"].astype(jnp.float32)
     b, c, f, h, w = latents.shape
     k_s, k_n, k_p, k_ff = jax.random.split(key, 4)
-    sigmas = jax.random.uniform(k_s, (b,))
+    sigmas = sample_flow_sigmas(
+        k_s, b, scheme=cfg.flow_weighting_scheme,
+        logit_mean=cfg.flow_logit_mean, logit_std=cfg.flow_logit_std,
+        mode_scale=cfg.flow_mode_scale)
     noise = jax.random.normal(k_n, latents.shape, jnp.float32)
 
     apply_ff = jax.random.uniform(k_p, ()) < cfg.first_frame_conditioning_p
@@ -472,29 +585,14 @@ def ltx_loss(params, cfg: "LTXTrainStepConfig", batch, key):
         remat=cfg.remat,
     ).astype(jnp.float32)
     target = pack_ltx_latents(noise - latents, p, pt)
-    loss = jnp.mean(jnp.square(pred - target))
+    lw = flow_loss_weights(sigmas, cfg.flow_weighting_scheme).reshape(b, 1, 1)
+    loss = jnp.mean(lw * jnp.square(pred - target))
     return loss, {"loss": loss}
 
 
 def make_ltx_train_step(cfg: LTXTrainStepConfig, optimizer: optax.GradientTransformation):
     """Full-finetune SFT step for LTX-Video."""
-
-    def init_fn(params):
-        return params, {}, optimizer.init(params)
-
-    def step_fn(train_params, frozen_params, opt_state, batch, key):
-        del frozen_params
-
-        def loss_fn(tp):
-            return ltx_loss(tp, cfg, batch, key)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, opt_state, train_params)
-        train_params = optax.apply_updates(train_params, updates)
-        return train_params, opt_state, metrics
-
-    return init_fn, step_fn
+    return _make_sft_step(ltx_loss, cfg, optimizer, partitioned=False)
 
 
 # ---------------------------------------------------------------------------
@@ -509,6 +607,10 @@ def make_ltx_train_step(cfg: LTXTrainStepConfig, optimizer: optax.GradientTransf
 class HunyuanTrainStepConfig:
     model: Any  # HunyuanVideoConfig
     guidance: float = 1.0
+    flow_weighting_scheme: str = "none"
+    flow_logit_mean: float = 0.0
+    flow_logit_std: float = 1.0
+    flow_mode_scale: float = 1.29
     remat: bool = True
 
 
@@ -521,7 +623,10 @@ def hunyuan_loss(params, cfg: "HunyuanTrainStepConfig", batch, key):
     latents = batch["latents"].astype(jnp.float32)
     b = latents.shape[0]
     k_s, k_n = jax.random.split(key)
-    sigmas = jax.random.uniform(k_s, (b,))
+    sigmas = sample_flow_sigmas(
+        k_s, b, scheme=cfg.flow_weighting_scheme,
+        logit_mean=cfg.flow_logit_mean, logit_std=cfg.flow_logit_std,
+        mode_scale=cfg.flow_mode_scale)
     noise = jax.random.normal(k_n, latents.shape, jnp.float32)
     s = sigmas.reshape(b, 1, 1, 1, 1)
     noisy = (1.0 - s) * latents + s * noise
@@ -538,30 +643,15 @@ def hunyuan_loss(params, cfg: "HunyuanTrainStepConfig", batch, key):
         remat=cfg.remat,
     ).astype(jnp.float32)
     target = noise - latents
-    loss = jnp.mean(jnp.square(pred - target))
+    lw = flow_loss_weights(sigmas, cfg.flow_weighting_scheme).reshape(b, 1, 1, 1, 1)
+    loss = jnp.mean(lw * jnp.square(pred - target))
     return loss, {"loss": loss}
 
 
 def make_hunyuan_train_step(cfg: HunyuanTrainStepConfig,
                             optimizer: optax.GradientTransformation):
     """Full-finetune SFT step for HunyuanVideo."""
-
-    def init_fn(params):
-        return params, {}, optimizer.init(params)
-
-    def step_fn(train_params, frozen_params, opt_state, batch, key):
-        del frozen_params
-
-        def loss_fn(tp):
-            return hunyuan_loss(tp, cfg, batch, key)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, opt_state, train_params)
-        train_params = optax.apply_updates(train_params, updates)
-        return train_params, opt_state, metrics
-
-    return init_fn, step_fn
+    return _make_sft_step(hunyuan_loss, cfg, optimizer, partitioned=False)
 
 
 # ---------------------------------------------------------------------------
@@ -579,6 +669,10 @@ class CogView4TrainStepConfig:
     base_image_sequence_length: int = 256
     base_shift: float = 0.25
     max_shift: float = 0.75
+    flow_weighting_scheme: str = "none"
+    flow_logit_mean: float = 0.0
+    flow_logit_std: float = 1.0
+    flow_mode_scale: float = 1.29
     remat: bool = True
 
 
@@ -591,7 +685,10 @@ def cogview4_loss(params, cfg: "CogView4TrainStepConfig", batch, key):
     latents = batch["latents"].astype(jnp.float32)
     b, c, h, w = latents.shape
     k_s, k_n = jax.random.split(key)
-    sigmas = jax.random.uniform(k_s, (b,))
+    sigmas = sample_flow_sigmas(
+        k_s, b, scheme=cfg.flow_weighting_scheme,
+        logit_mean=cfg.flow_logit_mean, logit_std=cfg.flow_logit_std,
+        mode_scale=cfg.flow_mode_scale)
     noise = jax.random.normal(k_n, latents.shape, jnp.float32)
 
     seq = (h * w) // (cfg.model.patch_size ** 2)
@@ -616,30 +713,16 @@ def cogview4_loss(params, cfg: "CogView4TrainStepConfig", batch, key):
         remat=cfg.remat,
     ).astype(jnp.float32)
     target = noise - latents
-    loss = jnp.mean(jnp.square(pred - target))
+    # weights use the SHIFTED sigmas (reference base_specification.py:334-337)
+    lw = flow_loss_weights(shifted, cfg.flow_weighting_scheme).reshape(b, 1, 1, 1)
+    loss = jnp.mean(lw * jnp.square(pred - target))
     return loss, {"loss": loss}
 
 
 def make_cogview4_train_step(cfg: CogView4TrainStepConfig,
                              optimizer: optax.GradientTransformation):
     """Full-finetune SFT step for CogView4."""
-
-    def init_fn(params):
-        return params, {}, optimizer.init(params)
-
-    def step_fn(train_params, frozen_params, opt_state, batch, key):
-        del frozen_params
-
-        def loss_fn(tp):
-            return cogview4_loss(tp, cfg, batch, key)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, opt_state, train_params)
-        train_params = optax.apply_updates(train_params, updates)
-        return train_params, opt_state, metrics
-
-    return init_fn, step_fn
+    return _make_sft_step(cogview4_loss, cfg, optimizer, partitioned=False)
 
 
 # ---------------------------------------------------------------------------
@@ -652,6 +735,10 @@ def make_cogview4_train_step(cfg: CogView4TrainStepConfig,
 @dataclasses.dataclass(frozen=True)
 class FluxTrainStepConfig:
     model: Any  # FluxConfig
+    flow_weighting_scheme: str = "none"
+    flow_logit_mean: float = 0.0
+    flow_logit_std: float = 1.0
+    flow_mode_scale: float = 1.29
     remat: bool = True
 
 
@@ -664,7 +751,10 @@ def flux_loss(params, cfg: "FluxTrainStepConfig", batch, key):
     latents = batch["latents"].astype(jnp.float32)
     b, h, w, c = latents.shape
     k_t, k_n = jax.random.split(key)
-    sigmas = jax.random.uniform(k_t, (b,))
+    sigmas = sample_flow_sigmas(
+        k_t, b, scheme=cfg.flow_weighting_scheme,
+        logit_mean=cfg.flow_logit_mean, logit_std=cfg.flow_logit_std,
+        mode_scale=cfg.flow_mode_scale)
     noise = jax.random.normal(k_n, latents.shape, jnp.float32)
     s = sigmas.reshape(b, 1, 1, 1)
     noisy = (1.0 - s) * latents + s * noise
@@ -684,49 +774,29 @@ def flux_loss(params, cfg: "FluxTrainStepConfig", batch, key):
     )
     pred = unpack_latents(pred.astype(jnp.float32), h, w).transpose(0, 2, 3, 1)
     target = noise - latents
-    loss = jnp.mean(jnp.square(pred - target))
+    lw = flow_loss_weights(sigmas, cfg.flow_weighting_scheme).reshape(b, 1, 1, 1)
+    loss = jnp.mean(lw * jnp.square(pred - target))
     return loss, {"loss": loss}
 
 
 def make_flux_train_step(cfg: FluxTrainStepConfig, optimizer: optax.GradientTransformation):
     """Full-finetune SFT step for Flux (reference trains the whole transformer
     or LoRA; LoRA composes via training/lora.py as usual)."""
-
-    def init_fn(params):
-        return params, {}, optimizer.init(params)
-
-    def step_fn(train_params, frozen_params, opt_state, batch, key):
-        del frozen_params
-
-        def loss_fn(tp):
-            return flux_loss(tp, cfg, batch, key)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, opt_state, train_params)
-        train_params = optax.apply_updates(train_params, updates)
-        return train_params, opt_state, metrics
-
-    return init_fn, step_fn
+    return _make_sft_step(flux_loss, cfg, optimizer, partitioned=False)
 
 
 def make_wan_train_step(cfg: WanTrainStepConfig, optimizer: optax.GradientTransformation):
     """Wan variant of make_train_step (same MoT-only partitioning)."""
+    return _make_sft_step(wan_vap_loss, cfg, optimizer, partitioned=True)
 
-    def init_fn(params):
-        mask = trainable_mask(params)
-        train, frozen = partition_params(params, mask)
-        return train, frozen, optimizer.init(train)
 
-    def step_fn(train_params, frozen_params, opt_state, batch, key):
-        def loss_fn(tp):
-            merged = merge_params(tp, frozen_params)
-            return wan_vap_loss(merged, cfg, batch, key)
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, opt_state, train_params)
-        train_params = optax.apply_updates(train_params, updates)
-        return train_params, opt_state, metrics
-
-    return init_fn, step_fn
+# family name -> (loss_fn, partitioned). Used by the trainer for dispatch and
+# gradient accumulation (grad/apply split) across all six reference families.
+FAMILY_LOSSES = {
+    "cogvideox": (cogvideox_vap_loss, True),
+    "wan": (wan_vap_loss, True),
+    "ltx_video": (ltx_loss, False),
+    "hunyuan_video": (hunyuan_loss, False),
+    "cogview4": (cogview4_loss, False),
+    "flux": (flux_loss, False),
+}

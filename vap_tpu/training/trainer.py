@@ -21,6 +21,9 @@ from ..data.dataset import VideoAsPromptDataset, VideoAsPromptValidationDataset
 from ..data.video import export_to_video
 from ..data.sampler import ResolutionSampler, collate_tensor_dicts
 from ..data.video import resize_to_nearest_bucket
+import contextlib
+
+from ..ops.attention import attention_provider
 from ..parallel import MeshConfig, batch_sharding, make_mesh, shard_params
 from ..utils.logging import get_logger
 from ..utils.trackers import initialize_trackers
@@ -28,15 +31,59 @@ from .args import TrainingArgs
 from .checkpoint import Checkpointer, TrainState, export_safetensors
 from .optimizer import get_lr_schedule, get_optimizer
 from .train_step import (
+    FAMILY_LOSSES,
     TrainStepConfig,
     WanTrainStepConfig,
     make_dpo_step,
+    make_grad_and_apply,
     make_train_step,
     make_wan_dpo_step,
     make_wan_train_step,
 )
 
 logger = get_logger("vap_tpu.trainer")
+
+
+def _make_step_config(family: str, args: TrainingArgs, transformer_cfg):
+    """Per-family train-step config (reference per-family ModelSpecification
+    .forward kwargs). Flow-matching families take the flow_weighting_scheme
+    flags; CogVideoX trains under DDIM where the reference supports uniform
+    timestep sampling only (utils/diffusion.py:121), so the flags are a no-op
+    there — exactly as in the reference."""
+    flow_kw = dict(
+        flow_weighting_scheme=args.flow_weighting_scheme,
+        flow_logit_mean=args.flow_logit_mean,
+        flow_logit_std=args.flow_logit_std,
+    )
+    remat = args.gradient_checkpointing
+    if family == "wan":
+        return WanTrainStepConfig(model=transformer_cfg, remat=remat, **flow_kw)
+    if family == "cogvideox":
+        return TrainStepConfig(
+            model=transformer_cfg,
+            reference_train_mode=args.reference_train_mode,
+            random_refer_noise=args.random_refer_noise,
+            num_ref_diffusion_time_sigmas=args.num_ref_diffusion_time_sigmas,
+            sample_ref_videos_num=args.sample_ref_videos_num,
+            ref_type=args.ref_type,
+            remat=remat,
+        )
+    from .train_step import (
+        CogView4TrainStepConfig,
+        FluxTrainStepConfig,
+        HunyuanTrainStepConfig,
+        LTXTrainStepConfig,
+    )
+
+    cfg_cls = {
+        "ltx_video": LTXTrainStepConfig,
+        "hunyuan_video": HunyuanTrainStepConfig,
+        "cogview4": CogView4TrainStepConfig,
+        "flux": FluxTrainStepConfig,
+    }.get(family)
+    if cfg_cls is None:
+        raise ValueError(f"unknown model family {family!r}")
+    return cfg_cls(model=transformer_cfg, remat=remat, **flow_kw)
 
 
 class SFTTrainer:
@@ -55,19 +102,8 @@ class SFTTrainer:
             self.mesh = None
 
         family = getattr(model_spec, "family", "cogvideox")
-        if family == "wan":
-            self.step_cfg = WanTrainStepConfig(
-                model=model_spec.transformer_cfg, remat=args.gradient_checkpointing)
-        else:
-            self.step_cfg = TrainStepConfig(
-                model=model_spec.transformer_cfg,
-                reference_train_mode=args.reference_train_mode,
-                random_refer_noise=args.random_refer_noise,
-                num_ref_diffusion_time_sigmas=args.num_ref_diffusion_time_sigmas,
-                sample_ref_videos_num=args.sample_ref_videos_num,
-                ref_type=args.ref_type,
-                remat=args.gradient_checkpointing,
-            )
+        self.family = family
+        self.step_cfg = _make_step_config(family, args, model_spec.transformer_cfg)
         schedule = get_lr_schedule(
             args.lr_scheduler, args.lr, warmup_steps=args.lr_warmup_steps, train_steps=args.train_steps)
         self.optimizer = get_optimizer(
@@ -75,10 +111,17 @@ class SFTTrainer:
             epsilon=args.epsilon, weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm)
 
         self.dpo = bool(args.dpo or args.training_type == "dpo")
+        self.accum_steps = max(args.gradient_accumulation_steps, 1)
+        if self.dpo and self.accum_steps > 1:
+            raise ValueError("gradient accumulation is not supported with DPO "
+                             "(reference DPO recipes run with accumulation=1)")
         params = model_spec.params["transformer"]
         if self.mesh is not None:
             params = shard_params(params, self.mesh)
+        loss_fn, partitioned = FAMILY_LOSSES[family]
         if self.dpo:
+            if family not in ("cogvideox", "wan"):
+                raise ValueError(f"DPO is only defined for cogvideox/wan, got {family}")
             # LoRA policy over the frozen base; the base doubles as the DPO
             # reference model (reference trainer.py:774-825)
             dpo_factory = make_wan_dpo_step if family == "wan" else make_dpo_step
@@ -87,15 +130,38 @@ class SFTTrainer:
                 lora_rank=args.rank, lora_alpha=float(args.lora_alpha))
             self.frozen_params = params
             self.train_params, self.opt_state = init_fn(params, jax.random.PRNGKey(args.seed))
+            self._step = jax.jit(step_fn)
         else:
-            step_factory = make_wan_train_step if family == "wan" else make_train_step
-            init_fn, step_fn = step_factory(self.step_cfg, self.optimizer)
+            from .train_step import _make_sft_step
+
+            init_fn, step_fn = _make_sft_step(
+                loss_fn, self.step_cfg, self.optimizer, partitioned=partitioned)
             self.train_params, self.frozen_params, self.opt_state = init_fn(params)
-        self._step = jax.jit(step_fn)
+            self._step = jax.jit(step_fn)
+            if self.accum_steps > 1:
+                # grad/apply split (reference trainer.py:712-772, 841-846):
+                # sum micro-batch grads, apply mean every accum boundary
+                grad_fn, apply_fn = make_grad_and_apply(
+                    loss_fn, self.step_cfg, self.optimizer, partitioned=partitioned)
+                self._grad = jax.jit(grad_fn)
+                self._apply = jax.jit(apply_fn)
+                self._tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+                inv = 1.0 / self.accum_steps
+                self._tree_mean = jax.jit(lambda t: jax.tree.map(lambda x: x * inv, t))
+                self._accum_grads = None
 
         self.train_state = TrainState()
         self.checkpointer = Checkpointer(
             os.path.join(args.output_dir, "checkpoints"), args.checkpointing_limit)
+
+    def _attn_ctx(self, training: bool):
+        """Attention-provider context for the step/validation jit traces
+        (reference attention_provider_ctx, sft_trainer/trainer.py:676)."""
+        name = (self.args.attn_provider_training if training
+                else self.args.attn_provider_inference)
+        if name in (None, "", "auto"):
+            return contextlib.nullcontext()
+        return attention_provider(name)
 
     # ------------------------------------------------------------------
     def _prepare_dataset(self):
@@ -147,6 +213,7 @@ class SFTTrainer:
         key = jax.random.PRNGKey(args.seed)
 
         # resume
+        dataloader_state = None
         if args.resume_from_checkpoint:
             step = None if args.resume_from_checkpoint == "latest" else int(args.resume_from_checkpoint)
             restored = self.checkpointer.restore(
@@ -155,11 +222,15 @@ class SFTTrainer:
                 self.train_params = restored["params"]
                 self.opt_state = restored["opt_state"]
                 self.train_state = restored["train_state"]
+                dataloader_state = restored.get("dataloader_state")
                 logger.info(f"resumed from step {self.train_state.step}")
 
         loader = self._prepare_dataset()
-        if args.resume_from_checkpoint and self.train_state.step:
-            loader.load_state_dict({"dataset": {"sample_index": self.train_state.observed_data_samples}})
+        if dataloader_state is not None:
+            # exact per-shard sample index + dataset RNG state from the
+            # checkpoint: the resumed sample stream is identical to an
+            # uninterrupted run (reference StatefulDataLoader semantics)
+            loader.load_state_dict({"dataset": dataloader_state})
         sampler = ResolutionSampler(args.batch_size)
         data_iter = iter(loader)
 
@@ -186,11 +257,30 @@ class SFTTrainer:
 
             self.train_state.step += 1
             self.train_state.observed_data_samples += args.batch_size * max(args.data_degree, 1)
-            key, skey = jax.random.split(key)
+            # step key is a pure function of (seed, step) so resumed runs draw
+            # the same noise/timesteps as uninterrupted ones — and do NOT
+            # replay steps 1..N the way re-splitting from PRNGKey(seed) would
+            skey = jax.random.fold_in(key, self.train_state.step)
 
-            with self.tracker.timed("timing/train_step"):
-                self.train_params, self.opt_state, metrics = self._step(
-                    self.train_params, self.frozen_params, self.opt_state, batch, skey)
+            with self.tracker.timed("timing/train_step"), self._attn_ctx(training=True):
+                if self.accum_steps == 1:
+                    self.train_params, self.opt_state, metrics = self._step(
+                        self.train_params, self.frozen_params, self.opt_state, batch, skey)
+                else:
+                    # train_state.step counts micro-batches; the optimizer
+                    # steps once per accumulation boundary (reference
+                    # trainer.py:606,841)
+                    grads, metrics = self._grad(
+                        self.train_params, self.frozen_params, batch, skey)
+                    self._accum_grads = (
+                        grads if self._accum_grads is None
+                        else self._tree_add(self._accum_grads, grads))
+                    if self.train_state.step % self.accum_steps == 0:
+                        self.train_params, self.opt_state, grad_norm = self._apply(
+                            self.train_params, self.opt_state,
+                            self._tree_mean(self._accum_grads))
+                        metrics["grad_norm"] = grad_norm
+                        self._accum_grads = None
 
             if self.train_state.step % args.logging_steps == 0:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
@@ -223,6 +313,8 @@ class SFTTrainer:
 
             return apply_lora(self.frozen_params, self.train_params,
                               alpha=float(self.args.lora_alpha), rank=self.args.rank)
+        if not self.frozen_params:  # full finetune: nothing partitioned out
+            return self.train_params
         from .train_step import merge_params
 
         return merge_params(self.train_params, self.frozen_params)
@@ -242,9 +334,10 @@ class SFTTrainer:
             if i >= num_samples:
                 break
             fb = args.video_resolution_buckets[0]
-            video = self.spec.validation(
-                merged, sample, height=fb[1], width=fb[2], num_frames=fb[0],
-                num_inference_steps=50, seed=args.seed)
+            with self._attn_ctx(training=False):
+                video = self.spec.validation(
+                    merged, sample, height=fb[1], width=fb[2], num_frames=fb[0],
+                    num_inference_steps=50, seed=args.seed)
             path = os.path.join(out_dir, f"sample_{i}.mp4")
             export_to_video((np.asarray(video) + 1.0) / 2.0, path, fps=16)
             artifacts[f"validation/sample_{i}"] = path
