@@ -25,6 +25,8 @@ def main():
     p.add_argument("--heads", type=int, default=48)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--impl", default="row", choices=["row", "t"],
+                   help="row = original layout; t = transposed (S^T/O^T) forward")
     args = p.parse_args()
 
     B, H, S, D = args.batch, args.heads, args.seq, args.dim
@@ -34,22 +36,28 @@ def main():
     v = jax.random.normal(key, (B, H, S, D), jnp.bfloat16)
     flops = 4.0 * B * H * S * S * D  # QK^T + AV
 
-    configs = [(256, 512), (512, 512), (512, 1024), (1024, 512), (1024, 1024), (2048, 512)]
+    configs = [(1024, 512), (2048, 512), (1024, 1024), (2048, 1024), (4096, 512), (2048, 256)]
     if args.quick:
         configs = [(256, 512), (1024, 512)]
 
     for bq, bk in configs:
         try:
-            fn = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(q, k, v, None, bq, bk))
+            if args.impl == "t":
+                from vap_tpu.ops.flash_attention import _flash_attention_forward_t
+
+                fn = jax.jit(lambda q, k, v, bq=bq, bk=bk:
+                             _flash_attention_forward_t(q, k, v, args.dim ** -0.5, bq, bk)[0])
+            else:
+                fn = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(q, k, v, None, bq, bk))
             out = fn(q, k, v)
-            jax.block_until_ready(out)
+            float(out.mean())  # axon: block_until_ready does NOT synchronize
             # chained timing: feed the output back as q so iterations serialize
             n = 4
             t0 = time.perf_counter()
             cur = q
             for _ in range(n):
                 cur = fn(cur, k, v)
-            jax.block_until_ready(cur)
+            float(cur.mean())  # materialize to force full completion
             dt = (time.perf_counter() - t0) / n
             print(f"bq={bq:5d} bk={bk:5d}: {dt*1e3:8.1f} ms  {flops/dt/1e12:6.1f} TFLOP/s", flush=True)
         except Exception as e:

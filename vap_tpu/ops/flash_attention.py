@@ -154,6 +154,135 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
 
 
 # ---------------------------------------------------------------------------
+# transposed-layout forward: S^T = K @ Q^T, O^T = V^T @ P
+#
+# Why: at D=64 the row-major layout wastes the MXU twice — QK^T contracts over
+# K=64 (half the systolic depth) AND P@V emits N=64 output lanes (half the
+# array width). Transposing the score/accumulator tiles fixes the second loss:
+# V^T[D, bk] @ P[bk, bq] contracts over bk (full depth) and emits bq lanes
+# (full width), lifting the MXU ceiling from ~2/4 to ~3/4 of peak. It also
+# turns every softmax-stat broadcast from a lane-tile (expensive jnp.tile)
+# into a sublane broadcast (free), and folds log2(e) into the q scale so the
+# VPU computes exp2 directly — one fewer full pass over the score tile.
+# ---------------------------------------------------------------------------
+
+LOG2_E = 1.4426950408889634
+
+
+def _fwd_kernel_t(qt_ref, k_ref, vt_ref, o_ref, lse_ref, acc_sc, m_sc,
+                  *, dim):
+    """Per-step work is two matmuls + three VPU passes over the score tile
+    (subtract-broadcast, exp2, bf16 cast). Scale, key-padding mask, and the
+    softmax row-sum all ride the MXU via the extended contraction rows:
+
+      qt_ext[dim_ext, bq]: rows 0..D-1 = q^T * scale*log2e, row D = ones
+      k_ext [bk, dim_ext]: cols 0..D-1 = k,   col D = 0 valid / -1e30 padded
+      vt_ext[dim_ext, bk]: rows 0..D-1 = v^T, row D = ones
+
+    so st = k_ext @ qt_ext lands pre-scaled AND pre-masked (the MXU contracts
+    128-deep regardless, making the extra rows free), and acc row D carries
+    the online softmax denominator through the exact same rescale recurrence
+    as the numerator.
+    """
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+
+    st = jax.lax.dot_general(
+        k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bk, bq], log2-domain, masked
+
+    m_prev = m_sc[:]                               # [8, bq] (row-replicated)
+    m_cur = jnp.max(st, axis=0, keepdims=True)     # [1, bq]
+    m_new = jnp.maximum(m_prev, m_cur)             # [8, bq]
+    p = jnp.exp2(st - m_new[:1]).astype(vt_ref.dtype)  # sublane broadcast sub
+    alpha = jnp.exp2(m_prev - m_new)               # [8, bq]
+
+    pv = jax.lax.dot_general(
+        vt_ref[0], p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [dim_ext, bq] — full MXU depth (bk) and width (bq); row D = sum_k p
+    acc_sc[:] = acc_sc[:] * alpha[:1] + pv
+    m_sc[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = acc_sc[dim:dim + 1]  # rows 0..dim-1 = numerator, row dim = l
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
+        # natural-log lse for the (row-major) backward: ln2 * (m + log2 l)
+        lse_ref[0, 0] = (0.6931471805599453 * (m_sc[:1] + jnp.log2(l_safe)))[0]
+
+
+def _flash_attention_forward_t(q, k, v, scale, block_q, block_k):
+    """Transposed-layout tiled forward. Same contract as
+    _flash_attention_forward (returns out [B,H,Sq,D] and natural-log lse)."""
+    batch, heads, q_len, dim = q.shape
+    kv_len = k.shape[2]
+    # one extra contraction row for mask/rowsum; round sublanes up to 8
+    dim_ext = ((dim + 1 + 7) // 8) * 8
+
+    qp = _pad_to(q.reshape(batch * heads, q_len, dim), 1, block_q)
+    kp = _pad_to(k.reshape(batch * heads, kv_len, dim), 1, block_k)
+    vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
+    bh = qp.shape[0]
+    q_pad, k_pad = qp.shape[1], kp.shape[1]
+
+    # extended operands (one fused HBM pass each, ~ms at VAP sizes)
+    qt = jnp.concatenate([
+        (qp.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype),
+        jnp.ones((bh, q_pad, 1), q.dtype),
+        jnp.zeros((bh, q_pad, dim_ext - dim - 1), q.dtype),
+    ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, q_pad]
+    kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(k.dtype)
+    k_ext = jnp.concatenate([
+        kp,
+        jnp.broadcast_to(kv_bias[None, :, None], (bh, k_pad, 1)),
+        jnp.zeros((bh, k_pad, dim_ext - dim - 1), k.dtype),
+    ], axis=-1)  # [bh, k_pad, dim_ext]
+    vt = jnp.concatenate([
+        vp,
+        jnp.ones((bh, k_pad, 1), v.dtype),
+        jnp.zeros((bh, k_pad, dim_ext - dim - 1), v.dtype),
+    ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, k_pad]
+
+    nq = q_pad // block_q
+    nk = k_pad // block_k
+    grid = (bh, nq, nk)
+    out_t, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_t, dim=dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dim_ext, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, block_k, dim_ext), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, dim_ext, block_k), lambda b, qi, ki: (b, 0, ki)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dim_ext, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, dim_ext, q_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dim_ext, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qt, k_ext, vt)
+
+    out = out_t[:, :dim, :q_len].reshape(batch, heads, dim, q_len).transpose(0, 1, 3, 2)
+    lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 

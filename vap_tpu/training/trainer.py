@@ -188,6 +188,71 @@ class SFTTrainer:
         )
         return PrefetchingDataLoader(dataset, prefetch=4)
 
+    # ------------------------------------------------------------------
+    # precomputation + encoder offload (reference sft_trainer/trainer.py:
+    # 1225-1318: load text encoders -> condition pass -> unload; load VAE ->
+    # latent pass -> unload; train with only the DiT resident)
+    # ------------------------------------------------------------------
+    _ENCODER_KEYS = ("text_encoder", "text_encoder_2", "vae", "image_encoder")
+
+    def _offload_encoders(self):
+        """Move encoder params to host RAM and drop the device copies so the
+        step loop trains with only the transformer in HBM."""
+        if getattr(self, "_host_encoders", None) is None:
+            self._host_encoders = {}
+        for k in self._ENCODER_KEYS:
+            if k in self.spec.params and self.spec.params[k] is not None:
+                self._host_encoders[k] = jax.tree.map(np.asarray, self.spec.params[k])
+                del self.spec.params[k]
+        # drop any jitted encoder closures holding device references
+        jax.clear_caches()
+
+    def _load_encoders(self):
+        for k, host in (getattr(self, "_host_encoders", None) or {}).items():
+            self.spec.params[k] = jax.tree.map(jnp.asarray, host)
+
+    def _precomputed_pairs(self, data_iter, epoch_len: Optional[int] = None):
+        """Yield (condition, latent) dicts forever, with encoders resident
+        only during encode passes."""
+        args = self.args
+
+        def prepare_cond(sample):
+            video, _ = resize_to_nearest_bucket(sample["video"], args.video_resolution_buckets)
+            refs = [resize_to_nearest_bucket(r, args.video_resolution_buckets)[0]
+                    for r in sample.get("ref_videos", [])]
+            return self.spec.prepare_conditions(dict(sample, video=video, ref_videos=refs))
+
+        def prepare_lat(sample):
+            video, _ = resize_to_nearest_bucket(sample["video"], args.video_resolution_buckets)
+            refs = [resize_to_nearest_bucket(r, args.video_resolution_buckets)[0]
+                    for r in sample.get("ref_videos", [])]
+            return self.spec.prepare_latents(dict(sample, video=video, ref_videos=refs))
+
+        if args.precomputation_dir:
+            from ..data.precomputation import PrecomputedPreprocessor
+
+            pre = PrecomputedPreprocessor(args.precomputation_dir, rank=jax.process_index())
+            if not pre.is_cached():
+                self._load_encoders()
+                # precomputation_once = cache one full epoch (the training
+                # stream is infinite, so bound the pass by the dataset length)
+                max_items = epoch_len if args.precomputation_once else args.precomputation_items
+                n = pre.precompute(data_iter, prepare_cond, prepare_lat, max_items=max_items)
+                logger.info(f"precomputed {n} items -> {pre.dir}")
+            self._offload_encoders()
+            while True:
+                yield from pre
+        else:
+            from ..data.precomputation import InMemoryPreprocessor
+
+            pre = InMemoryPreprocessor(data_iter, prepare_cond, prepare_lat,
+                                       num_items=args.precomputation_items)
+            while True:
+                self._load_encoders()
+                buf = pre.consume()
+                self._offload_encoders()
+                yield from buf
+
     def _preprocess(self, sample: Dict[str, Any]):
         """decode -> bucket-fit -> T5 + VAE encode (the reference's
         preprocessor.consume('condition'/'latent') passes)."""
@@ -233,15 +298,24 @@ class SFTTrainer:
             loader.load_state_dict({"dataset": dataloader_state})
         sampler = ResolutionSampler(args.batch_size)
         data_iter = iter(loader)
+        pre_iter = None
+        if args.enable_precomputation:
+            if self.dpo:
+                raise ValueError("enable_precomputation is not supported with DPO")
+            pre_iter = self._precomputed_pairs(
+                data_iter, epoch_len=len(loader.dataset) if hasattr(loader.dataset, "__len__") else None)
 
         while self.train_state.step < args.train_steps:
             # fill a resolution bucket
             while not sampler.is_ready:
-                raw = next(data_iter)
-                if self.train_state.step == 0 and not getattr(self, "_dumped_sample", False):
-                    self.dump_training_sample(raw)
-                    self._dumped_sample = True
-                cond, lat = self._preprocess(raw)
+                if pre_iter is not None:
+                    cond, lat = next(pre_iter)
+                else:
+                    raw = next(data_iter)
+                    if self.train_state.step == 0 and not getattr(self, "_dumped_sample", False):
+                        self.dump_training_sample(raw)
+                        self._dumped_sample = True
+                    cond, lat = self._preprocess(raw)
                 sampler.consume(cond, lat)
             conds, lats = sampler.get_batch()
             batch = {**collate_tensor_dicts(conds), **collate_tensor_dicts(lats)}
@@ -323,6 +397,8 @@ class SFTTrainer:
         """Full pipeline sampling with live training weights
         (reference SFTTrainer._validate, trainer.py:939-1110)."""
         args = self.args
+        if args.enable_precomputation:
+            self._load_encoders()  # VAE/T5 needed for sampling, reloaded per pass
         merged = self._merged_params()
         ds = VideoAsPromptValidationDataset(
             args.validation_dataset_file,
