@@ -100,6 +100,17 @@ def normalize_video(frames: np.ndarray) -> np.ndarray:
     return f * 2.0 - 1.0
 
 
+def resize_to_nearest_bucket_image(
+    image: np.ndarray, buckets: Sequence[Tuple[int, int]]
+) -> np.ndarray:
+    """Fit an image [H, W, 3] to the aspect-nearest (height, width) bucket
+    (finetrainers/functional/image.py resize_to_nearest_bucket_image)."""
+    h, w = image.shape[:2]
+    aspect = h / w
+    bh, bw = min(buckets, key=lambda s: abs(s[0] / s[1] - aspect))
+    return resize_video(image[None], bh, bw)[0]
+
+
 def resize_to_nearest_bucket(
     frames: np.ndarray, buckets: Sequence[Tuple[int, int, int]]
 ) -> Tuple[np.ndarray, bool]:

@@ -28,6 +28,9 @@ Array = jnp.ndarray
 
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
+# transposed forward: block_q is the lane dim — bigger amortizes VPU stat ops
+# (90.8 TFLOP/s at (4096, 512) vs 63.7 for the row kernel, scripts/attn_bench.py)
+DEFAULT_BLOCK_Q_T = 4096
 NEG_INF = -1e30
 
 
@@ -442,6 +445,24 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
 # public API
 # ---------------------------------------------------------------------------
 
+def _forward_dispatch(q, k, v, scale, block_q, block_k):
+    """Pick the forward layout. The transposed kernel wins whenever the ones
+    row fits inside the MXU's native 128-deep contraction (D+1 <= 128, i.e.
+    every D < 128 pays nothing for it); at D >= 128 the extra row would add a
+    full second depth-pass to QK^T, so the row-major kernel stays."""
+    dim = q.shape[-1]
+    if dim + 1 <= 128:
+        if (block_q, block_k) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K):
+            # caller kept the row-kernel defaults -> use the tuned T blocks
+            block_q, block_k = DEFAULT_BLOCK_Q_T, 512
+        # transposed layout: block_q is the LANE dim — round to 128 and clamp
+        # so short sequences don't pad to a huge tile
+        bq = max(min(block_q, _cdiv(q.shape[2], LANES) * LANES), LANES)
+        bk = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
+        return _flash_attention_forward_t(q, k, v, scale, bq, bk)
+    return _flash_attention_forward(q, k, v, scale, block_q, block_k)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(
     q: Array,
@@ -454,14 +475,14 @@ def flash_attention(
     """Fused full attention. q/k/v: [B, H, S, D] -> [B, H, Sq, D]."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    out, _ = _flash_attention_forward(q, k, v, scale, block_q, block_k)
+    out, _ = _forward_dispatch(q, k, v, scale, block_q, block_k)
     return out
 
 
 def _fa_fwd(q, k, v, scale, block_q, block_k):
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    out, lse = _flash_attention_forward(q, k, v, scale, block_q, block_k)
+    out, lse = _forward_dispatch(q, k, v, scale, block_q, block_k)
     return out, (q, k, v, out, lse)
 
 

@@ -39,6 +39,9 @@ class TrainingArgs:
     data_root: Optional[str] = None
     meta_df_name: str = "vap_data.csv"
     video_resolution_buckets: Tuple[Tuple[int, int, int], ...] = ((49, 480, 720),)
+    image_resolution_buckets: Tuple[Tuple[int, int], ...] = ((512, 512),)
+    id_token: Optional[str] = None           # LoRA trigger-word prefix
+    remove_common_llm_caption_prefixes: bool = False
     enable_precomputation: bool = False
     precomputation_items: int = 8
     precomputation_dir: Optional[str] = None
@@ -127,9 +130,9 @@ def parse_args(argv: Optional[List[str]] = None) -> TrainingArgs:
         if f.type in ("bool", bool) or isinstance(f.default, bool):
             # --flag / --no-flag so True defaults stay disable-able
             parser.add_argument(name, action=argparse.BooleanOptionalAction, default=f.default)
-        elif f.name == "video_resolution_buckets":
+        elif f.name in ("video_resolution_buckets", "image_resolution_buckets"):
             parser.add_argument(name, type=str, default=None,
-                                help="e.g. 49x480x720,49x480x832")
+                                help="e.g. 49x480x720,49x480x832 (video) / 512x768 (image)")
         elif f.name == "report_to":
             parser.add_argument(name, type=str, default=",".join(f.default))
         else:
@@ -137,11 +140,12 @@ def parse_args(argv: Optional[List[str]] = None) -> TrainingArgs:
             parser.add_argument(name, type=typ, default=f.default)
     ns = parser.parse_args(argv)
     d = vars(ns)
-    if d.get("video_resolution_buckets"):
-        d["video_resolution_buckets"] = tuple(
-            tuple(int(x) for x in b.split("x")) for b in d["video_resolution_buckets"].split(","))
-    else:
-        d["video_resolution_buckets"] = TrainingArgs.video_resolution_buckets
+    for bucket_field in ("video_resolution_buckets", "image_resolution_buckets"):
+        if d.get(bucket_field):
+            d[bucket_field] = tuple(
+                tuple(int(x) for x in b.split("x")) for b in d[bucket_field].split(","))
+        else:
+            d[bucket_field] = getattr(TrainingArgs, bucket_field)
     d["report_to"] = tuple(d["report_to"].split(","))
     args = TrainingArgs(**d)
     args.validate()

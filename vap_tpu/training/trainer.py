@@ -168,6 +168,19 @@ class SFTTrainer:
         args = self.args
         shard_index = jax.process_index()
         num_shards = max(jax.process_count(), 1)
+        if self.family not in ("cogvideox", "wan"):
+            # generic families: auto-detected local layout (reference
+            # initialize_dataset, data/dataset.py:1542-1610)
+            from ..data.generic import DatasetPreprocessingWrapper, initialize_dataset
+
+            dataset_type = "image" if self.family in ("cogview4", "flux") else "video"
+            dataset = initialize_dataset(args.data_root, dataset_type, infinite=True)
+            if num_shards > 1 and hasattr(dataset, "_items"):
+                dataset._items = dataset._items[shard_index::num_shards]
+            dataset = DatasetPreprocessingWrapper(
+                dataset, id_token=args.id_token,
+                remove_common_llm_caption_prefixes=args.remove_common_llm_caption_prefixes)
+            return PrefetchingDataLoader(dataset, prefetch=4)
         ds_cls = VideoAsPromptDataset
         if self.dpo:
             from ..data.dataset import VideoAsPromptDPODataset
@@ -216,17 +229,22 @@ class SFTTrainer:
         only during encode passes."""
         args = self.args
 
-        def prepare_cond(sample):
+        def _fit(sample):
+            if "image" in sample and "video" not in sample:
+                from ..data.video import resize_to_nearest_bucket_image
+
+                return dict(sample, image=resize_to_nearest_bucket_image(
+                    sample["image"], args.image_resolution_buckets))
             video, _ = resize_to_nearest_bucket(sample["video"], args.video_resolution_buckets)
             refs = [resize_to_nearest_bucket(r, args.video_resolution_buckets)[0]
                     for r in sample.get("ref_videos", [])]
-            return self.spec.prepare_conditions(dict(sample, video=video, ref_videos=refs))
+            return dict(sample, video=video, ref_videos=refs)
+
+        def prepare_cond(sample):
+            return self.spec.prepare_conditions(_fit(sample))
 
         def prepare_lat(sample):
-            video, _ = resize_to_nearest_bucket(sample["video"], args.video_resolution_buckets)
-            refs = [resize_to_nearest_bucket(r, args.video_resolution_buckets)[0]
-                    for r in sample.get("ref_videos", [])]
-            return self.spec.prepare_latents(dict(sample, video=video, ref_videos=refs))
+            return self.spec.prepare_latents(_fit(sample))
 
         if args.precomputation_dir:
             from ..data.precomputation import PrecomputedPreprocessor
@@ -254,11 +272,18 @@ class SFTTrainer:
                 yield from buf
 
     def _preprocess(self, sample: Dict[str, Any]):
-        """decode -> bucket-fit -> T5 + VAE encode (the reference's
+        """decode -> bucket-fit -> text/VAE encode (the reference's
         preprocessor.consume('condition'/'latent') passes)."""
-        video, _ = resize_to_nearest_bucket(sample["video"], self.args.video_resolution_buckets)
-        refs = [resize_to_nearest_bucket(r, self.args.video_resolution_buckets)[0] for r in sample["ref_videos"]]
-        sample = dict(sample, video=video, ref_videos=refs)
+        if "image" in sample and "video" not in sample:
+            from ..data.video import resize_to_nearest_bucket_image
+
+            img = resize_to_nearest_bucket_image(sample["image"], self.args.image_resolution_buckets)
+            sample = dict(sample, image=img)
+        else:
+            video, _ = resize_to_nearest_bucket(sample["video"], self.args.video_resolution_buckets)
+            refs = [resize_to_nearest_bucket(r, self.args.video_resolution_buckets)[0]
+                    for r in sample.get("ref_videos", [])]
+            sample = dict(sample, video=video, ref_videos=refs)
         with self.tracker.timed("timing/prepare_conditions"):
             cond = self.spec.prepare_conditions(sample)
         with self.tracker.timed("timing/prepare_latents"):
@@ -425,6 +450,12 @@ class SFTTrainer:
         decoded target + reference videos and captions for visual QA."""
         out_dir = os.path.join(self.args.output_dir, "training_samples")
         os.makedirs(out_dir, exist_ok=True)
+        if "video" not in sample:  # image families: dump a 1-frame clip
+            export_to_video((sample["image"][None] + 1.0) / 2.0,
+                            os.path.join(out_dir, f"{step}-training_sample.mp4"), fps=1)
+            with open(os.path.join(out_dir, f"{step}-caption.txt"), "w") as f:
+                f.write(str(sample.get("caption", "")) + "\n")
+            return
         export_to_video((sample["video"] + 1.0) / 2.0,
                         os.path.join(out_dir, f"{step}-training_sample.mp4"), fps=16)
         for ri, rv in enumerate(sample.get("ref_videos", [])):
