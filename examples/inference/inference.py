@@ -30,7 +30,11 @@ class Inference:
         self._attention_mesh = attention_mesh
         self.mesh = None
         if args.sp_degree > 1:
-            self.mesh = make_mesh(MeshConfig(data=args.dp_degree, seq=args.sp_degree))
+            mesh_cfg = MeshConfig(data=args.dp_degree, seq=args.sp_degree)
+            devices = jax.devices()
+            if len(devices) < mesh_cfg.world_size:
+                devices = jax.devices("cpu")  # virtual-device testing
+            self.mesh = make_mesh(mesh_cfg, devices)
         self.shard_index = jax.process_index() * args.dp_degree
         self.num_shards = max(jax.process_count(), 1) * args.dp_degree
 

@@ -22,6 +22,7 @@ class TrainingArgs:
     fsdp_degree: int = 1
     seq_degree: int = 1
     tensor_degree: int = 1
+    cp_rotate_method: str = "allgather"   # | ppermute (reference alltoall analog)
 
     # models
     model_name: str = "cogvideox"                 # cogvideox | wan

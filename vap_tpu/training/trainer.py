@@ -156,12 +156,25 @@ class SFTTrainer:
 
     def _attn_ctx(self, training: bool):
         """Attention-provider context for the step/validation jit traces
-        (reference attention_provider_ctx, sft_trainer/trainer.py:676)."""
+        (reference attention_provider_ctx, sft_trainer/trainer.py:676).
+
+        With --seq_degree > 1 this also installs the attention mesh and makes
+        'ring' the default provider, so sequence parallelism runs the real
+        sharded kernel end-to-end (reference CP, parallel/ptd.py:515-722) —
+        not just XLA's SPMD of the dense path."""
         name = (self.args.attn_provider_training if training
                 else self.args.attn_provider_inference)
-        if name in (None, "", "auto"):
-            return contextlib.nullcontext()
-        return attention_provider(name)
+        stack = contextlib.ExitStack()
+        if self.mesh is not None and self.args.seq_degree > 1:
+            from ..parallel.ring_attention import attention_mesh
+
+            stack.enter_context(attention_mesh(
+                self.mesh, "seq", rotate_method=self.args.cp_rotate_method))
+            if name in (None, "", "auto"):
+                name = "ring"
+        if name not in (None, "", "auto"):
+            stack.enter_context(attention_provider(name))
+        return stack
 
     # ------------------------------------------------------------------
     def _prepare_dataset(self):
