@@ -99,15 +99,28 @@ def main(argv=None):
         dtype = jnp.bfloat16 if args.transformer_dtype == "bfloat16" else jnp.float32
         params = _load_or_init_params(args, t_cfg, vae_cfg, txt_cfg, dtype)
     else:  # wan
-        from vap_tpu.models.wan import WanMOTConfig, convert_wan_mot_state_dict, init_wan_mot
+        from vap_tpu.models.wan import (
+            WanMOTConfig,
+            convert_wan_mot_state_dict,
+            convert_wan_state_dict,
+            expand_patch_embedding,
+            init_wan,
+            init_wan_mot,
+        )
         from vap_tpu.models.wan.vae import WanVAEConfig
         from vap_tpu.models.wan.vae_weights import convert_wan_vae_state_dict
         from vap_tpu.models.text_encoders.t5 import convert_t5_state_dict
 
-        t_cfg = WanMOTConfig.wan_14b_i2v_vap(
-            **{k: tuple(v) if isinstance(v, list) else v for k, v in structure.items()
-               if k in ("block_idx_with_mot_ref", "num_layers", "num_attention_heads",
-                         "attention_head_dim")})
+        structure_kw = {k: tuple(v) if isinstance(v, list) else v for k, v in structure.items()
+                        if k in ("block_idx_with_mot_ref", "num_layers", "num_attention_heads",
+                                 "attention_head_dim")}
+        is_control = args.training_type.startswith("control")
+        if is_control:
+            base_cfg = WanMOTConfig.wan_1_3b_t2v(
+                **{k: v for k, v in structure_kw.items() if k != "block_idx_with_mot_ref"})
+        else:
+            base_cfg = WanMOTConfig.wan_14b_i2v_vap(**structure_kw)
+        t_cfg = base_cfg
         vae_cfg = WanVAEConfig()
         txt_cfg = T5Config.umt5_xxl()
         dtype = jnp.bfloat16 if args.transformer_dtype == "bfloat16" else jnp.float32
@@ -118,10 +131,26 @@ def main(argv=None):
 
         key = jax.random.PRNGKey(args.seed)
         tr = maybe(os.path.join(base, "transformer", "model.safetensors")) if base else None
-        params = {
-            "transformer": (convert_wan_mot_state_dict(load_safetensors(tr), t_cfg, dtype)
-                            if tr else init_wan_mot(key, t_cfg, dtype)),
-        }
+        if is_control:
+            # plain T2V weights, input layer widened for [noisy ‖ control(+mask)]
+            # (reference control trainer._prepare_models, trainer.py:100-106)
+            import dataclasses as _dc
+
+            from vap_tpu.training.control_trainer import control_in_channels
+
+            transformer = (convert_wan_state_dict(load_safetensors(tr), base_cfg, dtype)
+                           if tr else init_wan(key, base_cfg, dtype))
+            new_in = control_in_channels(
+                base_cfg.in_channels, args.frame_conditioning_concatenate_mask)
+            transformer = expand_patch_embedding(
+                transformer, base_cfg, new_in - base_cfg.in_channels)
+            t_cfg = _dc.replace(base_cfg, in_channels=new_in)
+            params = {"transformer": transformer}
+        else:
+            params = {
+                "transformer": (convert_wan_mot_state_dict(load_safetensors(tr), t_cfg, dtype)
+                                if tr else init_wan_mot(key, t_cfg, dtype)),
+            }
         vp = maybe(os.path.join(base, "vae", "model.safetensors")) if base else None
         if vp:
             params["vae"] = convert_wan_vae_state_dict(load_safetensors(vp), vae_cfg, dtype)
@@ -133,18 +162,21 @@ def main(argv=None):
         else:
             params["text_encoder"] = init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, dtype)
 
-        # Wan-I2V needs the CLIP ViT-H image encoder for conditioning
-        # (reference WanModelSpecification.load_condition_models)
-        from vap_tpu.models.text_encoders.clip_vision import (
-            CLIPVisionConfig, convert_clip_vision_state_dict, init_clip_vision)
+        clip_cfg = None
+        if not is_control:
+            # Wan-I2V needs the CLIP ViT-H image encoder for conditioning
+            # (reference WanModelSpecification.load_condition_models); the T2V
+            # control backbone does not.
+            from vap_tpu.models.text_encoders.clip_vision import (
+                CLIPVisionConfig, convert_clip_vision_state_dict, init_clip_vision)
 
-        clip_cfg = CLIPVisionConfig()
-        ie = maybe(os.path.join(base, "image_encoder", "model.safetensors")) if base else None
-        if ie:
-            params["image_encoder"] = convert_clip_vision_state_dict(
-                load_safetensors(ie), clip_cfg, dtype)
-        else:
-            params["image_encoder"] = init_clip_vision(jax.random.fold_in(key, 3), clip_cfg, dtype)
+            clip_cfg = CLIPVisionConfig()
+            ie = maybe(os.path.join(base, "image_encoder", "model.safetensors")) if base else None
+            if ie:
+                params["image_encoder"] = convert_clip_vision_state_dict(
+                    load_safetensors(ie), clip_cfg, dtype)
+            else:
+                params["image_encoder"] = init_clip_vision(jax.random.fold_in(key, 3), clip_cfg, dtype)
 
     tokenizer = None
     if args.pretrained_model_name_or_path:
@@ -162,7 +194,12 @@ def main(argv=None):
     else:
         spec = spec_cls(t_cfg, vae_cfg, txt_cfg, params, tokenizer, dtype)
 
-    trainer = SFTTrainer(args, spec)
+    if args.training_type.startswith("control"):
+        from vap_tpu.training.control_trainer import ControlTrainer
+
+        trainer = ControlTrainer(args, spec)
+    else:
+        trainer = SFTTrainer(args, spec)
     try:
         state = trainer.run()
         trainer.export()

@@ -358,6 +358,49 @@ class DatasetPreprocessingWrapper(_StatefulIterable):
             yield sample
 
 
+class ControlDatasetWrapper(_StatefulIterable):
+    """Augment samples with a control signal (reference IterableControlDataset,
+    trainer/control_trainer/data.py:29-135): `canny` computes per-frame edges
+    host-side; `none` copies the media; `custom` expects control_image /
+    control_video columns already present in the dataset."""
+
+    def __init__(self, dataset, control_type: str = "canny"):
+        if control_type not in ("canny", "custom", "none"):
+            raise ValueError(f"unknown control_type {control_type!r}")
+        self.dataset = dataset
+        self.control_type = control_type
+        self.infinite = getattr(dataset, "infinite", False)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def state_dict(self):
+        return self.dataset.state_dict()
+
+    def load_state_dict(self, state):
+        self.dataset.load_state_dict(state)
+
+    def __iter__(self):
+        from ..training.control import canny_control
+
+        for sample in self.dataset:
+            if self.control_type == "custom":
+                if "control_image" not in sample and "control_video" not in sample:
+                    raise ValueError(
+                        "control_type=custom requires control_image/control_video "
+                        "columns in the dataset")
+            elif "control_image" not in sample and "control_video" not in sample:
+                if "image" in sample:
+                    sample["control_image"] = (
+                        canny_control(sample["image"][None])[0]
+                        if self.control_type == "canny" else sample["image"].copy())
+                elif "video" in sample:
+                    sample["control_video"] = (
+                        canny_control(sample["video"])
+                        if self.control_type == "canny" else sample["video"].copy())
+            yield sample
+
+
 class CombinedDataset(_StatefulIterable):
     """Round-robin/shuffled combination of several datasets (reference
     IterableCombinedDataset, dataset.py:1494-1539)."""

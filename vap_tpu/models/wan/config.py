@@ -57,6 +57,19 @@ class WanMOTConfig:
         return cls(**base)
 
     @classmethod
+    def wan_1_3b_t2v(cls, **overrides) -> "WanMOTConfig":
+        """Wan-AI/Wan2.1-T2V-1.3B-Diffusers — the base model of the reference
+        control trainer (finetrainers/models/wan/control_specification.py:51).
+        No MoT blocks, no image cross-attention."""
+        base = dict(
+            num_attention_heads=12, attention_head_dim=128, in_channels=16,
+            out_channels=16, ffn_dim=8960, num_layers=30,
+            block_idx_with_mot_ref=(),
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
     def tiny(cls, **overrides) -> "WanMOTConfig":
         base = dict(
             num_attention_heads=2, attention_head_dim=12, in_channels=4,

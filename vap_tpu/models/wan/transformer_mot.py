@@ -196,6 +196,83 @@ def init_wan_mot(key, cfg: WanMOTConfig, dtype=jnp.float32) -> Params:
     return params
 
 
+def init_wan(key, cfg: WanMOTConfig, dtype=jnp.float32) -> Params:
+    """Plain (non-MoT) Wan transformer params — WanTransformer3DModel as used
+    by the control trainer (reference control_specification.py:133-151). Same
+    tree layout as init_wan_mot minus every *_mot_ref entry."""
+    keys = jax.random.split(key, cfg.num_layers + 4)
+    dim = cfg.inner_dim
+    pt, ph, pw = cfg.patch_size
+    patch_in = cfg.in_channels * pt * ph * pw
+    out_dim = cfg.out_channels * pt * ph * pw
+
+    params: Params = {
+        "patch_embedding": init_linear(keys[0], patch_in, dim, dtype=dtype),
+        "condition_embedder": _init_condition_embedder(keys[1], cfg, dtype),
+        "proj_out": init_linear(keys[2], dim, out_dim, dtype=dtype),
+        "scale_shift_table": jax.random.normal(keys[3], (2, dim), dtype) / dim ** 0.5,
+    }
+    blocks = [_init_block(keys[4 + i], cfg, False, dtype) for i in range(cfg.num_layers)]
+    params["blocks"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),)
+    return params
+
+
+def expand_patch_embedding(params: Params, cfg: WanMOTConfig, extra_in_channels: int) -> Params:
+    """Widen patch_embedding to accept [noisy ‖ control(+mask)] channel concat
+    (reference _expand_conv3d_with_zeroed_weights, models/utils.py): existing
+    rows keep their weights, new channel rows start at zero. The patchify
+    flattening is (C, pt, ph, pw) with C outermost (_patchify_wan), so new
+    channels are a row-append."""
+    pt, ph, pw = cfg.patch_size
+    pe = params["patch_embedding"]
+    kernel = pe["kernel"]
+    extra = jnp.zeros((extra_in_channels * pt * ph * pw, kernel.shape[1]), kernel.dtype)
+    out = dict(params)
+    out["patch_embedding"] = dict(pe, kernel=jnp.concatenate([kernel, extra], axis=0))
+    return out
+
+
+def wan_forward(
+    params: Params,
+    cfg: WanMOTConfig,
+    *,
+    hidden_states: Array,                  # [B, F, H, W, C_in] channel-last
+    timestep: Array,                       # [B]
+    encoder_hidden_states: Array,          # [B, text_len, text_dim]
+    encoder_hidden_states_image: Optional[Array] = None,
+    remat: bool = False,
+) -> Array:
+    """Plain WanTransformer3DModel.forward (no MoT branch): the control
+    trainer's diffusion backbone. Returns [B, F, H, W, C_out]."""
+    b, f, h, w, _ = hidden_states.shape
+    pt, ph, pw = cfg.patch_size
+    ppf, pph, ppw = f // pt, h // ph, w // pw
+    dtype = hidden_states.dtype
+
+    rope = wan_rope(cfg, ppf, pph, ppw)
+    hs = _patchify_wan(params["patch_embedding"], cfg, hidden_states)
+    temb, tproj, ctx_text, ctx_img = _condition_embedder(
+        params["condition_embedder"], cfg, timestep, encoder_hidden_states,
+        encoder_hidden_states_image, dtype)
+    tproj = tproj.reshape(b, 6, -1).astype(jnp.float32)
+
+    def body(hs, bp):
+        out, _ = _block_forward(
+            bp, cfg, False, hs, ctx_text, ctx_img, tproj, rope,
+            None, None, None, None, None, 1)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    hs, _ = jax.lax.scan(body, hs, params["blocks"][0])
+
+    st = params["scale_shift_table"].astype(jnp.float32)[None] + temb.astype(jnp.float32)[:, None]
+    shift, scale = st[:, 0][:, None], st[:, 1][:, None]
+    hs = (layer_norm({}, hs.astype(jnp.float32), cfg.eps) * (1 + scale) + shift).astype(dtype)
+    hs = linear(params["proj_out"], hs)
+    return _unpatchify_wan(cfg, hs, ppf, pph, ppw)
+
+
 # ---------------------------------------------------------------------------
 # forward pieces
 # ---------------------------------------------------------------------------

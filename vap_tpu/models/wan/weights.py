@@ -97,6 +97,22 @@ def _cond_embedder(sd, pre, cfg: WanMOTConfig, dtype) -> Params:
     return p
 
 
+def convert_wan_state_dict(sd: Dict[str, np.ndarray], cfg: WanMOTConfig, dtype=jnp.float32) -> Params:
+    """Plain WanTransformer3DModel (T2V, control-trainer backbone) — the MoT
+    conversion minus every *_mot_ref tensor."""
+    w = np.asarray(sd["patch_embedding.weight"])
+    params: Params = {
+        "patch_embedding": {"kernel": jnp.asarray(w.reshape(w.shape[0], -1).T, dtype),
+                            "bias": jnp.asarray(sd["patch_embedding.bias"], dtype)},
+        "condition_embedder": _cond_embedder(sd, "condition_embedder", cfg, dtype),
+        "proj_out": _lin(sd, "proj_out", dtype),
+        "scale_shift_table": jnp.asarray(np.asarray(sd["scale_shift_table"]).reshape(2, -1), dtype),
+    }
+    blocks = [_block(sd, i, False, cfg, dtype) for i in range(cfg.num_layers)]
+    params["blocks"] = (jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),)
+    return params
+
+
 def convert_wan_mot_state_dict(sd: Dict[str, np.ndarray], cfg: WanMOTConfig, dtype=jnp.float32) -> Params:
     pt, ph, pw = cfg.patch_size
     # conv3d [D, C, pt, ph, pw] -> linear [(C*pt*ph*pw), D]

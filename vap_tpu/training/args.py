@@ -63,6 +63,13 @@ class TrainingArgs:
     rank: int = 64            # LoRA rank (lora training type)
     lora_alpha: int = 64
 
+    # control training (reference trainer/control_trainer/config.py:45-196)
+    control_type: str = "canny"            # canny | custom | none
+    frame_conditioning_type: str = "full"  # index | prefix | random | first_and_last | full
+    frame_conditioning_index: int = 0
+    frame_conditioning_concatenate_mask: bool = False
+    train_qk_norm: bool = False
+
     # training
     seed: int = 42
     batch_size: int = 1
@@ -107,8 +114,20 @@ class TrainingArgs:
         return {}
 
     def validate(self):
-        if self.training_type not in ("video_as_prompt_mot", "sft", "lora", "dpo", "control"):
+        if self.training_type == "control":  # alias for the default control mode
+            self.training_type = "control_lora"
+        if self.training_type not in ("video_as_prompt_mot", "sft", "lora", "dpo",
+                                      "control_lora", "control_full_finetune"):
             raise ValueError(f"unknown training_type {self.training_type}")
+        if self.training_type.startswith("control"):
+            from .control_trainer import CONTROL_TYPES, FRAME_CONDITIONING_TYPES
+
+            if self.control_type not in CONTROL_TYPES:
+                raise ValueError(f"unknown control_type {self.control_type!r}; valid: {CONTROL_TYPES}")
+            if self.frame_conditioning_type not in FRAME_CONDITIONING_TYPES:
+                raise ValueError(
+                    f"unknown frame_conditioning_type {self.frame_conditioning_type!r}; "
+                    f"valid: {FRAME_CONDITIONING_TYPES}")
         if self.model_name not in ("cogvideox", "wan", "ltx_video", "hunyuan_video",
                                    "cogview4", "flux"):
             raise ValueError(f"unknown model_name {self.model_name}")

@@ -127,6 +127,8 @@ SUPPORTED_MODEL_SPECS = {
 
 
 def get_model_spec_cls(model_name: str, training_type: str):
+    if training_type.startswith("control"):
+        from . import control_specs  # noqa: F401 — registers control specs
     key = (model_name, training_type)
     if key not in SUPPORTED_MODEL_SPECS:
         raise ValueError(f"unsupported (model, training_type): {key}")

@@ -118,6 +118,17 @@ class SFTTrainer:
         params = model_spec.params["transformer"]
         if self.mesh is not None:
             params = shard_params(params, self.mesh)
+        self._build_step(params)
+
+        self.train_state = TrainState()
+        self.checkpointer = Checkpointer(
+            os.path.join(args.output_dir, "checkpoints"), args.checkpointing_limit)
+
+    def _build_step(self, params):
+        """Construct (train_params, frozen_params, opt_state, _step) for this
+        training type; subclasses (ControlTrainer) override."""
+        args = self.args
+        family = self.family
         loss_fn, partitioned = FAMILY_LOSSES[family]
         if self.dpo:
             if family not in ("cogvideox", "wan"):
@@ -149,10 +160,6 @@ class SFTTrainer:
                 inv = 1.0 / self.accum_steps
                 self._tree_mean = jax.jit(lambda t: jax.tree.map(lambda x: x * inv, t))
                 self._accum_grads = None
-
-        self.train_state = TrainState()
-        self.checkpointer = Checkpointer(
-            os.path.join(args.output_dir, "checkpoints"), args.checkpointing_limit)
 
     def _attn_ctx(self, training: bool):
         """Attention-provider context for the step/validation jit traces
