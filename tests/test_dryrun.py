@@ -3,17 +3,31 @@
 Round-1 regression: param init / jax.random.normal in dryrun_multichip ran on
 the *default* backend (a broken TPU in the driver environment) before
 device_put, crashing the run (MULTICHIP_r01 ok=false). The dryrun now pins
-everything to the mesh backend; this test runs it in a fresh subprocess with
-the same XLA_FLAGS the driver uses.
+everything to the mesh backend.
+
+Two variants: the fast suite calls dryrun_multichip(8) in-process (same code
+path, no subprocess re-init — this box has a single CPU core, so a fresh
+interpreter + full recompile costs ~7 min); the slow suite additionally runs
+the exact driver invocation in a fresh subprocess with the driver's XLA_FLAGS.
 """
 
 import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_dryrun_multichip_8_inprocess():
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # raises on any failure
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_8_subprocess():
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
@@ -25,7 +39,7 @@ def test_dryrun_multichip_8_subprocess():
         env=env,
         capture_output=True,
         text=True,
-        timeout=540,
+        timeout=900,
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "one train step OK" in r.stdout

@@ -67,9 +67,10 @@ def test_select_frames():
     assert len(select_frames(frames, 7, "random")) == 7
 
 
-@pytest.mark.parametrize("scheduler_cls", [
+@pytest.mark.slow  # ~3 min on a 1-core host; single_branch_modes below keeps
+@pytest.mark.parametrize("scheduler_cls", [  # fast pipeline coverage
     CogVideoXDDIMScheduler,
-    pytest.param(CogVideoXDPMScheduler, marks=pytest.mark.slow),
+    CogVideoXDPMScheduler,
 ])
 def test_end_to_end_generation(tiny_pipeline, scheduler_cls, monkeypatch):
     monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")

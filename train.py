@@ -88,12 +88,21 @@ def main(argv=None):
 
     structure = args.model_structure()
     if args.model_name == "cogvideox":
+        structure_kw = {k: tuple(v) if isinstance(v, list) else v for k, v in structure.items()
+                        if k in ("block_idx_with_mot_ref", "supported_effect_types",
+                                 "num_ref_embeddings", "num_layers", "num_attention_heads",
+                                 "attention_head_dim", "ablation_single_encoder",
+                                 "ablation_residual_addition")}
+        if args.ablation_single_branch:
+            # single-trunk ablation: plain CogVideoX, no MoT branch params
+            # (reference sft_trainer/trainer.py:123 -> load_diffusion_models)
+            structure_kw["block_idx_with_mot_ref"] = ()
+        if args.ablation_single_encoder:
+            structure_kw["ablation_single_encoder"] = True
+        if args.ablation_residual_addition:
+            structure_kw["ablation_residual_addition"] = True
         t_cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(
-            reference_train_mode=args.reference_train_mode,
-            **{k: tuple(v) if isinstance(v, list) else v for k, v in structure.items()
-               if k in ("block_idx_with_mot_ref", "supported_effect_types", "num_ref_embeddings",
-                         "num_layers", "num_attention_heads", "attention_head_dim")},
-        )
+            reference_train_mode=args.reference_train_mode, **structure_kw)
         vae_cfg = CogVideoXVAEConfig()
         txt_cfg = T5Config.t5_xxl()
         dtype = jnp.bfloat16 if args.transformer_dtype == "bfloat16" else jnp.float32

@@ -62,6 +62,15 @@ class TrainingArgs:
     dpo: bool = False
     rank: int = 64            # LoRA rank (lora training type)
     lora_alpha: int = 64
+    target_modules: str = "default"  # "none" | regex-ish module list (reference style)
+    training_dataset_kind: str = "vap_data"
+
+    # paper ablations (reference sft_trainer/config.py:102-108; scripts under
+    # examples/training/sft/cogvideox/vap_mot/ablation/)
+    ablation_single_branch: bool = False
+    ablation_single_encoder: bool = False
+    ablation_residual_addition: bool = False
+    ablation_scaling_data_num: int = 99999999
 
     # control training (reference trainer/control_trainer/config.py:45-196)
     control_type: str = "canny"            # canny | custom | none
@@ -141,6 +150,8 @@ class TrainingArgs:
                 f"valid: {FLOW_WEIGHTING_SCHEMES}")
         if self.gradient_accumulation_steps < 1:
             raise ValueError("gradient_accumulation_steps must be >= 1")
+        if self.ablation_scaling_data_num < 1:
+            raise ValueError("ablation_scaling_data_num must be a positive integer")
 
 
 def parse_args(argv: Optional[List[str]] = None) -> TrainingArgs:

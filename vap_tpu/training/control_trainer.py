@@ -351,12 +351,7 @@ class ControlTrainer(SFTTrainer):
             params, jax.random.PRNGKey(args.seed))
         self._step = jax.jit(step_fn)
         if self.accum_steps > 1:
-            self._grad = jax.jit(grad_fn)
-            self._apply = jax.jit(apply_fn)
-            self._tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
-            inv = 1.0 / self.accum_steps
-            self._tree_mean = jax.jit(lambda t: jax.tree.map(lambda x: x * inv, t))
-            self._accum_grads = None
+            self._install_accum(grad_fn, apply_fn)
 
     def _prepare_dataset(self):
         from ..data.generic import (

@@ -103,6 +103,11 @@ class TrainStepConfig:
     vae_scaling_factor: float = 1.15258426
     num_train_timesteps: int = 1000
     remat: bool = True
+    # ablation: one trunk over [target ‖ refs] with concatenated RoPE, loss on
+    # the target slice only (reference base_specification.py:758-784); with
+    # baseline_single_condition the refs are dropped entirely
+    ablation_single_branch: bool = False
+    baseline_single_condition: bool = False
 
 
 def trainable_mask(params) -> Any:
@@ -185,23 +190,45 @@ def cogvideox_vap_loss(
     rope, rope_ref = _rope_tables(mcfg, lat_h, lat_w, f_lat, num_mot_ref, cfg.ref_type)
 
     dtype = batch["encoder_hidden_states"].dtype
-    velocity, velocity_ref = cogvideox_mot_forward(
-        params, mcfg,
-        hidden_states=hidden.astype(dtype),
-        encoder_hidden_states=batch["encoder_hidden_states"],
-        timestep=timesteps.astype(jnp.float32),
-        image_rotary_emb=rope,
-        hidden_states_mot_ref=hidden_ref.astype(dtype),
-        encoder_hidden_states_mot_ref=batch["encoder_hidden_states_mot_ref"],
-        image_rotary_emb_mot_ref=rope_ref,
-        num_mot_ref=num_mot_ref,
-        timestep_mot_ref=(
-            ref_timesteps.astype(jnp.float32)
-            if (cfg.random_refer_noise and ref_timesteps is not None) else None
-        ),
-        effect_ids=batch.get("effect_ids"),
-        remat=cfg.remat,
-    )
+    if cfg.ablation_single_branch:
+        hidden_in = hidden
+        rope_in = rope
+        if not cfg.baseline_single_condition:
+            hidden_in = jnp.concatenate([hidden, hidden_ref], axis=1)
+            rope_in = (jnp.concatenate([rope[0], rope_ref[0]], axis=0),
+                       jnp.concatenate([rope[1], rope_ref[1]], axis=0))
+        velocity, velocity_ref = cogvideox_mot_forward(
+            params, mcfg,
+            hidden_states=hidden_in.astype(dtype),
+            encoder_hidden_states=batch["encoder_hidden_states"],
+            timestep=timesteps.astype(jnp.float32),
+            image_rotary_emb=rope_in,
+            hidden_states_mot_ref=hidden_ref.astype(dtype),
+            encoder_hidden_states_mot_ref=batch["encoder_hidden_states_mot_ref"],
+            image_rotary_emb_mot_ref=rope_ref,
+            num_mot_ref=num_mot_ref,
+            remat=cfg.remat,
+            single_branch=True,
+        )
+        velocity = velocity[:, :f_lat]
+    else:
+        velocity, velocity_ref = cogvideox_mot_forward(
+            params, mcfg,
+            hidden_states=hidden.astype(dtype),
+            encoder_hidden_states=batch["encoder_hidden_states"],
+            timestep=timesteps.astype(jnp.float32),
+            image_rotary_emb=rope,
+            hidden_states_mot_ref=hidden_ref.astype(dtype),
+            encoder_hidden_states_mot_ref=batch["encoder_hidden_states_mot_ref"],
+            image_rotary_emb_mot_ref=rope_ref,
+            num_mot_ref=num_mot_ref,
+            timestep_mot_ref=(
+                ref_timesteps.astype(jnp.float32)
+                if (cfg.random_refer_noise and ref_timesteps is not None) else None
+            ),
+            effect_ids=batch.get("effect_ids"),
+            remat=cfg.remat,
+        )
 
     pred = get_velocity(alphas_cumprod, velocity.astype(jnp.float32), noisy_latents, timesteps)
     target = latents
@@ -253,6 +280,63 @@ def make_grad_and_apply(loss_fn, cfg, optimizer: optax.GradientTransformation,
         return optax.apply_updates(train_params, updates), opt_state, grad_norm
 
     return grad_fn, apply_fn
+
+
+def parse_target_modules(spec: str):
+    """Map a reference-style --target_modules string (regex over torch module
+    names, e.g. '(transformer_blocks|...).*(to_q|to_k|to_v|to_out.0|
+    ff.net.0.proj|ff.net.2)') onto this repo's param-tree projection names.
+    'none'/'' -> (); 'default' -> all attention+FFN projections."""
+    from .lora import DEFAULT_TARGETS
+
+    if spec in (None, "", "none"):
+        return ()
+    if spec == "default":
+        return DEFAULT_TARGETS
+    atoms = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v", "to_out": "to_out",
+             "ff.net.0.proj": "net_0", "net_0": "net_0",
+             "ff.net.2": "net_2", "net_2": "net_2"}
+    found = sorted({name for pat, name in atoms.items() if pat in spec})
+    if not found:
+        raise ValueError(f"no recognized projection names in target_modules {spec!r}")
+    return tuple(found)
+
+
+def make_lora_sft_step(loss_fn, cfg, optimizer: optax.GradientTransformation, *,
+                       rank: int = 64, alpha: float = 64.0, targets=None,
+                       mot_only: bool = False):
+    """LoRA SFT: adapters over the selected projections of a frozen base
+    (reference TrainingType.LORA, sft_trainer/trainer.py:143-151, and the
+    single-branch-LoRA ablation). Returns (init_fn, grad_fn, apply_fn,
+    step_fn) — grad/apply split for gradient accumulation."""
+    from .lora import DEFAULT_TARGETS, apply_lora, init_lora
+
+    targets = targets or DEFAULT_TARGETS
+
+    def init_fn(params, key):
+        lora = init_lora(key, params, rank=rank, targets=targets, mot_only=mot_only)
+        return lora, params, optimizer.init(lora)
+
+    def grad_fn(lora_params, base_params, batch, key):
+        def wrapped(lp):
+            merged = apply_lora(base_params, lp, alpha=alpha, rank=rank)
+            return loss_fn(merged, cfg, batch, key)
+
+        (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(lora_params)
+        return grads, metrics
+
+    def apply_fn(lora_params, opt_state, grads):
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+        return optax.apply_updates(lora_params, updates), opt_state, grad_norm
+
+    def step_fn(lora_params, base_params, opt_state, batch, key):
+        grads, metrics = grad_fn(lora_params, base_params, batch, key)
+        lora_params, opt_state, grad_norm = apply_fn(lora_params, opt_state, grads)
+        metrics["grad_norm"] = grad_norm
+        return lora_params, opt_state, metrics
+
+    return init_fn, grad_fn, apply_fn, step_fn
 
 
 def _make_sft_step(loss_fn, cfg, optimizer: optax.GradientTransformation,

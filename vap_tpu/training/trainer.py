@@ -67,6 +67,8 @@ def _make_step_config(family: str, args: TrainingArgs, transformer_cfg):
             sample_ref_videos_num=args.sample_ref_videos_num,
             ref_type=args.ref_type,
             remat=remat,
+            ablation_single_branch=args.ablation_single_branch,
+            baseline_single_condition=bool(args.baseline_single_condition),
         )
     from .train_step import (
         CogView4TrainStepConfig,
@@ -130,6 +132,13 @@ class SFTTrainer:
         args = self.args
         family = self.family
         loss_fn, partitioned = FAMILY_LOSSES[family]
+        if args.ablation_single_branch:
+            # single-trunk ablation: no MoT partition exists; train the full
+            # tree (target_modules == "none") or LoRA adapters (reference
+            # sft_trainer/trainer.py:140-151)
+            partitioned = False
+        self.lora_mode = (args.training_type == "lora"
+                          or (args.ablation_single_branch and args.target_modules != "none"))
         if self.dpo:
             if family not in ("cogvideox", "wan"):
                 raise ValueError(f"DPO is only defined for cogvideox/wan, got {family}")
@@ -142,6 +151,18 @@ class SFTTrainer:
             self.frozen_params = params
             self.train_params, self.opt_state = init_fn(params, jax.random.PRNGKey(args.seed))
             self._step = jax.jit(step_fn)
+        elif self.lora_mode:
+            from .train_step import make_lora_sft_step, parse_target_modules
+
+            init_fn, grad_fn, apply_fn, step_fn = make_lora_sft_step(
+                loss_fn, self.step_cfg, self.optimizer,
+                rank=args.rank, alpha=float(args.lora_alpha),
+                targets=parse_target_modules(args.target_modules))
+            self.train_params, self.frozen_params, self.opt_state = init_fn(
+                params, jax.random.PRNGKey(args.seed))
+            self._step = jax.jit(step_fn)
+            if self.accum_steps > 1:
+                self._install_accum(grad_fn, apply_fn)
         else:
             from .train_step import _make_sft_step
 
@@ -154,12 +175,15 @@ class SFTTrainer:
                 # sum micro-batch grads, apply mean every accum boundary
                 grad_fn, apply_fn = make_grad_and_apply(
                     loss_fn, self.step_cfg, self.optimizer, partitioned=partitioned)
-                self._grad = jax.jit(grad_fn)
-                self._apply = jax.jit(apply_fn)
-                self._tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
-                inv = 1.0 / self.accum_steps
-                self._tree_mean = jax.jit(lambda t: jax.tree.map(lambda x: x * inv, t))
-                self._accum_grads = None
+                self._install_accum(grad_fn, apply_fn)
+
+    def _install_accum(self, grad_fn, apply_fn):
+        self._grad = jax.jit(grad_fn)
+        self._apply = jax.jit(apply_fn)
+        self._tree_add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+        inv = 1.0 / self.accum_steps
+        self._tree_mean = jax.jit(lambda t: jax.tree.map(lambda x: x * inv, t))
+        self._accum_grads = None
 
     def _attn_ctx(self, training: bool):
         """Attention-provider context for the step/validation jit traces
@@ -215,6 +239,7 @@ class SFTTrainer:
             mask_caption_ratio=args.mask_caption_ratio,
             alignment_score_threshold=args.alignment_score_threshold,
             baseline_single_condition=args.baseline_single_condition,
+            ablation_scaling_data_num=args.ablation_scaling_data_num,
             shard_index=shard_index,
             num_shards=num_shards,
             seed=args.seed + shard_index,
@@ -427,7 +452,7 @@ class SFTTrainer:
 
     # ------------------------------------------------------------------
     def _merged_params(self):
-        if self.dpo:
+        if self.dpo or getattr(self, "lora_mode", False):
             from .lora import apply_lora
 
             return apply_lora(self.frozen_params, self.train_params,
@@ -495,7 +520,7 @@ class SFTTrainer:
         path = path or os.path.join(self.args.output_dir, "model_weights",
                                     f"{self.train_state.step:06d}", "model.safetensors")
         out = export_safetensors(full, self.spec.transformer_cfg, path)
-        if self.dpo:
+        if self.dpo or getattr(self, "lora_mode", False):
             from .checkpoint import export_lora_safetensors
 
             export_lora_safetensors(
