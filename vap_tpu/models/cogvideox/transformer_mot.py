@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ...ops.attention import scaled_dot_product_attention
 from ...ops.rope import apply_rotary_emb
 from ..common import (
+    scan_blocks_with_remat,
     init_feed_forward,
     init_layer_norm,
     init_linear,
@@ -453,9 +454,7 @@ def cogvideox_mot_forward(
                 out = _block_forward(bp, cfg, False, hs, ehs, emb, image_rotary_emb,
                                      None, None, None, None, 0)
                 return out, None
-            if remat:
-                body = jax.checkpoint(body, prevent_cse=False)
-            carry, _ = jax.lax.scan(body, carry, sp)
+            carry = scan_blocks_with_remat(body, carry, sp, remat)
         hs = carry[0]
         hs = layer_norm(params["norm_final"], hs, cfg.norm_eps)
         shift, scale = jnp.split(linear(params["norm_out"]["linear"], silu(emb)), 2, axis=-1)
@@ -509,9 +508,7 @@ def cogvideox_mot_forward(
                 hs_ref, ehs_ref, emb_ref, image_rotary_emb_mot_ref, r,
             )
             return out, None
-        if remat:
-            body = jax.checkpoint(body, prevent_cse=False)
-        carry, _ = jax.lax.scan(body, carry, sp)
+        carry = scan_blocks_with_remat(body, carry, sp, remat)
     hs, ehs, hs_ref, ehs_ref = carry
 
     # 4. output head

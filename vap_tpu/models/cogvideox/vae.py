@@ -115,37 +115,69 @@ def group_norm(p: Params, x: Array, num_groups: int, eps: float) -> Array:
     return xf.astype(x.dtype)
 
 
-def _torch_nearest_resize(x: Array, out_h: int, out_w: int) -> Array:
-    """torch F.interpolate(mode='nearest') exact indexing: floor(i * in / out).
+def _nearest_axis(x: Array, axis: int, out_size: int) -> Array:
+    """torch F.interpolate(mode='nearest') exact indexing floor(i*in/out) on
+    one axis. Integer upscale factors lower to broadcast+reshape (free-ish on
+    TPU) instead of a gather — the decoder's 2x upsamples and the
+    SpatialNorm3D zq resizes are all integer factors in practice."""
+    axis = axis % x.ndim
+    in_size = x.shape[axis]
+    if out_size == in_size:
+        return x
+    if out_size % in_size == 0:
+        r = out_size // in_size
+        x = jnp.expand_dims(x, axis + 1)   # [..., in, 1, ...]
+        reps = [1] * x.ndim
+        reps[axis + 1] = r
+        x = jnp.tile(x, reps)              # [..., in, r, ...]
+        shape = list(x.shape)
+        shape[axis] = in_size * r
+        del shape[axis + 1]
+        return x.reshape(shape)
+    idx = (np.arange(out_size) * in_size / out_size).astype(np.int32)
+    return jnp.take(x, idx, axis=axis)
 
-    x: [..., H, W, C] resized over the two spatial axes."""
-    in_h, in_w = x.shape[-3], x.shape[-2]
-    hi = (np.arange(out_h) * in_h / out_h).astype(np.int32)
-    wi = (np.arange(out_w) * in_w / out_w).astype(np.int32)
-    return x[..., hi, :, :][..., wi, :]
+
+def _torch_nearest_resize(x: Array, out_h: int, out_w: int) -> Array:
+    """torch F.interpolate(mode='nearest') exact over the two spatial axes of
+    [..., H, W, C]."""
+    x = _nearest_axis(x, -3, out_h)
+    return _nearest_axis(x, -2, out_w)
 
 
 def _torch_nearest_resize_t(x: Array, out_f: int) -> Array:
     """nearest resize along the frame axis [B, F, ...]."""
-    in_f = x.shape[1]
-    fi = (np.arange(out_f) * in_f / out_f).astype(np.int32)
-    return x[:, fi]
+    return _nearest_axis(x, 1, out_f)
 
 
-def spatial_norm3d(p: Params, f: Array, zq: Array, cache: Dict, num_groups: int) -> Tuple[Array, Dict]:
+def _resize_zq(zq: Array, fF: int, fH: int, fW: int,
+               memo: Optional[Dict] = None) -> Array:
+    """SpatialNorm3D's zq resize, memoized per target shape: the decoder
+    resizes the SAME zq to the same extent in every resnet norm of a stage
+    (~23 times per chunk) — one resize per unique (F, H, W) suffices."""
+    key = (fF, fH, fW)
+    if memo is not None and key in memo:
+        return memo[key]
+    if fF > 1 and fF % 2 == 1:
+        z_first, z_rest = zq[:, :1], zq[:, 1:]
+        z_first = _torch_nearest_resize(_torch_nearest_resize_t(z_first, 1), fH, fW)
+        z_rest = _torch_nearest_resize(_torch_nearest_resize_t(z_rest, fF - 1), fH, fW)
+        out = jnp.concatenate([z_first, z_rest], axis=1)
+    else:
+        out = _torch_nearest_resize(_torch_nearest_resize_t(zq, fF), fH, fW)
+    if memo is not None:
+        memo[key] = out
+    return out
+
+
+def spatial_norm3d(p: Params, f: Array, zq: Array, cache: Dict, num_groups: int,
+                   zq_memo: Optional[Dict] = None) -> Tuple[Array, Dict]:
     """CogVideoXSpatialNorm3D (autoencoder_kl_cogvideox.py:149-196).
 
     f: [B, F, H, W, C]; zq: [B, Fz, Hz, Wz, Cz].
     """
     new_cache: Dict[str, Any] = {}
-    fF, fH, fW = f.shape[1], f.shape[2], f.shape[3]
-    if fF > 1 and fF % 2 == 1:
-        z_first, z_rest = zq[:, :1], zq[:, 1:]
-        z_first = _torch_nearest_resize(_torch_nearest_resize_t(z_first, 1), fH, fW)
-        z_rest = _torch_nearest_resize(_torch_nearest_resize_t(z_rest, fF - 1), fH, fW)
-        zq = jnp.concatenate([z_first, z_rest], axis=1)
-    else:
-        zq = _torch_nearest_resize(_torch_nearest_resize_t(zq, fF), fH, fW)
+    zq = _resize_zq(zq, f.shape[1], f.shape[2], f.shape[3], zq_memo)
 
     conv_y, new_cache["conv_y"] = causal_conv3d(p["conv_y"], zq, cache.get("conv_y"), 1, 0)
     conv_b, new_cache["conv_b"] = causal_conv3d(p["conv_b"], zq, cache.get("conv_b"), 1, 0)
@@ -155,19 +187,20 @@ def spatial_norm3d(p: Params, f: Array, zq: Array, cache: Dict, num_groups: int)
 
 def resnet_block(
     p: Params, cfg: CogVideoXVAEConfig, x: Array, zq: Optional[Array], cache: Dict,
+    zq_memo: Optional[Dict] = None,
 ) -> Tuple[Array, Dict]:
     """CogVideoXResnetBlock3D (no temb: VAE uses temb_channels=0)."""
     new_cache: Dict[str, Any] = {}
     h = x
     if zq is not None:
-        h, new_cache["norm1"] = spatial_norm3d(p["norm1"], h, zq, cache.get("norm1", {}), cfg.norm_num_groups)
+        h, new_cache["norm1"] = spatial_norm3d(p["norm1"], h, zq, cache.get("norm1", {}), cfg.norm_num_groups, zq_memo)
     else:
         h = group_norm(p["norm1"], h, cfg.norm_num_groups, cfg.norm_eps)
     h = jax.nn.silu(h)
     h, new_cache["conv1"] = causal_conv3d(p["conv1"], h, cache.get("conv1"), 3, 1)
 
     if zq is not None:
-        h, new_cache["norm2"] = spatial_norm3d(p["norm2"], h, zq, cache.get("norm2", {}), cfg.norm_num_groups)
+        h, new_cache["norm2"] = spatial_norm3d(p["norm2"], h, zq, cache.get("norm2", {}), cfg.norm_num_groups, zq_memo)
     else:
         h = group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
     h = jax.nn.silu(h)
@@ -256,12 +289,13 @@ def encoder_forward(p: Params, cfg: CogVideoXVAEConfig, x: Array, cache: Optiona
 def decoder_forward(p: Params, cfg: CogVideoXVAEConfig, z: Array, cache: Optional[Dict]) -> Tuple[Array, Dict]:
     cache = cache or {}
     new_cache: Dict[str, Any] = {}
+    zq_memo: Dict[Any, Array] = {}  # one zq resize per unique target shape
     h, new_cache["conv_in"] = causal_conv3d(p["conv_in"], z, cache.get("conv_in"), 3, 1)
 
     mc = cache.get("mid_block", {})
     nmc: Dict[str, Any] = {}
     for j in range(2):
-        h, nmc[f"resnet_{j}"] = resnet_block(p["mid_block"][f"resnet_{j}"], cfg, h, z, mc.get(f"resnet_{j}", {}))
+        h, nmc[f"resnet_{j}"] = resnet_block(p["mid_block"][f"resnet_{j}"], cfg, h, z, mc.get(f"resnet_{j}", {}), zq_memo)
     new_cache["mid_block"] = nmc
 
     n_blocks = len(cfg.block_out_channels)
@@ -269,12 +303,12 @@ def decoder_forward(p: Params, cfg: CogVideoXVAEConfig, z: Array, cache: Optiona
         bc = cache.get(f"up_block_{i}", {})
         nbc: Dict[str, Any] = {}
         for j in range(cfg.layers_per_block + 1):
-            h, nbc[f"resnet_{j}"] = resnet_block(p[f"up_block_{i}"][f"resnet_{j}"], cfg, h, z, bc.get(f"resnet_{j}", {}))
+            h, nbc[f"resnet_{j}"] = resnet_block(p[f"up_block_{i}"][f"resnet_{j}"], cfg, h, z, bc.get(f"resnet_{j}", {}), zq_memo)
         if i < n_blocks - 1:
             h = upsample3d(p[f"up_block_{i}"]["upsampler"], h, compress_time=i < cfg.temporal_compress_level)
         new_cache[f"up_block_{i}"] = nbc
 
-    h, new_cache["norm_out"] = spatial_norm3d(p["norm_out"], h, z, cache.get("norm_out", {}), cfg.norm_num_groups)
+    h, new_cache["norm_out"] = spatial_norm3d(p["norm_out"], h, z, cache.get("norm_out", {}), cfg.norm_num_groups, zq_memo)
     h = jax.nn.silu(h)
     h, new_cache["conv_out"] = causal_conv3d(p["conv_out"], h, cache.get("conv_out"), 3, 1)
     return h, new_cache

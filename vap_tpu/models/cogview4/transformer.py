@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import (
+    scan_blocks_with_remat,
     init_linear,
     init_timestep_embedding_mlp,
     layer_norm,
@@ -220,9 +221,7 @@ def cogview4_forward(
         enc = enc + (ff(nenc).astype(jnp.float32) * c_g_mlp).astype(dtype)
         return (hs, enc), None
 
-    if remat:
-        block = jax.checkpoint(block)
-    (hs, enc), _ = jax.lax.scan(block, (hs, enc), params["blocks"])
+    hs, enc = scan_blocks_with_remat(block, (hs, enc), params["blocks"], remat)
 
     # AdaLayerNormContinuous: silu INSIDE (temb gets silu twice, as reference)
     m = linear(params["norm_out"]["linear"], silu(temb.astype(jnp.float32)).astype(dtype))

@@ -136,3 +136,53 @@ def init_timestep_embedding_mlp(key, in_dim: int, time_embed_dim: int, dtype=jnp
         "linear_1": init_linear(k1, in_dim, time_embed_dim, dtype=dtype),
         "linear_2": init_linear(k2, time_embed_dim, time_embed_dim, dtype=dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# activation checkpointing (reference finetrainers/utils/activation_checkpoint
+# .py:36-90: FULL wraps every block, OPS saves matmul/SDPA outputs, BLOCK_SKIP
+# wraps every n-th block). JAX analogs over lax.scan'd stacked blocks:
+#   True/"full"        -> jax.checkpoint on the scan body
+#   "ops"              -> jax.checkpoint with dots_saveable policy (matmul
+#                         outputs saved, elementwise recomputed — the analog
+#                         of the reference's selective-ops policy)
+#   "block_skip:N"     -> every N-th block checkpointed, the rest saved
+#   False/None         -> no remat
+# ---------------------------------------------------------------------------
+
+def scan_blocks_with_remat(body, carry, stacked, remat=False):
+    """Run `body(carry, block_params) -> (carry, None)` over stacked block
+    params [L, ...] under the selected checkpointing mode. Returns carry."""
+    import jax as _jax
+
+    if not remat:
+        return _jax.lax.scan(body, carry, stacked)[0]
+    if remat is True or remat == "full":
+        return _jax.lax.scan(_jax.checkpoint(body, prevent_cse=False), carry, stacked)[0]
+    if remat == "ops":
+        pol = _jax.checkpoint_policies.dots_saveable
+        return _jax.lax.scan(
+            _jax.checkpoint(body, policy=pol, prevent_cse=False), carry, stacked)[0]
+    if isinstance(remat, str) and remat.startswith("block_skip"):
+        n = int(remat.split(":", 1)[1]) if ":" in remat else 2
+        L = _jax.tree.leaves(stacked)[0].shape[0]
+        if n <= 1 or L < n:
+            return _jax.lax.scan(_jax.checkpoint(body, prevent_cse=False), carry, stacked)[0]
+        tail = L % n
+        main = _jax.tree.map(lambda x: x[: L - tail], stacked)
+        grouped = _jax.tree.map(lambda x: x.reshape((L - tail) // n, n, *x.shape[1:]), main)
+
+        def group_body(c, gp):
+            first = _jax.tree.map(lambda x: x[0], gp)
+            rest = _jax.tree.map(lambda x: x[1:], gp)
+            c, _ = _jax.checkpoint(body, prevent_cse=False)(c, first)
+            c, _ = _jax.lax.scan(body, c, rest)
+            return c, None
+
+        carry, _ = _jax.lax.scan(group_body, carry, grouped)
+        if tail:
+            rest = _jax.tree.map(lambda x: x[L - tail:], stacked)
+            carry, _ = _jax.lax.scan(body, carry, rest)
+        return carry
+    raise ValueError(
+        f"unknown remat mode {remat!r}; valid: False, True/'full', 'ops', 'block_skip[:N]'")

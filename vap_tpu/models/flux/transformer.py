@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import (
+    scan_blocks_with_remat,
     init_layer_norm,
     init_linear,
     init_timestep_embedding_mlp,
@@ -308,13 +309,9 @@ def flux_forward(
     def single(x, bp):
         return _single_block(bp, x, temb, cos, sin, heads), None
 
-    if remat:
-        dual = jax.checkpoint(dual)
-        single = jax.checkpoint(single)
-
-    (hs, enc), _ = jax.lax.scan(dual, (hs, enc), params["dual_blocks"])
+    hs, enc = scan_blocks_with_remat(dual, (hs, enc), params["dual_blocks"], remat)
     x = jnp.concatenate([enc, hs], axis=1)
-    x, _ = jax.lax.scan(single, x, params["single_blocks"])
+    x = scan_blocks_with_remat(single, x, params["single_blocks"], remat)
     hs = x[:, enc.shape[1]:]
 
     # AdaLayerNormContinuous: chunk order is (scale, shift)

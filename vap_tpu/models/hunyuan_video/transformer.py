@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import (
+    scan_blocks_with_remat,
     init_layer_norm,
     init_linear,
     init_timestep_embedding_mlp,
@@ -378,13 +379,9 @@ def hunyuan_video_forward(
         out = linear(bp["proj_out"], jnp.concatenate([attn, mlp], axis=-1))
         return x + (out.astype(jnp.float32) * gate).astype(dtype), None
 
-    if remat:
-        dual = jax.checkpoint(dual)
-        single = jax.checkpoint(single)
-
-    (hs, enc), _ = jax.lax.scan(dual, (hs, enc), params["dual_blocks"])
+    hs, enc = scan_blocks_with_remat(dual, (hs, enc), params["dual_blocks"], remat)
     x = jnp.concatenate([hs, enc], axis=1)
-    x, _ = jax.lax.scan(single, x, params["single_blocks"])
+    x = scan_blocks_with_remat(single, x, params["single_blocks"], remat)
     hs = x[:, :s_img]
 
     m = linear(params["norm_out"]["linear"], silu(temb.astype(jnp.float32)).astype(dtype))

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import (
+    scan_blocks_with_remat,
     init_linear,
     init_timestep_embedding_mlp,
     layer_norm,
@@ -229,9 +230,7 @@ def ltx_video_forward(
         x = x + (ff.astype(jnp.float32) * g_mlp).astype(dtype)
         return x, None
 
-    if remat:
-        block = jax.checkpoint(block)
-    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x = scan_blocks_with_remat(block, x, params["blocks"], remat)
 
     ss = (params["scale_shift_table"].astype(jnp.float32)[None, None]
           + emb_t.astype(jnp.float32)[:, :, None])  # [B, tokens, 2, D]

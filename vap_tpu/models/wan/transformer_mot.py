@@ -29,6 +29,7 @@ import numpy as np
 
 from ...ops.attention import scaled_dot_product_attention
 from ..common import (
+    scan_blocks_with_remat,
     init_layer_norm,
     init_linear,
     feed_forward,
@@ -262,9 +263,7 @@ def wan_forward(
             None, None, None, None, None, 1)
         return out, None
 
-    if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
-    hs, _ = jax.lax.scan(body, hs, params["blocks"][0])
+    hs = scan_blocks_with_remat(body, hs, params["blocks"][0], remat)
 
     st = params["scale_shift_table"].astype(jnp.float32)[None] + temb.astype(jnp.float32)[:, None]
     shift, scale = st[:, 0][:, None], st[:, 1][:, None]
@@ -526,9 +525,7 @@ def wan_mot_forward(
                 bp, cfg, has_mot, hs, ctx_text, ctx_img, tproj, rope,
                 hs_ref, ctx_text_ref, ctx_img_ref, tproj_ref, rope_ref, r)
             return out, None
-        if remat:
-            body = jax.checkpoint(body, prevent_cse=False)
-        carry, _ = jax.lax.scan(body, carry, sp)
+        carry = scan_blocks_with_remat(body, carry, sp, remat)
     hs, hs_ref = carry
 
     # output head

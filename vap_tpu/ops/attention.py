@@ -5,6 +5,8 @@ The reference framework routes every SDPA call through a provider registry
 CUDA backends. On TPU one Pallas flash kernel covers the need; providers:
 
   * "flash"  — Pallas TPU flash attention (vap_tpu/ops/flash_attention.py)
+  * "sage"   — int8-QK flash attention (SageAttention analog; inference only —
+               its VJP falls back to the bf16 kernel's backward)
   * "xla"    — plain jnp einsum softmax (XLA-fused; works on any backend)
   * "ring"   — sequence-sharded ring attention over a mesh axis (shard_map +
                Pallas per-shard kernel); see vap_tpu/parallel/ring_attention.py
@@ -29,7 +31,7 @@ Array = jnp.ndarray
 
 _state = threading.local()
 
-_VALID_PROVIDERS = ("flash", "jax_flash", "xla", "ring")
+_VALID_PROVIDERS = ("flash", "sage", "jax_flash", "xla", "ring")
 
 
 def _default_provider() -> str:
@@ -118,6 +120,10 @@ def scaled_dot_product_attention(
     provider = provider or get_attention_provider()
     if provider == "flash":
         return flash_attention(q, k, v, scale)
+    elif provider == "sage":
+        from .flash_attention import flash_attention_int8
+
+        return flash_attention_int8(q, k, v, scale)
     elif provider == "jax_flash":
         return jax_flash_attention(q, k, v, scale)
     elif provider == "xla":

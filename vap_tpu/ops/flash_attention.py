@@ -286,6 +286,146 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k):
 
 
 # ---------------------------------------------------------------------------
+# int8 QK^T forward (SageAttention analog — arXiv:2410.02367's INT8 QK with
+# K smoothing, the survey's stretch item). QK^T runs on the int8 MXU at 2x
+# the bf16 rate; P@V stays bf16 (Sage keeps PV in high precision too).
+# Inference-only: no VJP (training uses the bf16 kernels).
+#
+# Quantization (outside the kernel, one fused HBM pass):
+#   k_s   = k - mean_tokens(k)        # per (b,h,d); softmax-invariant shift:
+#                                     # it moves every score of a query by the
+#                                     # same q·k_mean (Sage's K smoothing)
+#   s_q   = max|q| / 127 per (b,h);  q_i8 = round(q / s_q)
+#   s_k   = max|k_s| / 127 per (b,h); k_i8 = round(k_s / s_k)
+#   sqk   = s_q * s_k * softmax_scale * log2(e)   # folded into one scalar
+# In-kernel: st = (k_i8 @ q_i8^T).f32 * sqk lands directly in the log2 domain
+# of the transposed-layout online softmax.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_t_i8(sqk_ref, kt_ref, qt_ref, vt_ref, o_ref, lse_ref,
+                     acc_sc, m_sc, *, dim):
+    """Padded-key masking is FREE here: padded v rows and their ones-row
+    entries are zeroed outside, so padded keys contribute 0 to both the
+    numerator and the denominator (their p only perturbs the running max m,
+    which cancels between numerator and denominator exactly)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+
+    st_i32 = jax.lax.dot_general(
+        kt_ref[0], qt_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [bk, bq] — int8 MXU, 2x bf16 rate
+    sqk = sqk_ref[0, 0, 0]
+    st = st_i32.astype(jnp.float32) * sqk  # log2-domain scores
+
+    m_prev = m_sc[:]
+    m_cur = jnp.max(st, axis=0, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2(st - m_new[:1]).astype(vt_ref.dtype)
+    alpha = jnp.exp2(m_prev - m_new)
+
+    pv = jax.lax.dot_general(
+        vt_ref[0], p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [dim_ext, bq]; row D carries the softmax row-sum (ones row of vt)
+    acc_sc[:] = acc_sc[:] * alpha[:1] + pv
+    m_sc[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = acc_sc[dim:dim + 1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (0.6931471805599453 * (m_sc[:1] + jnp.log2(l_safe)))[0]
+
+
+def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k):
+    """int8-QK transposed forward. Same contract as the bf16 forwards."""
+    batch, heads, q_len, dim = q.shape
+    kv_len = k.shape[2]
+    if dim % 32 != 0:
+        raise ValueError(f"int8 path needs head_dim % 32 == 0, got {dim}")
+    dim_ext = ((dim + 1 + 7) // 8) * 8
+
+    qf = q.reshape(batch * heads, q_len, dim).astype(jnp.float32)
+    kf = k.reshape(batch * heads, kv_len, dim).astype(jnp.float32)
+    vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
+    bh = qf.shape[0]
+
+    # K smoothing + per-(b,h) symmetric int8 quantization
+    k_mean = jnp.mean(kf, axis=1, keepdims=True)
+    ks = kf - k_mean
+    s_q = jnp.max(jnp.abs(qf), axis=(1, 2), keepdims=True) / 127.0
+    s_k = jnp.max(jnp.abs(ks), axis=(1, 2), keepdims=True) / 127.0
+    s_q = jnp.maximum(s_q, 1e-8)
+    s_k = jnp.maximum(s_k, 1e-8)
+    q_i8 = jnp.round(qf / s_q).astype(jnp.int8)
+    k_i8 = jnp.round(ks / s_k).astype(jnp.int8)
+    sqk = (s_q * s_k * scale * LOG2_E).reshape(bh, 1, 1).astype(jnp.float32)
+
+    qt = _pad_to(q_i8, 1, block_q).transpose(0, 2, 1)   # [bh, dim, q_pad]
+    kt = _pad_to(k_i8, 1, block_k).transpose(0, 2, 1)   # [bh, dim, k_pad]
+    q_pad, k_pad = qt.shape[2], kt.shape[2]
+
+    kv_valid = (jnp.arange(k_pad) < kv_len).astype(v.dtype)  # masks the ones row
+    vt = jnp.concatenate([
+        vp,
+        jnp.broadcast_to(kv_valid[None, :, None], (bh, k_pad, 1)),
+        jnp.zeros((bh, k_pad, dim_ext - dim - 1), v.dtype),
+    ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, k_pad]
+
+    nq = q_pad // block_q
+    nk = k_pad // block_k
+    grid = (bh, nq, nk)
+    out_t, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_t_i8, dim=dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda b, qi, ki: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dim, block_k), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, dim, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, dim_ext, block_k), lambda b, qi, ki: (b, 0, ki)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dim_ext, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, dim_ext, q_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dim_ext, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(sqk, kt, qt, vt)
+
+    out = out_t[:, :dim, :q_len].reshape(batch, heads, dim, q_len).transpose(0, 1, 3, 2)
+    lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
+    return out, lse
+
+
+def flash_attention_int8(q: Array, k: Array, v: Array,
+                         scale: Optional[float] = None,
+                         block_q: int = DEFAULT_BLOCK_Q_T,
+                         block_k: int = 512) -> Array:
+    """SageAttention-analog int8-QK flash attention (inference only)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    bq = max(min(block_q, _cdiv(q.shape[2], LANES) * LANES), LANES)
+    bk = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
+    return _flash_attention_forward_t_i8(q, k, v, scale, bq, bk)[0]
+
+
+# ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 

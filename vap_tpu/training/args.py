@@ -85,6 +85,9 @@ class TrainingArgs:
     train_steps: int = 60000
     gradient_accumulation_steps: int = 1
     gradient_checkpointing: bool = True
+    # reference utils/activation_checkpoint.py:21-47: full | ops | block_skip
+    checkpointing_type: str = "full"
+    checkpointing_n_layer: int = 2   # block_skip stride
     flow_weighting_scheme: str = "none"
     flow_logit_mean: float = 0.0
     flow_logit_std: float = 1.0
@@ -152,6 +155,19 @@ class TrainingArgs:
             raise ValueError("gradient_accumulation_steps must be >= 1")
         if self.ablation_scaling_data_num < 1:
             raise ValueError("ablation_scaling_data_num must be a positive integer")
+        if self.checkpointing_type not in ("full", "ops", "block_skip"):
+            raise ValueError(f"unknown checkpointing_type {self.checkpointing_type!r}; "
+                             "valid: full, ops, block_skip")
+        if self.checkpointing_n_layer < 1:
+            raise ValueError("checkpointing_n_layer must be >= 1")
+
+    def remat_mode(self):
+        """Map the checkpointing flags onto the model forwards' remat arg."""
+        if not self.gradient_checkpointing:
+            return False
+        if self.checkpointing_type == "block_skip":
+            return f"block_skip:{self.checkpointing_n_layer}"
+        return self.checkpointing_type
 
 
 def parse_args(argv: Optional[List[str]] = None) -> TrainingArgs:

@@ -481,6 +481,6 @@ def _make_control_step_cfg(family: str, args, transformer_cfg):
             frame_conditioning_type=args.frame_conditioning_type,
             frame_conditioning_index=args.frame_conditioning_index,
             frame_conditioning_concatenate_mask=args.frame_conditioning_concatenate_mask,
-            remat=args.gradient_checkpointing, **flow_kw)
+            remat=args.remat_mode(), **flow_kw)
     return CogView4ControlTrainStepConfig(
-        model=transformer_cfg, remat=args.gradient_checkpointing, **flow_kw)
+        model=transformer_cfg, remat=args.remat_mode(), **flow_kw)

@@ -501,6 +501,31 @@ class WanSpec:
         }
 
 
+def _wan_validation(spec: "WanSpec", merged_params, sample, **gen_kwargs):
+    """Full Wan VAP generation with live weights (reference WanModelSpecification
+    .validation, wan/base_specification.py). Returns video [F, H, W, 3]."""
+    from ..pipelines.wan_i2v_mot import WanVAPPipeline
+
+    pipe = WanVAPPipeline(
+        transformer_cfg=spec.transformer_cfg, vae_cfg=spec.vae_cfg, text_cfg=spec.text_cfg,
+        clip_cfg=spec.clip_cfg, params={**spec.params, "transformer": merged_params},
+        tokenizer=spec.tokenizer, dtype=spec.dtype,
+    )
+    defaults = dict(num_inference_steps=50, guidance_scale=5.0,
+                    max_sequence_length=spec.transformer_cfg.text_len)
+    gen_kwargs.pop("use_dynamic_cfg", None)  # CogVideoX-only knob
+    defaults.update(gen_kwargs)
+    video = pipe(
+        image=sample["image"], prompt=sample["caption"],
+        ref_videos=sample["ref_videos"], prompt_mot_ref=sample["caption_mot_ref"],
+        **defaults,
+    )
+    return video[0]
+
+
+WanSpec.validation = _wan_validation
+
+
 SUPPORTED_MODEL_SPECS[("wan", "video_as_prompt_mot")] = WanSpec
 SUPPORTED_MODEL_SPECS[("wan", "sft")] = WanSpec
 SUPPORTED_MODEL_SPECS[("wan", "lora")] = WanSpec

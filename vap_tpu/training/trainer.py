@@ -55,7 +55,7 @@ def _make_step_config(family: str, args: TrainingArgs, transformer_cfg):
         flow_logit_mean=args.flow_logit_mean,
         flow_logit_std=args.flow_logit_std,
     )
-    remat = args.gradient_checkpointing
+    remat = args.remat_mode()
     if family == "wan":
         return WanTrainStepConfig(model=transformer_cfg, remat=remat, **flow_kw)
     if family == "cogvideox":
@@ -463,27 +463,69 @@ class SFTTrainer:
 
         return merge_params(self.train_params, self.frozen_params)
 
-    def _validate(self, key, num_samples: int = 1):
-        """Full pipeline sampling with live training weights
-        (reference SFTTrainer._validate, trainer.py:939-1110)."""
+    def _load_validation_config(self):
+        """Resolve --validation_dataset_file: either a JSON config carrying a
+        CSV pointer + generation params (the shipped validation.json shape) or
+        a bare benchmark CSV. Returns (csv_path, gen_kwargs, num_samples)."""
+        import json
+
+        args = self.args
+        path = args.validation_dataset_file
+        gen: Dict[str, Any] = {}
+        num_samples = None
+        if path.endswith(".json"):
+            with open(path) as f:
+                vcfg = json.load(f)
+            csv = vcfg.get("csv") or vcfg.get("val_data")
+            if isinstance(csv, list):
+                csv = csv[0]
+            for base in (os.path.dirname(os.path.abspath(path)),
+                         args.data_root or "", vcfg.get("root", "")):
+                cand = os.path.join(base, csv) if base else csv
+                if os.path.exists(cand):
+                    csv = cand
+                    break
+            for k in ("num_frames", "height", "width", "num_inference_steps",
+                      "guidance_scale", "use_dynamic_cfg"):
+                if k in vcfg:
+                    gen[k] = vcfg[k]
+            num_samples = vcfg.get("num_samples")
+            if "sample_ref_videos_num" in vcfg:
+                gen["sample_ref_videos_num"] = vcfg["sample_ref_videos_num"]
+            return csv, gen, num_samples
+        return path, gen, num_samples
+
+    def _validate(self, key, num_samples: Optional[int] = None):
+        """Full pipeline sampling with live training weights; per-run
+        generation params come from the validation JSON (reference
+        SFTTrainer._validate, trainer.py:939-1110)."""
         args = self.args
         if args.enable_precomputation:
             self._load_encoders()  # VAE/T5 needed for sampling, reloaded per pass
         merged = self._merged_params()
+        csv_path, gen, cfg_num_samples = self._load_validation_config()
+        num_samples = num_samples if num_samples is not None else cfg_num_samples
         ds = VideoAsPromptValidationDataset(
-            args.validation_dataset_file,
+            csv_path, num_frames=gen.get("num_frames", args.video_resolution_buckets[0][0]),
             shard_index=jax.process_index(), num_shards=max(jax.process_count(), 1))
         out_dir = os.path.join(args.output_dir, "validation", f"{self.train_state.step:06d}")
         os.makedirs(out_dir, exist_ok=True)
         artifacts = {}
+        fb = args.video_resolution_buckets[0]
+        gen.pop("sample_ref_videos_num", None)
+        gen_kwargs = dict(
+            height=gen.get("height", fb[1]), width=gen.get("width", fb[2]),
+            num_frames=gen.get("num_frames", fb[0]),
+            num_inference_steps=gen.get("num_inference_steps", 50),
+            seed=args.seed)
+        for k in ("guidance_scale", "use_dynamic_cfg"):
+            if k in gen:
+                gen_kwargs[k] = gen[k]
         for i, sample in enumerate(ds):
-            if i >= num_samples:
+            if num_samples is not None and i >= num_samples:
                 break
-            fb = args.video_resolution_buckets[0]
             with self._attn_ctx(training=False):
-                video = self.spec.validation(
-                    merged, sample, height=fb[1], width=fb[2], num_frames=fb[0],
-                    num_inference_steps=50, seed=args.seed)
+                video = self.spec.validation(merged, sample, **gen_kwargs)
             path = os.path.join(out_dir, f"sample_{i}.mp4")
             export_to_video((np.asarray(video) + 1.0) / 2.0, path, fps=16)
             artifacts[f"validation/sample_{i}"] = path
