@@ -2,9 +2,11 @@
 
 Port of the reference examples/inference/inference.py (:44 main, :154-460
 Inference class): dataset-driven prompts, data-parallel sharding across hosts
-(each process generates a disjoint slice), attention-provider selection, and
-optional sequence-parallel attention over a `seq` mesh axis (the reference's
---cp_degree / --cp_rotate_method).
+(each process generates a disjoint slice), attention-provider selection
+(incl. the int8 'sage' kernel), optional sequence-parallel attention over a
+`seq` mesh axis (the reference's --cp_degree / --cp_rotate_method), multi-ref
+sampling, effect-kind filtering, resumable output (skip-existing), and
+side-by-side [ref ‖ generated] export like the reference bench scripts.
 """
 
 import argparse
@@ -45,6 +47,17 @@ class Inference:
             from wan_vap import build_pipeline
         self.pipe = build_pipeline(args.model_path)
 
+    def _gen_kwargs(self):
+        args = self.args
+        kw = dict(height=args.height, width=args.width, num_frames=args.num_frames,
+                  num_inference_steps=args.num_inference_steps,
+                  guidance_scale=args.guidance_scale, seed=args.seed)
+        if args.model_name == "cogvideox":
+            kw["use_dynamic_cfg"] = args.use_dynamic_cfg
+        elif args.negative_prompt is not None:
+            kw["negative_prompt"] = args.negative_prompt
+        return kw
+
     def run(self):
         args = self.args
         from vap_tpu.data.dataset import VideoAsPromptValidationDataset
@@ -59,20 +72,39 @@ class Inference:
         provider = args.attn_provider if self.mesh is None else "ring"
         ctx = (self._attention_mesh(self.mesh, rotate_method=args.cp_rotate_method)
                if self.mesh is not None else _null_context())
+        gen_kwargs = self._gen_kwargs()
+        done = 0
         with self._attention_provider(provider), ctx:
             for i, sample in enumerate(ds):
-                ref = np.stack(select_frames(list(sample["ref_videos"][0]), args.num_frames, "evenly"))
-                ref = resize_video(ref, args.height, args.width)
+                if args.max_samples is not None and done >= args.max_samples:
+                    break
+                if args.kind and sample.get("kind") not in args.kind:
+                    continue
+                out = os.path.join(args.output_dir, f"{self.shard_index:02d}_{i:04d}.mp4")
+                if args.skip_existing and os.path.exists(out):
+                    done += 1
+                    continue
+                n_refs = min(args.sample_ref_videos_num, len(sample["ref_videos"]))
+                refs = [
+                    resize_video(
+                        np.stack(select_frames(list(rv), args.num_frames, "evenly")),
+                        args.height, args.width)
+                    for rv in sample["ref_videos"][:n_refs]
+                ]
                 image = resize_video(sample["image"][None], args.height, args.width)[0]
                 video = self.pipe(
-                    image=image, prompt=sample["caption"], ref_videos=[ref],
-                    prompt_mot_ref=sample["caption_mot_ref"][:1],
-                    height=args.height, width=args.width, num_frames=args.num_frames,
-                    num_inference_steps=args.num_inference_steps,
-                    guidance_scale=args.guidance_scale, seed=args.seed,
+                    image=image, prompt=sample["caption"], ref_videos=refs,
+                    prompt_mot_ref=sample["caption_mot_ref"][:n_refs],
+                    **gen_kwargs,
                 )
-                out = os.path.join(args.output_dir, f"{self.shard_index:02d}_{i:04d}.mp4")
-                export_to_video((video[0] + 1.0) / 2.0, out, fps=16)
+                clip = (video[0] + 1.0) / 2.0
+                if args.save_side_by_side:
+                    # [ref ‖ generated] like the reference *_bench.py exports
+                    side = np.concatenate([(refs[0] + 1.0) / 2.0, clip], axis=2)
+                    export_to_video(side, out, fps=args.fps)
+                else:
+                    export_to_video(clip, out, fps=args.fps)
+                done += 1
                 print(f"saved {out}")
 
 
@@ -94,7 +126,8 @@ def main():
     p.add_argument("--dp_degree", type=int, default=1)
     p.add_argument("--sp_degree", type=int, default=1,
                    help="sequence-parallel degree (reference --cp_degree)")
-    p.add_argument("--attn_provider", default="flash", choices=["flash", "xla", "ring"])
+    p.add_argument("--attn_provider", default="flash",
+                   choices=["flash", "sage", "jax_flash", "xla", "ring"])
     p.add_argument("--cp_rotate_method", default="allgather",
                    choices=["allgather", "ppermute"],
                    help="KV rotation for sequence-parallel attention "
@@ -104,6 +137,17 @@ def main():
     p.add_argument("--width", type=int, default=720)
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--use_dynamic_cfg", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--negative_prompt", default=None)
+    p.add_argument("--sample_ref_videos_num", type=int, default=1)
+    p.add_argument("--kind", nargs="*", default=None,
+                   help="only generate samples of these effect kinds")
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--skip_existing", action="store_true",
+                   help="resume: skip outputs that already exist")
+    p.add_argument("--save_side_by_side", action="store_true",
+                   help="export [ref | generated] comparison videos")
+    p.add_argument("--fps", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
     Inference(args).run()

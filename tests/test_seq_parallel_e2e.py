@@ -230,7 +230,9 @@ def test_inference_cli_sp_degree2(tmp_path, monkeypatch):
         data_root=str(root), output_dir=str(tmp_path / "outs"), dp_degree=1,
         sp_degree=2, attn_provider="flash", cp_rotate_method="allgather",
         num_frames=9, height=16, width=16, num_inference_steps=1,
-        guidance_scale=6.0, seed=0,
+        guidance_scale=6.0, seed=0, use_dynamic_cfg=True, negative_prompt=None,
+        sample_ref_videos_num=1, kind=None, max_samples=None,
+        skip_existing=False, save_side_by_side=False, fps=16,
     )
     with jax.default_device(cpu_devices()[0]):
         inf = inference.Inference(args)

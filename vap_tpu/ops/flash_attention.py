@@ -322,6 +322,9 @@ def _fwd_kernel_t_i8(sqk_ref, kt_ref, qt_ref, vt_ref, o_ref, lse_ref,
         preferred_element_type=jnp.int32,
     )  # [bk, bq] — int8 MXU, 2x bf16 rate
     sqk = sqk_ref[0, 0, 0]
+    # convert+scale as one f32 pass; an int32-domain max with the scale folded
+    # into the [1,bq] row was tried and is SLOWER (88.9 vs 104.2 TFLOP/s —
+    # integer VPU reductions don't pipeline as well as f32 here)
     st = st_i32.astype(jnp.float32) * sqk  # log2-domain scores
 
     m_prev = m_sc[:]
@@ -501,10 +504,191 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dk
         dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# transposed-layout backward: scores as S^T = K_ext Q_ext^T (MXU-carried
+# scale/mask, exp2 log2-domain) and dq accumulated as dq^T = K^T dS^T — every
+# lse/delta broadcast becomes a free [1, bq] sublane row instead of the
+# row-major kernels' jnp.tile lane tiles, and the dq matmul runs at full MXU
+# depth (bk) and width (bq). dk/dv keep [bk, D] outputs (D=64 half-width,
+# unavoidable without transposing P in-kernel).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel_t(qt_ref, kext_ref, kt_ref, vt_ref, dot_ref, lse2_ref,
+                     delta_ref, dqt_ref, dq_sc, *, scale):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    st = jax.lax.dot_general(
+        kext_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [bk, bq] log2, masked
+    p = jnp.exp2(st - lse2_ref[0])                   # [1,bq] sublane broadcast
+    dpt = jax.lax.dot_general(
+        vt_ref[0], dot_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [bk, bq]
+    dst = (p * (dpt - delta_ref[0])).astype(kt_ref.dtype)
+    dq_sc[:] += jax.lax.dot_general(
+        kt_ref[0], dst, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [dim, bq] full MXU
+
+    @pl.when(ki == nk - 1)
+    def _fin():
+        dqt_ref[0] = (dq_sc[:] * scale).astype(dqt_ref.dtype)
+
+
+def _bwd_dkv_kernel_t(qt_ref, q_ref, kext_ref, vt_ref, do_ref, dot_ref,
+                      lse2_ref, delta_ref, dk_ref, dv_ref, dk_sc, dv_sc, *, scale):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    st = jax.lax.dot_general(
+        kext_ref[0], qt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [bk, bq]
+    p = jnp.exp2(st - lse2_ref[0])
+    dv_sc[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [bk, D]
+    dpt = jax.lax.dot_general(
+        vt_ref[0], dot_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [bk, bq]
+    dst = (p * (dpt - delta_ref[0])).astype(q_ref.dtype)
+    dk_sc[:] += jax.lax.dot_general(
+        dst, q_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [bk, D]
+
+    @pl.when(qi == nq - 1)
+    def _fin():
+        dk_ref[0] = (dk_sc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+
+DEFAULT_BLOCK_Q_BWD_T = 2048
+DEFAULT_BLOCK_K_BWD_T = 512
+
+
+def _flash_attention_backward_t(scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    batch, heads, q_len, dim = q.shape
+    kv_len = k.shape[2]
+    dim_ext = ((dim + 1 + 7) // 8) * 8
+    block_q = max(min(DEFAULT_BLOCK_Q_BWD_T, _cdiv(q_len, LANES) * LANES), LANES)
+    block_k = max(min(DEFAULT_BLOCK_K_BWD_T, _cdiv(kv_len, 8) * 8), 8)
+
+    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)  # [B,H,Sq]
+
+    qp = _pad_to(q.reshape(batch * heads, q_len, dim), 1, block_q)
+    kp = _pad_to(k.reshape(batch * heads, kv_len, dim), 1, block_k)
+    vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
+    dop = _pad_to(g.reshape(batch * heads, q_len, dim), 1, block_q)
+    bh = qp.shape[0]
+    q_pad, k_pad = qp.shape[1], kp.shape[1]
+
+    # log2-domain lse; padded q rows get a large value so p == 0
+    lse2 = _pad_to(lse.reshape(bh, 1, q_len) * LOG2_E, 2, block_q)
+    if q_pad != q_len:
+        lse2 = lse2.at[:, :, q_len:].set(jnp.float32(-NEG_INF))
+    deltap = _pad_to(delta.reshape(bh, 1, q_len), 2, block_q)
+
+    # extended transposed operands (fwd-t layout: scale*log2e folded into q,
+    # mask column on k, ones row on v — extra rows cancel against zero rows
+    # of do^T in the dP^T matmul)
+    qt = jnp.concatenate([
+        (qp.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype),
+        jnp.ones((bh, q_pad, 1), q.dtype),
+        jnp.zeros((bh, q_pad, dim_ext - dim - 1), q.dtype),
+    ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, q_pad]
+    kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(k.dtype)
+    k_ext = jnp.concatenate([
+        kp,
+        jnp.broadcast_to(kv_bias[None, :, None], (bh, k_pad, 1)),
+        jnp.zeros((bh, k_pad, dim_ext - dim - 1), k.dtype),
+    ], axis=-1)  # [bh, k_pad, dim_ext]
+    vt = jnp.concatenate([
+        vp,
+        jnp.ones((bh, k_pad, 1), v.dtype),
+        jnp.zeros((bh, k_pad, dim_ext - dim - 1), v.dtype),
+    ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, k_pad]
+    kt = kp.transpose(0, 2, 1)      # [bh, dim, k_pad] raw
+    dot_ext = jnp.concatenate([
+        dop,
+        jnp.zeros((bh, q_pad, dim_ext - dim), g.dtype),
+    ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, q_pad]
+
+    nq = q_pad // block_q
+    nk = k_pad // block_k
+
+    dqt = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_t, scale=scale),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, dim_ext, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, block_k, dim_ext), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, dim, block_k), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, dim_ext, block_k), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, dim_ext, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, dim, block_q), lambda b, qi, ki: (b, 0, qi)),
+        out_shape=jax.ShapeDtypeStruct((bh, dim, q_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((dim, block_q), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qt, k_ext, kt, vt, dot_ext, lse2, deltap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_t, scale=scale),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, dim_ext, block_q), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, block_q, dim), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, dim_ext), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, dim_ext, block_k), lambda b, ki, qi: (b, 0, ki)),
+            pl.BlockSpec((1, block_q, dim), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, dim_ext, block_q), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, k_pad, dim), k.dtype),
+            jax.ShapeDtypeStruct((bh, k_pad, dim), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dim), jnp.float32),
+            pltpu.VMEM((block_k, dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qt, qp, k_ext, vt, dop, dot_ext, lse2, deltap)
+
+    dq = dqt[:, :, :q_len].reshape(batch, heads, dim, q_len).transpose(0, 1, 3, 2)
+    dk = dk[:, :kv_len].reshape(batch, heads, kv_len, dim)
+    dv = dv[:, :kv_len].reshape(batch, heads, kv_len, dim)
+    return dq, dk, dv
+
+
 def _flash_attention_backward(scale, block_q, block_k, res, g):
     q, k, v, out, lse = res
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
+
+    if dim + 1 <= 128:
+        return _flash_attention_backward_t(scale, block_q, block_k, res, g)
 
     delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)  # [B,H,Sq]
 
