@@ -66,3 +66,32 @@ def test_flash_bf16():
     ref = dense_attention(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
     got = _run(lambda q, k, v: flash_attention(q, k, v, None, 128, 128), q, k, v)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("q_len,kv_len,dim", [(256, 256, 64), (300, 520, 64), (256, 256, 128)])
+def test_sage_int8_matches_dense(q_len, kv_len, dim):
+    """int8-QK SageAttention analog: ~1% quantization error vs fp32 dense
+    (reference parity target: SageAttention's lossless-for-diffusion claim)."""
+    from vap_tpu.ops.flash_attention import flash_attention_int8
+
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H = 1, 2
+    q = jax.random.normal(kq, (B, H, q_len, dim), jnp.float32)
+    k = jax.random.normal(kk, (B, H, kv_len, dim), jnp.float32) + 0.7  # K smoothing path
+    v = jax.random.normal(kv, (B, H, kv_len, dim), jnp.float32)
+    out = _run(lambda q, k, v: flash_attention_int8(q, k, v, block_q=128, block_k=256), q, k, v)
+    ref = dense_attention(q, k, v)
+    a = np.asarray(out, np.float32).ravel()
+    b = np.asarray(ref, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.999, cos
+    rel = np.abs(a - b).mean() / (np.abs(b).mean() + 1e-9)
+    assert rel < 0.03, rel
+
+
+def test_sage_provider_dispatch():
+    from vap_tpu.ops.attention import attention_provider, get_attention_provider
+
+    with attention_provider("sage"):
+        assert get_attention_provider() == "sage"
