@@ -25,9 +25,10 @@ def main():
     p.add_argument("--heads", type=int, default=48)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--dim", type=int, default=64)
-    p.add_argument("--impl", default="row", choices=["row", "t", "i8"],
+    p.add_argument("--impl", default="row", choices=["row", "t", "i8", "i8b"],
                    help="row = original layout; t = transposed (S^T/O^T) forward; "
-                        "i8 = int8-QK SageAttention analog")
+                        "i8 = int8-QK SageAttention analog; i8b = i8 with the "
+                        "bound-softmax (no running max/rescale) kernel")
     args = p.parse_args()
 
     B, H, S, D = args.batch, args.heads, args.seq, args.dim
@@ -38,7 +39,7 @@ def main():
     flops = 4.0 * B * H * S * S * D  # QK^T + AV
 
     configs = [(1024, 512), (2048, 512), (1024, 1024), (2048, 1024), (4096, 512), (2048, 256)]
-    if args.impl == "i8":  # int8 QK halves MXU time; bigger tiles amortize VPU stats
+    if args.impl in ("i8", "i8b"):  # int8 QK halves MXU time; bigger tiles amortize VPU stats
         configs = [(4096, 512), (4096, 1024), (8192, 512), (8192, 1024), (4096, 2048), (2048, 2048)]
     if args.quick:
         configs = [(256, 512), (1024, 512)]
@@ -50,11 +51,12 @@ def main():
 
                 fn = jax.jit(lambda q, k, v, bq=bq, bk=bk:
                              _flash_attention_forward_t(q, k, v, args.dim ** -0.5, bq, bk)[0])
-            elif args.impl == "i8":
+            elif args.impl in ("i8", "i8b"):
                 from vap_tpu.ops.flash_attention import _flash_attention_forward_t_i8
 
-                fn = jax.jit(lambda q, k, v, bq=bq, bk=bk:
-                             _flash_attention_forward_t_i8(q, k, v, args.dim ** -0.5, bq, bk)[0])
+                use_bound = args.impl == "i8b"
+                fn = jax.jit(lambda q, k, v, bq=bq, bk=bk, ub=use_bound:
+                             _flash_attention_forward_t_i8(q, k, v, args.dim ** -0.5, bq, bk, ub)[0])
             else:
                 fn = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(q, k, v, None, bq, bk))
             out = fn(q, k, v)

@@ -110,3 +110,32 @@ def test_decode_chunking_is_semantic(torch_reference, ref_vae, jax_cfg):
         mono = vae_decode(params, jax_cfg, z, frame_batch=None)
     diff = float(jnp.abs(mono - chunked).max())
     assert diff > 1e-3  # genuinely different paths
+
+
+def test_streamed_decode_matches_vae_decode(jax_cfg):
+    """vae_decode_streamed (per-chunk jit + donated cache) must be numerically
+    identical to the single-graph vae_decode — same chunking, same math."""
+    from vap_tpu.models.cogvideox.vae import init_cogvideox_vae, vae_decode, vae_decode_streamed
+
+    params = init_cogvideox_vae(jax.random.PRNGKey(0), jax_cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 8, 8, jax_cfg.latent_channels), jnp.float32)
+    ref = vae_decode(params, jax_cfg, z)
+    got = vae_decode_streamed(params, jax_cfg, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_wsplit_decode_close_to_full(jax_cfg):
+    """W-split decode (2 tiles + blended overlap) approximates full decode;
+    n_splits=1 is exactly the streamed full-frame path."""
+    from vap_tpu.models.cogvideox.vae import init_cogvideox_vae, vae_decode, vae_decode_wsplit
+
+    params = init_cogvideox_vae(jax.random.PRNGKey(0), jax_cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 12, jax_cfg.latent_channels), jnp.float32)
+    ref = vae_decode(params, jax_cfg, z)
+    one = vae_decode_wsplit(params, jax_cfg, z, n_splits=1)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    two = vae_decode_wsplit(params, jax_cfg, z, n_splits=2, overlap_lat=6)
+    assert two.shape == ref.shape
+    # interior columns see enough context that the split is near-exact
+    diff = np.abs(np.asarray(two) - np.asarray(ref)).mean()
+    assert diff < 0.05, diff

@@ -103,13 +103,21 @@ def causal_conv3d(p: Params, x: Array, cache: Optional[Array], time_kernel: int,
 
 
 def group_norm(p: Params, x: Array, num_groups: int, eps: float) -> Array:
-    """GroupNorm over channel-last video tensors, fp32 math."""
+    """GroupNorm over channel-last video tensors, fp32 math.
+
+    Written as three fused passes over the bf16 input (mean-reduce,
+    centered-var-reduce, normalize) with the f32 convert INSIDE each
+    consumer expression: binding one shared f32 copy forces XLA to
+    materialize it (a 1.4 GB buffer per 480p norm at the decoder's last
+    stage), while per-consumer converts fuse into the reduces/elementwise.
+    """
     orig_shape = x.shape
     c = orig_shape[-1]
-    xf = x.astype(jnp.float32).reshape(orig_shape[0], -1, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.var(xf, axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xg = x.reshape(orig_shape[0], -1, num_groups, c // num_groups)
+    mean = jnp.mean(xg.astype(jnp.float32), axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xg.astype(jnp.float32) - mean), axis=(1, 3), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xf = (xg.astype(jnp.float32) - mean) * inv
     xf = xf.reshape(orig_shape)
     xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return xf.astype(x.dtype)
@@ -127,10 +135,10 @@ def _nearest_axis(x: Array, axis: int, out_size: int) -> Array:
     if out_size % in_size == 0:
         r = out_size // in_size
         x = jnp.expand_dims(x, axis + 1)   # [..., in, 1, ...]
-        reps = [1] * x.ndim
-        reps[axis + 1] = r
-        x = jnp.tile(x, reps)              # [..., in, r, ...]
-        shape = list(x.shape)
+        bshape = list(x.shape)
+        bshape[axis + 1] = r
+        x = jnp.broadcast_to(x, bshape)    # fuses into consumers (no tile copy)
+        shape = list(bshape)
         shape[axis] = in_size * r
         del shape[axis + 1]
         return x.reshape(shape)
@@ -150,57 +158,54 @@ def _torch_nearest_resize_t(x: Array, out_f: int) -> Array:
     return _nearest_axis(x, 1, out_f)
 
 
-def _resize_zq(zq: Array, fF: int, fH: int, fW: int,
-               memo: Optional[Dict] = None) -> Array:
-    """SpatialNorm3D's zq resize, memoized per target shape: the decoder
-    resizes the SAME zq to the same extent in every resnet norm of a stage
-    (~23 times per chunk) — one resize per unique (F, H, W) suffices."""
-    key = (fF, fH, fW)
-    if memo is not None and key in memo:
-        return memo[key]
+def _resize_zq(zq: Array, fF: int, fH: int, fW: int) -> Array:
+    """SpatialNorm3D's nearest resize to the target (F, H, W) extent, with
+    the odd-frame-count first-frame special case (reference :169-186)."""
     if fF > 1 and fF % 2 == 1:
         z_first, z_rest = zq[:, :1], zq[:, 1:]
         z_first = _torch_nearest_resize(_torch_nearest_resize_t(z_first, 1), fH, fW)
         z_rest = _torch_nearest_resize(_torch_nearest_resize_t(z_rest, fF - 1), fH, fW)
-        out = jnp.concatenate([z_first, z_rest], axis=1)
-    else:
-        out = _torch_nearest_resize(_torch_nearest_resize_t(zq, fF), fH, fW)
-    if memo is not None:
-        memo[key] = out
-    return out
+        return jnp.concatenate([z_first, z_rest], axis=1)
+    return _torch_nearest_resize(_torch_nearest_resize_t(zq, fF), fH, fW)
 
 
-def spatial_norm3d(p: Params, f: Array, zq: Array, cache: Dict, num_groups: int,
-                   zq_memo: Optional[Dict] = None) -> Tuple[Array, Dict]:
+def spatial_norm3d(p: Params, f: Array, zq: Array, cache: Dict, num_groups: int) -> Tuple[Array, Dict]:
     """CogVideoXSpatialNorm3D (autoencoder_kl_cogvideox.py:149-196).
 
     f: [B, F, H, W, C]; zq: [B, Fz, Hz, Wz, Cz].
+
+    The reference resizes zq to f's extent, then applies the 1x1x1 convs.
+    Nearest resize is pixel replication and the convs are pointwise, so they
+    commute EXACTLY: conv(resize(zq)) == resize(conv(zq)). Convolving first
+    keeps every big tensor at C (lane-aligned) channels — resized 16-channel
+    zq tensors get 8x lane padding on TPU (T(8,128) tiling), which is what
+    OOMed the full-frame decode — and runs the convs at zq's small spatial
+    extent instead of f's.
     """
     new_cache: Dict[str, Any] = {}
-    zq = _resize_zq(zq, f.shape[1], f.shape[2], f.shape[3], zq_memo)
-
     conv_y, new_cache["conv_y"] = causal_conv3d(p["conv_y"], zq, cache.get("conv_y"), 1, 0)
     conv_b, new_cache["conv_b"] = causal_conv3d(p["conv_b"], zq, cache.get("conv_b"), 1, 0)
+    conv_y = _resize_zq(conv_y, f.shape[1], f.shape[2], f.shape[3])
+    conv_b = _resize_zq(conv_b, f.shape[1], f.shape[2], f.shape[3])
     norm_f = group_norm(p["norm_layer"], f, num_groups, 1e-6)
     return norm_f * conv_y + conv_b, new_cache
 
 
 def resnet_block(
     p: Params, cfg: CogVideoXVAEConfig, x: Array, zq: Optional[Array], cache: Dict,
-    zq_memo: Optional[Dict] = None,
 ) -> Tuple[Array, Dict]:
     """CogVideoXResnetBlock3D (no temb: VAE uses temb_channels=0)."""
     new_cache: Dict[str, Any] = {}
     h = x
     if zq is not None:
-        h, new_cache["norm1"] = spatial_norm3d(p["norm1"], h, zq, cache.get("norm1", {}), cfg.norm_num_groups, zq_memo)
+        h, new_cache["norm1"] = spatial_norm3d(p["norm1"], h, zq, cache.get("norm1", {}), cfg.norm_num_groups)
     else:
         h = group_norm(p["norm1"], h, cfg.norm_num_groups, cfg.norm_eps)
     h = jax.nn.silu(h)
     h, new_cache["conv1"] = causal_conv3d(p["conv1"], h, cache.get("conv1"), 3, 1)
 
     if zq is not None:
-        h, new_cache["norm2"] = spatial_norm3d(p["norm2"], h, zq, cache.get("norm2", {}), cfg.norm_num_groups, zq_memo)
+        h, new_cache["norm2"] = spatial_norm3d(p["norm2"], h, zq, cache.get("norm2", {}), cfg.norm_num_groups)
     else:
         h = group_norm(p["norm2"], h, cfg.norm_num_groups, cfg.norm_eps)
     h = jax.nn.silu(h)
@@ -289,13 +294,12 @@ def encoder_forward(p: Params, cfg: CogVideoXVAEConfig, x: Array, cache: Optiona
 def decoder_forward(p: Params, cfg: CogVideoXVAEConfig, z: Array, cache: Optional[Dict]) -> Tuple[Array, Dict]:
     cache = cache or {}
     new_cache: Dict[str, Any] = {}
-    zq_memo: Dict[Any, Array] = {}  # one zq resize per unique target shape
     h, new_cache["conv_in"] = causal_conv3d(p["conv_in"], z, cache.get("conv_in"), 3, 1)
 
     mc = cache.get("mid_block", {})
     nmc: Dict[str, Any] = {}
     for j in range(2):
-        h, nmc[f"resnet_{j}"] = resnet_block(p["mid_block"][f"resnet_{j}"], cfg, h, z, mc.get(f"resnet_{j}", {}), zq_memo)
+        h, nmc[f"resnet_{j}"] = resnet_block(p["mid_block"][f"resnet_{j}"], cfg, h, z, mc.get(f"resnet_{j}", {}))
     new_cache["mid_block"] = nmc
 
     n_blocks = len(cfg.block_out_channels)
@@ -303,12 +307,12 @@ def decoder_forward(p: Params, cfg: CogVideoXVAEConfig, z: Array, cache: Optiona
         bc = cache.get(f"up_block_{i}", {})
         nbc: Dict[str, Any] = {}
         for j in range(cfg.layers_per_block + 1):
-            h, nbc[f"resnet_{j}"] = resnet_block(p[f"up_block_{i}"][f"resnet_{j}"], cfg, h, z, bc.get(f"resnet_{j}", {}), zq_memo)
+            h, nbc[f"resnet_{j}"] = resnet_block(p[f"up_block_{i}"][f"resnet_{j}"], cfg, h, z, bc.get(f"resnet_{j}", {}))
         if i < n_blocks - 1:
             h = upsample3d(p[f"up_block_{i}"]["upsampler"], h, compress_time=i < cfg.temporal_compress_level)
         new_cache[f"up_block_{i}"] = nbc
 
-    h, new_cache["norm_out"] = spatial_norm3d(p["norm_out"], h, z, cache.get("norm_out", {}), cfg.norm_num_groups, zq_memo)
+    h, new_cache["norm_out"] = spatial_norm3d(p["norm_out"], h, z, cache.get("norm_out", {}), cfg.norm_num_groups)
     h = jax.nn.silu(h)
     h, new_cache["conv_out"] = causal_conv3d(p["conv_out"], h, cache.get("conv_out"), 3, 1)
     return h, new_cache
@@ -367,6 +371,73 @@ def vae_decode(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
         part, cache = decoder_forward(params["decoder"], cfg, latents[:, start:end], cache)
         outs.append(part)
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def vae_decode_streamed(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
+                        frame_batch: int = NUM_LATENT_FRAMES_BATCH) -> Array:
+    """Full-frame decode with each temporal frame-batch in its OWN jit call,
+    carrying the conv-cache pytree between calls.
+
+    Numerically identical to vae_decode (same chunking), but bounds HBM to one
+    chunk's live set: a single jit over the whole chunk loop lets XLA overlap
+    chunks and keep several 1.3 GB stage tensors alive at once, which exceeds
+    a 16 GB v5e at 480p. Two compilations total (first chunk: 3 latent frames,
+    no cache; steady state: 2 frames + cache), reused across calls via
+    jax.jit's cache. This is the decode path for real 49f@480p inference on a
+    single chip — 1.0x frame area vs the tiled path's ~1.4-2.25x overlap.
+    """
+    num_frames = latents.shape[1]
+    fb = frame_batch or num_frames
+    num_batches = max(num_frames // fb, 1)
+    remaining = num_frames % fb
+    cache = None
+    outs = []
+    for i in range(num_batches):
+        start = fb * i + (0 if i == 0 else remaining)
+        end = fb * (i + 1) + remaining
+        part, cache = _jitted_chunk_decode(cfg)(params, latents[:, start:end], cache)
+        # serialize chunks: async dispatch would enqueue every chunk's
+        # execution at once, and each enqueued execution holds its temp
+        # arena (~10 GB at 480p) — a scalar host read forces completion
+        # (block_until_ready does not synchronize under the axon transport)
+        np.asarray(jax.device_get(part[0, 0, 0, 0, 0]))
+        outs.append(part)
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def vae_decode_wsplit(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
+                      n_splits: int = 2, overlap_lat: int = 22,
+                      frame_batch: int = NUM_LATENT_FRAMES_BATCH) -> Array:
+    """Width-split decode: n evenly-sized W tiles with a wide blended overlap,
+    each tile decoded via the streamed per-chunk path.
+
+    The v5e-16GB sweet spot for 49f@480p: full-frame decode needs ~17 GB
+    (temp 14 + conv cache 2.6, measured via memory_analysis), while the
+    reference-parity 3x3 tiled path does 2.25x the frame area. Two 56-latent
+    tiles do 1.24x the area with a 176-px blend (vs the reference grid's
+    72 px). n_splits=1 degenerates to exact full-frame streaming decode.
+    """
+    b, f, h, w, c = latents.shape
+    if n_splits <= 1:
+        return vae_decode_streamed(params, cfg, latents, frame_batch)
+    step = -(-(w - overlap_lat) // n_splits)          # non-overlapping stride
+    span = step + overlap_lat                          # tile width (latent)
+    starts = [min(i * step, w - span) for i in range(n_splits)]
+    tiles = [
+        vae_decode_streamed(params, cfg, latents[:, :, :, s:s + span], frame_batch)
+        for s in starts
+    ]
+    pieces = []
+    for i in range(n_splits):
+        tile = tiles[i]
+        if i > 0:
+            ext = (starts[i - 1] + span - starts[i]) * 8
+            tile = _blend_h(tiles[i - 1], tile, ext)
+            tiles[i] = tile  # later splits blend against the blended tile
+        if i < n_splits - 1:
+            tile = tile[:, :, :, :(starts[i + 1] - starts[i]) * 8]
+        pieces.append(tile)
+    return jnp.concatenate(pieces, axis=3)
 
 
 def sample_posterior(moments: Array, key) -> Array:
@@ -609,6 +680,19 @@ import functools as _functools
 @_functools.lru_cache(maxsize=8)
 def _jitted_tile_decode(cfg: CogVideoXVAEConfig, frame_batch: Optional[int] = None):
     return jax.jit(lambda p, z: vae_decode(p, cfg, z, frame_batch))
+
+
+@_functools.lru_cache(maxsize=8)
+def _jitted_chunk_decode(cfg: CogVideoXVAEConfig):
+    """One decoder frame-batch step; retraces once per (chunk shape, cache
+    structure) — two graphs for the standard 13-frame stream. The incoming
+    cache is donated: its buffers are dead after the step, and keeping them
+    alongside the new cache would double-buffer ~1 GB at 480p."""
+    @_functools.partial(jax.jit, donate_argnums=(2,))
+    def step(p, z, cache):
+        return decoder_forward(p["decoder"], cfg, z, cache)
+
+    return step
 
 
 @_functools.lru_cache(maxsize=8)

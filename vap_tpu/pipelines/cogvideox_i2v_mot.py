@@ -30,7 +30,7 @@ from ..models.cogvideox.vae import (
     CogVideoXVAEConfig,
     posterior_mode,
     sample_posterior,
-    vae_decode,
+    vae_decode_wsplit,
     vae_encode,
 )
 from ..models.text_encoders.t5 import T5Config, t5_encode
@@ -83,9 +83,13 @@ def _vae_encode_mode_jit(params, cfg, video):
     return posterior_mode(moments) * cfg.scaling_factor
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
 def _vae_decode_jit(params, cfg, z):
-    return vae_decode(params, cfg, z)
+    # streamed per-chunk jit bounds HBM to one temporal chunk; at >=480p the
+    # full frame still needs ~17 GB (temp+conv cache, memory_analysis), so
+    # wide outputs decode as 2 blended W-tiles (1.24x area vs the reference
+    # 3x3 grid's 2.25x) — n_splits=1 is exact full-frame streaming
+    n = 2 if z.shape[3] >= 80 else 1
+    return vae_decode_wsplit(params, cfg, z, n)
 
 
 @dataclasses.dataclass
