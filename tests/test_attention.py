@@ -95,3 +95,20 @@ def test_sage_provider_dispatch():
 
     with attention_provider("sage"):
         assert get_attention_provider() == "sage"
+
+
+def test_per_site_provider_dispatch():
+    """Per-site provider overrides (reference --attn_provider_* 'module:provider',
+    finetrainers/trainer/base.py:48-101; sites replace module names here)."""
+    from vap_tpu.ops.attention import attention_provider, get_attention_provider
+
+    with attention_provider("sage joint:flash cross:xla"):
+        assert get_attention_provider() == "sage"
+        assert get_attention_provider("joint") == "flash"
+        assert get_attention_provider("cross") == "xla"
+        assert get_attention_provider("other") == "sage"
+    with attention_provider("joint:flash"):
+        # no default in the spec: unlisted sites fall back to the env/platform default
+        assert get_attention_provider("joint") == "flash"
+    with pytest.raises(ValueError):
+        attention_provider("joint:bogus").__enter__()

@@ -302,6 +302,7 @@ def _block_forward(
         jnp.concatenate([q, q_r], axis=2),
         jnp.concatenate([k, k_r], axis=2),
         jnp.concatenate([v, v_r], axis=2),
+        site="joint",
     )
     tgt_len = text_len + hs.shape[1]
     attn_t = _attn_out(bp["attn1"], attn[:, :, :tgt_len])

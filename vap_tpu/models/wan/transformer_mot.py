@@ -348,16 +348,16 @@ def _cross_attention(p: Params, x: Array, ctx_text: Array, ctx_img: Optional[Arr
 
     k_t, v_t = kv(ctx_text, p["to_k"], p["to_v"], p["norm_k"])
     if r > 1:
-        out = merge_ref(scaled_dot_product_attention(per_ref(q), per_ref(k_t), per_ref(v_t)))
+        out = merge_ref(scaled_dot_product_attention(per_ref(q), per_ref(k_t), per_ref(v_t), site="cross"))
     else:
-        out = scaled_dot_product_attention(q, k_t, v_t)
+        out = scaled_dot_product_attention(q, k_t, v_t, site="cross")
 
     if ctx_img is not None and "add_k_proj" in p:
         k_i, v_i = kv(ctx_img, p["add_k_proj"], p["add_v_proj"], p["norm_added_k"])
         if r > 1:
-            out_img = merge_ref(scaled_dot_product_attention(per_ref(q), per_ref(k_i), per_ref(v_i)))
+            out_img = merge_ref(scaled_dot_product_attention(per_ref(q), per_ref(k_i), per_ref(v_i), site="cross"))
         else:
-            out_img = scaled_dot_product_attention(q, k_i, v_i)
+            out_img = scaled_dot_product_attention(q, k_i, v_i, site="cross")
         out = out + out_img
 
     return linear(p["to_out"], out.transpose(0, 2, 1, 3).reshape(b, s, -1))
@@ -417,6 +417,7 @@ def _block_forward(
         jnp.concatenate([q, q_r], axis=2),
         jnp.concatenate([k, k_r], axis=2),
         jnp.concatenate([v, v_r], axis=2),
+        site="joint",
     )
     s_t = hs.shape[1]
     attn = _attn_out(bp["attn1"], joint[:, :, :s_t])

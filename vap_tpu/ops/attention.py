@@ -34,6 +34,29 @@ _state = threading.local()
 _VALID_PROVIDERS = ("flash", "sage", "jax_flash", "xla", "ring")
 
 
+def _parse_provider_spec(spec: str) -> dict:
+    """'sage' -> {'default': 'sage'}; 'sage cross:xla' -> per-site overrides.
+
+    The reference's per-module provider selection (--attn_provider_training
+    'module:provider', finetrainers/trainer/base.py:48-101) keys on torch
+    module names; the functional analog keys on attention SITES — 'joint'
+    (the MoT joint self-attention), 'cross' (Wan per-ref cross-attention),
+    'default' (everything else).
+    """
+    out = {}
+    for part in spec.replace(",", " ").split():
+        if ":" in part:
+            site, name = part.split(":", 1)
+        else:
+            site, name = "default", part
+        if name not in _VALID_PROVIDERS:
+            raise ValueError(f"unknown attention provider {name!r}; valid: {_VALID_PROVIDERS}")
+        out[site] = name
+    if not out:
+        raise ValueError(f"empty attention provider spec {spec!r}")
+    return out
+
+
 def _default_provider() -> str:
     env = os.environ.get("VAP_ATTN_PROVIDER")
     if env:
@@ -47,22 +70,28 @@ def _default_provider() -> str:
     return "flash" if platform == "tpu" else "xla"
 
 
-def get_attention_provider() -> str:
-    return getattr(_state, "provider", None) or _default_provider()
+def get_attention_provider(site: str = "default") -> str:
+    m = getattr(_state, "providers", None)
+    if m:
+        return m.get(site) or m.get("default") or _default_provider()
+    return _default_provider()
 
 
 @contextlib.contextmanager
-def attention_provider(name: str):
+def attention_provider(spec: str):
     """Context manager selecting the attention backend (cf. reference
-    finetrainers attention_provider, attention_dispatch.py:416-460)."""
-    if name not in _VALID_PROVIDERS:
-        raise ValueError(f"unknown attention provider {name!r}; valid: {_VALID_PROVIDERS}")
-    prev = getattr(_state, "provider", None)
-    _state.provider = name
+    finetrainers attention_provider, attention_dispatch.py:416-460).
+
+    Accepts a bare provider name ('sage') or a per-site spec
+    ('sage joint:flash cross:xla').
+    """
+    m = _parse_provider_spec(spec)
+    prev = getattr(_state, "providers", None)
+    _state.providers = m
     try:
         yield
     finally:
-        _state.provider = prev
+        _state.providers = prev
 
 
 def dense_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None) -> Array:
@@ -115,9 +144,14 @@ def scaled_dot_product_attention(
     v: Array,
     scale: Optional[float] = None,
     provider: Optional[str] = None,
+    site: str = "default",
 ) -> Array:
-    """Full (non-causal, unmasked) attention over [B, H, S, D] tensors."""
-    provider = provider or get_attention_provider()
+    """Full (non-causal, unmasked) attention over [B, H, S, D] tensors.
+
+    `site` names the attention call site for per-site provider overrides
+    ('joint' = MoT joint self-attention, 'cross' = Wan per-ref cross-attn).
+    """
+    provider = provider or get_attention_provider(site)
     if provider == "flash":
         return flash_attention(q, k, v, scale)
     elif provider == "sage":

@@ -220,7 +220,38 @@ def _fwd_kernel_t(qt_ref, k_ref, vt_ref, o_ref, lse_ref, acc_sc, m_sc,
         lse_ref[0, 0] = (0.6931471805599453 * (m_sc[:1] + jnp.log2(l_safe)))[0]
 
 
-def _flash_attention_forward_t(q, k, v, scale, block_q, block_k):
+def _fwd_kernel_t_bound(qt_ref, bnd_ref, k_ref, vt_ref, o_ref, lse_ref, acc_sc, *, dim):
+    """Bound-softmax bf16 transposed forward: same trick as the int8 variant
+    (see _fwd_kernel_t_i8_bound) — bnd_ref[1, bq] upper-bounds the log2-domain
+    score per query (Hölder over the scaled q and per-dim |k| max), so the
+    running max, its reduce pass, and the accumulator rescale all vanish.
+    The masked key column (-1e30 in k_ext's extension) only drives scores
+    further below the bound, so padding still contributes exactly zero."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    st = jax.lax.dot_general(
+        k_ref[0], qt_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bk, bq], log2-domain, masked
+    p = jnp.exp2(st - bnd_ref[0]).astype(vt_ref.dtype)
+
+    acc_sc[:] += jax.lax.dot_general(
+        vt_ref[0], p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [dim_ext, bq]; row D = denominator (ones row of vt)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = acc_sc[dim:dim + 1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (0.6931471805599453 * (bnd_ref[0] + jnp.log2(l_safe)))[0]
+
+
+def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True):
     """Transposed-layout tiled forward. Same contract as
     _flash_attention_forward (returns out [B,H,Sq,D] and natural-log lse)."""
     batch, heads, q_len, dim = q.shape
@@ -255,6 +286,41 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k):
     nq = q_pad // block_q
     nk = k_pad // block_k
     grid = (bh, nq, nk)
+    if use_bound:
+        # per-query Hölder bound on the scaled log2-domain score:
+        # sum_d |q_d * scale * log2e| * max_j |k_jd| (k unpadded)
+        kmax = jnp.max(jnp.abs(k.reshape(bh, kv_len, dim).astype(jnp.float32)), axis=1)
+        qabs = jnp.abs(q.reshape(bh, q_len, dim).astype(jnp.float32) * (scale * LOG2_E))
+        # -60: see the int8 bound path — two-sided exp2 headroom
+        bnd = jnp.einsum("bsd,bd->bs", qabs, kmax) - 60.0
+        bnd = _pad_to(bnd[:, None], 2, block_q)  # [bh, 1, q_pad]
+        out_t, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_t_bound, dim=dim),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, dim_ext, block_q), lambda b, qi, ki: (b, 0, qi)),
+                pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+                pl.BlockSpec((1, block_k, dim_ext), lambda b, qi, ki: (b, ki, 0)),
+                pl.BlockSpec((1, dim_ext, block_k), lambda b, qi, ki: (b, 0, ki)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, dim_ext, block_q), lambda b, qi, ki: (b, 0, qi)),
+                pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, dim_ext, q_pad), q.dtype),
+                jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((dim_ext, block_q), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(qt, bnd, k_ext, vt)
+        out = out_t[:, :dim, :q_len].reshape(batch, heads, dim, q_len).transpose(0, 1, 3, 2)
+        lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
+        return out, lse
     out_t, lse = pl.pallas_call(
         functools.partial(_fwd_kernel_t, dim=dim),
         grid=grid,
@@ -432,7 +498,10 @@ def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=Tr
         # so p = exp2(st - bound) <= 1 always)
         kmax = jnp.max(jnp.abs(k_i8.astype(jnp.float32)), axis=1)       # [bh, dim]
         bnd = jnp.einsum("bsd,bd->bs", jnp.abs(q_i8.astype(jnp.float32)), kmax)
-        bnd = bnd * sqk[:, :, 0] + 1e-6                                 # [bh, S] log2-domain
+        # reference point = bound - 60: p = exp2(st - ref) <= 2^60 (f32/bf16
+        # headroom 2^127), and underflow of the max score now needs a
+        # bound-to-max gap > 186 doublings instead of 126
+        bnd = bnd * sqk[:, :, 0] - 60.0                                 # [bh, S] log2-domain
         bnd = _pad_to(bnd[:, None], 2, block_q)                         # [bh, 1, q_pad]
         out_t, lse = pl.pallas_call(
             functools.partial(_fwd_kernel_t_i8_bound, dim=dim),

@@ -115,7 +115,10 @@ class TrainingArgs:
     tracker_name: str = "vap_tpu"
 
     # attention ("auto" = VAP_ATTN_PROVIDER env var, else platform default:
-    # Pallas flash on TPU, xla elsewhere — ops/attention.py:35-45)
+    # Pallas flash on TPU, xla elsewhere — ops/attention.py). Accepts a bare
+    # provider ("sage") or a per-site spec ("sage joint:flash cross:xla") —
+    # the functional analog of the reference's per-module provider selection
+    # (--attn_provider_* "module:provider", finetrainers/trainer/base.py:48-101)
     attn_provider_training: str = "auto"
     attn_provider_inference: str = "auto"
 
