@@ -19,7 +19,11 @@ vs_baseline = baseline_sec / our_sec (higher is better; >=2.0 is the north
 star on v5p).
 
 Env knobs: VAP_BENCH_BLOCKS, VAP_BENCH_STEPS (timed steps), VAP_BENCH_FRAMES,
-VAP_BENCH_HEIGHT/WIDTH, VAP_BENCH_SKIP_VAE.
+VAP_BENCH_HEIGHT/WIDTH, VAP_BENCH_SKIP_VAE, VAP_BENCH_ATTN (sage|flash|xla|
+null — 'null' skips attention math for roofline attribution: measured
+step_null = 2.59 s at 18 blocks, i.e. the linears+elementwise cost; the
+remaining ~4.5 s matches the 122.9 TFLOP/s sage kernel at 559 TFLOP of
+attention, so the step is attention-MXU-bound, not overhead-bound).
 """
 
 import json

@@ -92,3 +92,17 @@ def test_wan_tiled_decode_matches_reference_tiled(torch_reference, ref_vae):
         tiled = np.asarray(wan_vae_decode_tiled(params, cfg, jnp.asarray(z)))
     assert tiled.transpose(0, 4, 1, 2, 3).shape == ref.shape
     np.testing.assert_allclose(tiled.transpose(0, 4, 1, 2, 3), ref, atol=5e-4, rtol=1e-3)
+
+
+def test_wan_streamed_decode_matches_decode(torch_reference, ref_vae):
+    """wan_vae_decode_streamed (per-chunk jit + donated feat_cache) must be
+    numerically identical to the single-graph wan_vae_decode."""
+    from vap_tpu.models.wan.vae import wan_vae_decode_streamed
+
+    cfg = WanVAEConfig.tiny()
+    params = _params(ref_vae, cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8, cfg.z_dim), jnp.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = wan_vae_decode(params, cfg, z)
+        got = wan_vae_decode_streamed(params, cfg, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)

@@ -28,7 +28,18 @@ Array = jnp.ndarray
 Params = Dict[str, Any]
 
 CACHE_T = 2
-REP = "Rep"  # python-level sentinel: first chunk already consumed, zero-pad mode
+REP = "Rep"  # sentinel: first chunk already consumed, zero-pad mode
+
+
+def _rep_leaf() -> "Array":
+    """jit-compatible REP sentinel: a rank-1 empty array (the string form
+    cannot cross a jit boundary, which the streamed per-chunk decode needs).
+    Both forms are accepted everywhere via _is_rep."""
+    return jnp.zeros((0,), jnp.float32)
+
+
+def _is_rep(c) -> bool:
+    return isinstance(c, str) or (c is not None and getattr(c, "ndim", -1) == 1 and c.shape[0] == 0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,7 +93,7 @@ def causal_conv(p, x, cache, *, kt: int, pad_t: int, pad_s: int, stride_t: int =
     """WanCausalConv3d (autoencoder_kl_wan.py:35-78): left temporal pad
     2*pad_t, reduced by the cached frames prepended from `cache`."""
     left = 2 * pad_t
-    if cache is not None and not isinstance(cache, str) and left > 0:
+    if cache is not None and not _is_rep(cache) and left > 0:
         x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
         left -= cache.shape[1]
     pad = ((left, 0), (pad_s, pad_s), (pad_s, pad_s))
@@ -93,7 +104,7 @@ def update_cache(old, x):
     """feat_cache update: last CACHE_T input frames; if the chunk is shorter,
     borrow the last frame of the previous cache (autoencoder_kl_wan.py:252-256)."""
     cache = x[:, -CACHE_T:]
-    if cache.shape[1] < CACHE_T and old is not None and not isinstance(old, str):
+    if cache.shape[1] < CACHE_T and old is not None and not _is_rep(old):
         cache = jnp.concatenate([old[:, -1:].astype(cache.dtype), cache], axis=1)
     return cache
 
@@ -142,14 +153,14 @@ def resample(p, x, mode: str, cache: Dict):
     if mode == "upsample3d":
         old = cache.get("time_conv")
         if old is None:
-            new_cache["time_conv"] = REP
+            new_cache["time_conv"] = _rep_leaf()
         else:
             cur = x[:, -CACHE_T:]
-            if cur.shape[1] < 2 and not isinstance(old, str):
+            if cur.shape[1] < 2 and not _is_rep(old):
                 cur = jnp.concatenate([old[:, -1:].astype(cur.dtype), cur], axis=1)
-            if cur.shape[1] < 2 and isinstance(old, str):
+            if cur.shape[1] < 2 and _is_rep(old):
                 cur = jnp.concatenate([jnp.zeros_like(cur), cur], axis=1)
-            if isinstance(old, str):
+            if _is_rep(old):
                 y = causal_conv(p["time_conv"], x, None, kt=3, pad_t=1, pad_s=0)
             else:
                 y = causal_conv(p["time_conv"], x, old, kt=3, pad_t=1, pad_s=0)
@@ -291,6 +302,41 @@ def wan_vae_decode(params: Params, cfg: WanVAEConfig, latents: Array) -> Array:
     return jnp.clip(video, -1.0, 1.0)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _jitted_wan_chunk_decode(cfg: WanVAEConfig):
+    """One decoder latent-frame step; the incoming feat_cache is donated
+    (dead after the step — donation avoids double-buffering it)."""
+    @_functools.partial(jax.jit, donate_argnums=(2,))
+    def step(dec, z1, cache):
+        return wan_decoder_chunk(dec, cfg, z1, cache)
+
+    return step
+
+
+def wan_vae_decode_streamed(params: Params, cfg: WanVAEConfig, latents: Array) -> Array:
+    """wan_vae_decode with each latent-frame chunk in its OWN jit call,
+    carrying the feat_cache between calls (numerically identical — same
+    chunking). Bounds HBM to one chunk's live set instead of letting XLA
+    overlap all 13 chunks' buffers in a single graph (which exceeds a 16 GB
+    v5e at 480x832), and serializes executions so queued chunks don't hold
+    concurrent temp arenas (block_until_ready does not synchronize under the
+    axon transport). Two compilations (first chunk: no cache; steady state)."""
+    z = jax.jit(lambda p, l: _conv3d(p["post_quant_conv"], l))(params, latents)
+    cache = None
+    outs = []
+    dec = params["decoder"]
+    step = _jitted_wan_chunk_decode(cfg)
+    for i in range(z.shape[1]):
+        out, cache = step(dec, z[:, i:i + 1], cache)
+        np.asarray(jax.device_get(out[0, 0, 0, 0, 0]))  # serialize chunks
+        outs.append(out)
+    video = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    return jnp.clip(video, -1.0, 1.0)
+
+
 def normalize_latents(cfg: WanVAEConfig, z: Array) -> Array:
     """(z - mean) / std per channel (used by pipeline/spec; wan spec :761)."""
     mean = jnp.asarray(cfg.latents_mean, z.dtype)
@@ -368,9 +414,6 @@ def wan_vae_decode_tiled(
         result_rows.append(jnp.concatenate(result_row, axis=3))
     out = jnp.concatenate(result_rows, axis=2)
     return out[:, :, :h * ratio, :w * ratio]
-
-
-import functools as _functools
 
 
 @_functools.lru_cache(maxsize=8)

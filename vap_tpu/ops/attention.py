@@ -31,7 +31,7 @@ Array = jnp.ndarray
 
 _state = threading.local()
 
-_VALID_PROVIDERS = ("flash", "sage", "jax_flash", "xla", "ring")
+_VALID_PROVIDERS = ("flash", "sage", "jax_flash", "xla", "ring", "null")
 
 
 def _parse_provider_spec(spec: str) -> dict:
@@ -162,6 +162,16 @@ def scaled_dot_product_attention(
         return jax_flash_attention(q, k, v, scale)
     elif provider == "xla":
         return dense_attention(q, k, v, scale)
+    elif provider == "null":
+        # PROFILING ONLY: skips the attention math so a step timed under
+        # 'null' isolates the non-attention (linear/elementwise/layout) cost.
+        # The tiny q/k terms keep a real data dependency — returning bare v
+        # lets XLA dead-code every producer that only feeds attention (in the
+        # MoT joint block that deletes the whole reference branch)
+        eps = jnp.asarray(1e-30, q.dtype)
+        if v.shape[2] == q.shape[2]:
+            return v + (q + k) * eps
+        return jnp.broadcast_to(v[:, :, :1], q.shape).astype(q.dtype) + (q + k[:, :, :q.shape[2]]) * eps
     elif provider == "ring":
         from ..parallel.ring_attention import get_attention_mesh, sequence_parallel_attention
 

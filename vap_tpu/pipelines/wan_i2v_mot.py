@@ -30,7 +30,7 @@ from ..models.wan.vae import (
     WanVAEConfig,
     normalize_latents,
     denormalize_latents,
-    wan_vae_decode,
+    wan_vae_decode_streamed,
     wan_vae_encode,
 )
 from ..ops.schedulers import FlowMatchEulerScheduler, UniPCScheduler
@@ -65,9 +65,13 @@ def _wan_vae_encode_jit(params, cfg, video):
     return normalize_latents(cfg, mean)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
 def _wan_vae_decode_jit(params, cfg, z):
-    return wan_vae_decode(params, cfg, denormalize_latents(cfg, z))
+    # NOT one outer jit: streamed per-chunk decode — a single graph over all
+    # 13 latent-frame chunks lets XLA keep several chunks' 480p stage
+    # tensors alive at once and exceeds a 16 GB chip; streaming bounds HBM
+    # to one chunk's live set
+    z = jax.jit(lambda c, z: denormalize_latents(c, z), static_argnums=0)(cfg, z)
+    return wan_vae_decode_streamed(params, cfg, z)
 
 
 def make_i2v_mask(batch: int, num_frames: int, lat_h: int, lat_w: int, temporal_ratio: int = 4) -> np.ndarray:
