@@ -206,6 +206,9 @@ def _attn_qkv(p: Params, x: Array, heads: int, rope: Optional[Tuple[Array, Array
     x: [B, S, D] (text ‖ video). Returns q, k, v as [B, H, S, Dh].
     """
     b, s, _ = x.shape
+    # separate q/k/v GEMMs: a fused [D,3D] weight-concat variant was measured
+    # SLOWER (7.25 vs 7.12 s/step) — the per-scan-step weight concat costs
+    # more than the saved activation reads
     q = linear(p["to_q"], x).reshape(b, s, heads, -1)
     k = linear(p["to_k"], x).reshape(b, s, heads, -1)
     v = linear(p["to_v"], x).reshape(b, s, heads, -1)
