@@ -110,10 +110,13 @@ def update_cache(old, x):
 
 
 def rms_norm_video(p, x):
-    """WanRMS_norm(images=False): F.normalize over channels * sqrt(C) * gamma."""
-    xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(jnp.square(xf), axis=-1, keepdims=True))
-    xf = xf / jnp.maximum(norm, 1e-12) * (x.shape[-1] ** 0.5)
+    """WanRMS_norm(images=False): F.normalize over channels * sqrt(C) * gamma.
+
+    The f32 convert appears INSIDE each consumer expression (reduce and
+    normalize) rather than being bound once — a shared f32 copy forces XLA
+    to materialize it at full 480p extent (see cogvideox group_norm)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
+    xf = x.astype(jnp.float32) / jnp.maximum(norm, 1e-12) * (x.shape[-1] ** 0.5)
     xf = xf * p["gamma"].astype(jnp.float32)
     if "bias" in p:
         xf = xf + p["bias"].astype(jnp.float32)
