@@ -41,6 +41,8 @@ def main():
     configs = [(1024, 512), (2048, 512), (1024, 1024), (2048, 1024), (4096, 512), (2048, 256)]
     if args.impl in ("i8", "i8b"):  # int8 QK halves MXU time; bigger tiles amortize VPU stats
         configs = [(4096, 512), (4096, 1024), (8192, 512), (8192, 1024), (4096, 2048), (2048, 2048)]
+    if os.environ.get("VAP_ATTN_CONFIGS"):
+        configs = [tuple(map(int, c.split("x"))) for c in os.environ["VAP_ATTN_CONFIGS"].split(",")]
     if args.quick:
         configs = [(256, 512), (1024, 512)]
 
