@@ -52,7 +52,16 @@ class LTXVideoVAEConfig:
     def __post_init__(self):
         if self.timestep_conditioning:
             raise NotImplementedError(
-                "LTX 0.9.1 decoder timestep conditioning not yet ported")
+                "LTX 0.9.1 decoder timestep conditioning is intentionally "
+                "gated: the reference's own path is unexercised by its "
+                "training/inference recipes (finetrainers' LTX spec loads the "
+                "0.9.0 VAE) and carries a latent ordering bug — "
+                "LTXVideoUpBlock3d.forward passes the RAW decode timestep to "
+                "conv_in before the block's time_embedder embeds it "
+                "(autoencoder_kl_ltx.py:705-717), which would fail at "
+                "temb.unflatten for any up block with a channel change. "
+                "A faithful port would reproduce a crash; gate until a "
+                "working upstream semantic exists.")
 
     @classmethod
     def ltx_video(cls, **overrides) -> "LTXVideoVAEConfig":
