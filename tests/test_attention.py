@@ -112,3 +112,21 @@ def test_per_site_provider_dispatch():
         assert get_attention_provider("joint") == "flash"
     with pytest.raises(ValueError):
         attention_provider("joint:bogus").__enter__()
+
+
+@pytest.mark.parametrize("gain", [1.0, 3.0])
+def test_flash_bound_softmax_large_gain(gain):
+    """The bound-softmax forward must stay accurate when q/k magnitudes are
+    large (e.g. learned qk-norm gains ~3): the Hölder bound alone opens a
+    >186-doubling gap there and would silently underflow every p to zero;
+    the Cauchy-Schwarz min term keeps the gap small."""
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, S, D = 1, 2, 512, 64
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32) * gain
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32) * gain
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+    ref = dense_attention(q, k, v)
+    got = _run(lambda q, k, v: flash_attention(q, k, v), q, k, v)
+    assert float(jnp.abs(got).max()) > 0, "bound softmax underflowed to zero"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3)

@@ -287,12 +287,17 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True)
     nk = k_pad // block_k
     grid = (bh, nq, nk)
     if use_bound:
-        # per-query Hölder bound on the scaled log2-domain score:
-        # sum_d |q_d * scale * log2e| * max_j |k_jd| (k unpadded)
-        kmax = jnp.max(jnp.abs(k.reshape(bh, kv_len, dim).astype(jnp.float32)), axis=1)
-        qabs = jnp.abs(q.reshape(bh, q_len, dim).astype(jnp.float32) * (scale * LOG2_E))
-        # -60: see the int8 bound path — two-sided exp2 headroom
-        bnd = jnp.einsum("bsd,bd->bs", qabs, kmax) - 60.0
+        # per-query bound on the scaled log2-domain score: min of Hölder
+        # (sum_d |q_d| * max_j |k_jd|) and Cauchy-Schwarz (||q|| * max||k||) —
+        # see the int8 bound path for why both are needed; -60 gives
+        # two-sided exp2 headroom
+        kf32 = k.reshape(bh, kv_len, dim).astype(jnp.float32)
+        qf32 = q.reshape(bh, q_len, dim).astype(jnp.float32) * (scale * LOG2_E)
+        kmax = jnp.max(jnp.abs(kf32), axis=1)
+        holder = jnp.einsum("bsd,bd->bs", jnp.abs(qf32), kmax)
+        knorm_max = jnp.max(jnp.linalg.norm(kf32, axis=-1), axis=-1)
+        cs = jnp.linalg.norm(qf32, axis=-1) * knorm_max[:, None]
+        bnd = jnp.minimum(holder, cs) - 60.0
         bnd = _pad_to(bnd[:, None], 2, block_q)  # [bh, 1, q_pad]
         out_t, lse = pl.pallas_call(
             functools.partial(_fwd_kernel_t_bound, dim=dim),
@@ -496,12 +501,21 @@ def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=Tr
         # per-query Hölder bound on the int32 dot: sum_d |q_d| * max_j |k_jd|
         # (tight enough that the exp2 gap stays ~tens of doublings; provable,
         # so p = exp2(st - bound) <= 1 always)
-        kmax = jnp.max(jnp.abs(k_i8.astype(jnp.float32)), axis=1)       # [bh, dim]
-        bnd = jnp.einsum("bsd,bd->bs", jnp.abs(q_i8.astype(jnp.float32)), kmax)
+        # two provable score bounds, take the tighter per query:
+        #   Hölder:        sum_d |q_d| * max_j |k_jd|   (tight when one dim dominates)
+        #   Cauchy-Schwarz: ||q||_2 * max_j ||k_j||_2   (tight for qk-normed heads —
+        #     Hölder grows ~linearly in D and can open a >186-doubling gap for
+        #     learned qk-norm gains >~2.3, which would silently underflow)
+        qf32 = q_i8.astype(jnp.float32)
+        kf32 = k_i8.astype(jnp.float32)
+        kmax = jnp.max(jnp.abs(kf32), axis=1)                           # [bh, dim]
+        holder = jnp.einsum("bsd,bd->bs", jnp.abs(qf32), kmax)
+        knorm_max = jnp.max(jnp.linalg.norm(kf32, axis=-1), axis=-1)    # [bh]
+        cs = jnp.linalg.norm(qf32, axis=-1) * knorm_max[:, None]        # [bh, S]
         # reference point = bound - 60: p = exp2(st - ref) <= 2^60 (f32/bf16
         # headroom 2^127), and underflow of the max score now needs a
         # bound-to-max gap > 186 doublings instead of 126
-        bnd = bnd * sqk[:, :, 0] - 60.0                                 # [bh, S] log2-domain
+        bnd = jnp.minimum(holder, cs) * sqk[:, :, 0] - 60.0             # [bh, S] log2-domain
         bnd = _pad_to(bnd[:, None], 2, block_q)                         # [bh, 1, q_pad]
         out_t, lse = pl.pallas_call(
             functools.partial(_fwd_kernel_t_i8_bound, dim=dim),
