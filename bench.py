@@ -133,6 +133,18 @@ def main():
     T = cfg.max_text_seq_length
 
     params = fast_init_transformer(cfg, dtype)
+    int8_linears = os.environ.get("VAP_BENCH_INT8_LINEAR", "0") == "1"
+    if int8_linears:
+        # opt-in W8A8 projections (per-out-channel weights + dynamic per-token
+        # activations on the int8 MXU). Kept OFF for the headline number:
+        # the sage int8-QK attention has an established near-lossless record
+        # for diffusion; W8A8 FFN/projection quality can't be validated here
+        # without real checkpoints + CLIP eval.
+        from vap_tpu.models.common import quantize_transformer_linears
+
+        # jit + donate: the eager transform would hold the full bf16 tree,
+        # f32 intermediates, AND the int8 copy at peak (OOM at 18 blocks)
+        params = jax.jit(quantize_transformer_linears, donate_argnums=(0,))(params)
     jax.block_until_ready(params)
 
     kw = dict(attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
@@ -217,6 +229,7 @@ def main():
         "details": {
             "device": str(jax.devices()[0]),
             "attn_impl": attn_impl,
+            "int8_linears": int8_linears,
             "step_s_measured": round(step_s, 3),
             "blocks_measured": n_blocks,
             "blocks_full": full_blocks,

@@ -1,0 +1,71 @@
+"""W8A8 int8 linear (opt-in inference mode) accuracy tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vap_tpu.models.common import (
+    init_linear, linear, quantize_linear_int8, quantize_transformer_linears)
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float32).ravel()
+    b = np.asarray(b, np.float32).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_int8_linear_matches_fp():
+    key = jax.random.PRNGKey(0)
+    p = init_linear(key, 64, 128)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 64), jnp.float32)
+    ref = linear(p, x)
+    got = linear(quantize_linear_int8(p), x)
+    assert _cos(got, ref) > 0.9995
+    rel = np.abs(np.asarray(got) - np.asarray(ref)).mean() / np.abs(np.asarray(ref)).mean()
+    assert rel < 0.03, rel
+
+
+def test_int8_linear_stacked_scan_axis():
+    """Stacked [L, in, out] kernels quantize per (L, out) channel and slice
+    through lax.scan exactly like bf16 kernels."""
+    key = jax.random.PRNGKey(2)
+    L, D, O = 3, 32, 48
+    kern = jax.random.normal(key, (L, D, O), jnp.float32) * 0.05
+    p = {"kernel": kern, "bias": jnp.zeros((L, O))}
+    q = quantize_linear_int8(p)
+    assert q["w_i8"].shape == (L, D, O) and q["s_w"].shape == (L, O)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, D), jnp.float32)
+    for i in range(L):
+        sl = jax.tree.map(lambda a: a[i], q)
+        ref = linear({"kernel": kern[i], "bias": p["bias"][i]}, x)
+        assert _cos(linear(sl, x), ref) > 0.9995
+
+
+def test_quantize_transformer_forward_cos():
+    """Tiny MoT forward with quantized projections stays close to bf16."""
+    from vap_tpu.models.cogvideox import CogVideoXMOTConfig, init_cogvideox_mot
+    from vap_tpu.models.cogvideox.transformer_mot import cogvideox_mot_forward
+    from vap_tpu.ops.rope import prepare_cogvideox_rotary_embeddings
+
+    cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    params = init_cogvideox_mot(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_transformer_linears(params)
+
+    B, F, C, H, W = 1, 2, cfg.in_channels, 8, 8
+    kw = dict(attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
+              patch_size_t=cfg.patch_size_t, sample_width=cfg.sample_width,
+              sample_height=cfg.sample_height)
+    rope = prepare_cogvideox_rotary_embeddings(H * 8, W * 8, F, **kw)
+    rope_ref = prepare_cogvideox_rotary_embeddings(H * 8, W * 8, F, mot_num=1, **kw)
+    key = jax.random.PRNGKey(1)
+    args = dict(
+        hidden_states=jax.random.normal(key, (B, F, C, H, W), jnp.float32),
+        encoder_hidden_states=jax.random.normal(key, (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32),
+        timestep=jnp.array([500.0]), image_rotary_emb=rope,
+        hidden_states_mot_ref=jax.random.normal(key, (B, F, C, H, W), jnp.float32),
+        encoder_hidden_states_mot_ref=jax.random.normal(key, (B, cfg.max_text_seq_length, cfg.text_embed_dim), jnp.float32),
+        image_rotary_emb_mot_ref=rope_ref, num_mot_ref=1,
+    )
+    ref, _ = cogvideox_mot_forward(params, cfg, **args)
+    got, _ = cogvideox_mot_forward(qparams, cfg, **args)
+    assert _cos(got, ref) > 0.999

@@ -41,10 +41,67 @@ def init_layer_norm(dim: int, affine: bool = True, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def linear(p, x: Array) -> Array:
+    if "w_i8" in p:
+        return _int8_linear(p, x)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def _int8_linear(p, x: Array) -> Array:
+    """W8A8 linear on the int8 MXU (2x the bf16 rate): weights pre-quantized
+    per output channel (`quantize_linear_int8`), activations quantized
+    dynamically per token (symmetric abs-max). Inference-only opt-in — the
+    SmoothQuant-style W8A8 recipe; no custom VJP (training stays bf16)."""
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8)
+    x_i8 = jnp.round(xf / s_x).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_i8, p["w_i8"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * s_x * p["s_w"].astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+INT8_LINEAR_NAMES = ("to_q", "to_k", "to_v", "to_out", "net_0", "net_2")
+
+
+def quantize_linear_int8(p):
+    """{'kernel': [.., in, out], 'bias'?} -> {'w_i8', 's_w', 'bias'?} with
+    per-output-channel symmetric scales (supports a stacked leading L axis —
+    lax.scan slices it identically to the bf16 kernels)."""
+    w = p["kernel"].astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=-2) / 127.0, 1e-12)  # [.., out]
+    w_i8 = jnp.round(w / s_w[..., None, :]).astype(jnp.int8)
+    out = {"w_i8": w_i8, "s_w": s_w}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def quantize_transformer_linears(params, names=INT8_LINEAR_NAMES):
+    """Replace the attention/FFN projection kernels of a param pytree with
+    int8 per-channel quantized forms; `linear()` dispatches on the result.
+    Inference-only (halves projection HBM + runs the GEMMs on the int8 MXU)."""
+    def rec(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in names and isinstance(v, dict) and "kernel" in v:
+                    out[k] = quantize_linear_int8(v)
+                else:
+                    out[k] = rec(v)
+            return out
+        if isinstance(node, (list, tuple)):
+            t = type(node)
+            return t(rec(v) for v in node)
+        return node
+
+    return rec(params)
 
 
 def layer_norm(p, x: Array, eps: float = 1e-5) -> Array:
