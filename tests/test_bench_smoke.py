@@ -16,6 +16,10 @@ def test_bench_smoke_cpu():
         VAP_BENCH_BLOCKS="2", VAP_BENCH_STEPS="1", VAP_BENCH_FRAMES="9",
         VAP_BENCH_HEIGHT="64", VAP_BENCH_WIDTH="96", VAP_BENCH_ATTN="xla",
         JAX_PLATFORMS="cpu", VAP_ATTN_PROVIDER="xla",
+        # own cache dir: the parent pytest's jax holds file locks on the
+        # shared persistent cache, and the subprocess can deadlock on them
+        VAP_COMPILE_CACHE="/tmp/vap_bench_smoke_cache",
+        XLA_FLAGS="",
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
