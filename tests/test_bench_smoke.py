@@ -1,13 +1,23 @@
 """bench.py smoke test: the driver runs this script every round — protect its
 code paths (transformer init, denoise step, wsplit VAE decode, JSON output)
-against bit-rot with a tiny CPU run."""
+against bit-rot with a tiny CPU run.
+
+Marked slow: the subprocess's jax init still contacts the axon TPU service
+(the plugin ignores JAX_PLATFORMS=cpu) and can block behind the parent
+suite's client when the remote service is degraded, hanging the default
+suite. Output goes to FILES, not pipes — the axon helper processes inherit
+stdout and would keep a pipe open past the subprocess timeout.
+"""
 
 import json
 import os
 import subprocess
 import sys
+import tempfile
 
 import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_bench_smoke_cpu():
@@ -17,17 +27,23 @@ def test_bench_smoke_cpu():
         VAP_BENCH_HEIGHT="64", VAP_BENCH_WIDTH="96", VAP_BENCH_ATTN="xla",
         JAX_PLATFORMS="cpu", VAP_ATTN_PROVIDER="xla",
         # own cache dir: the parent pytest's jax holds file locks on the
-        # shared persistent cache, and the subprocess can deadlock on them
+        # shared persistent cache
         VAP_COMPILE_CACHE="/tmp/vap_bench_smoke_cache",
         XLA_FLAGS="",
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run(
-        [sys.executable, os.path.join(root, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=540, cwd=root,
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
+    with tempfile.TemporaryDirectory() as td:
+        out_path = os.path.join(td, "out.txt")
+        err_path = os.path.join(td, "err.txt")
+        with open(out_path, "w") as fo, open(err_path, "w") as fe:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(root, "bench.py")],
+                env=env, stdout=fo, stderr=fe, timeout=540, cwd=root,
+            )
+        stdout = open(out_path).read()
+        stderr = open(err_path).read()
+    assert proc.returncode == 0, stderr[-2000:]
+    line = stdout.strip().splitlines()[-1]
     result = json.loads(line)
     assert result["value"] > 0
     assert "vs_baseline" in result
