@@ -19,6 +19,16 @@ if not os.environ.get("VAP_TEST_TPU"):
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# Set the GLOBAL default device to CPU (not just the per-test pin below):
+# module-level jnp constants created at import time otherwise land on the
+# axon TPU backend, and any later use forces a TPU->CPU transfer that hangs
+# the whole suite whenever the remote service is degraded.
+if not os.environ.get("VAP_TEST_TPU"):
+    try:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
+
 REFERENCE_DIFFUSERS = "/root/reference/diffusers/src"
 
 
