@@ -130,3 +130,31 @@ def test_flash_bound_softmax_large_gain(gain):
     got = _run(lambda q, k, v: flash_attention(q, k, v), q, k, v)
     assert float(jnp.abs(got).max()) > 0, "bound softmax underflowed to zero"
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3)
+
+
+@pytest.mark.parametrize("gain", [1.0, 3.0])
+def test_flash_d128_scalar_bound(gain):
+    """D=128 row-major path now uses the per-(b,h) scalar-bound softmax —
+    forward and backward must match dense, including at large qk gains."""
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, S, D = 1, 2, 384, 128
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32) * gain
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32) * gain
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+
+    ref = dense_attention(q, k, v)
+    got = _run(lambda q, k, v: flash_attention(q, k, v, None, 128, 128), q, k, v)
+    assert float(jnp.abs(got).max()) > 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, 128, 128) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v) ** 2)
+
+    g1 = _run(jax.grad(loss_flash, argnums=(0, 1, 2)), q, k, v)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2, rtol=3e-2)

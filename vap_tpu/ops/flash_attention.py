@@ -110,7 +110,50 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc
         lse_ref[0, 0] = (m_sc[:, :1] + jnp.log(l_safe))[:, 0]
 
 
-def _flash_attention_forward(q, k, v, scale, block_q, block_k):
+def _fwd_kernel_scalar_bound(bnd_ref, q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_ref,
+                             acc_sc, l_sc, *, kv_len, block_k, scale_log2e):
+    """Row-major bound-softmax step for D >= 128.
+
+    A per-(b,h) SCALAR softmax reference point (centered between the
+    Cauchy-Schwarz upper bound and a sampled lower bound — see the caller)
+    replaces the running max: the subtract is a free scalar op instead of
+    the row-kernel's expensive [bq, 1] -> [bq, bk] lane-tile broadcast, and
+    the accumulator/denominator never rescale. Per step: one MXU QK^T,
+    scalar-sub+exp2+cast fused VPU pass, row-sum reduce, one MXU PV.
+    """
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        l_sc[:] = jnp.zeros_like(l_sc)
+
+    q = (q_ref[0].astype(jnp.float32) * scale_log2e).astype(k_ref.dtype)  # [bq, D]
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk], log2 domain
+    if kv_len % block_k != 0:
+        s = s + kvb_ref[0]
+
+    p_f32 = jnp.exp2(s - bnd_ref[0, 0, 0])  # scalar broadcast — free
+    pv = jax.lax.dot_general(
+        p_f32.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, D]
+    acc_sc[:] += pv
+    l_sc[:] += jnp.sum(p_f32, axis=1)[:, None]
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_sc[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
+        # natural-log lse: ln2 * (B + log2 l)
+        lse_ref[0, 0] = (0.6931471805599453 * (bnd_ref[0, 0, 0] + jnp.log2(l_safe)))[:, 0]
+
+
+def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True):
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
 
@@ -121,9 +164,57 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
     k_pad = kp.shape[1]
     nq = q_pad // block_q
     nk = k_pad // block_k
-    kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None]
+    # 8 sublanes: TPU lowering needs the last two block dims % (8, 128)
+    kv_bias = jnp.broadcast_to(
+        jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))
 
     grid = (bh, nq, nk)
+    if use_bound:
+        # Per-(b,h) scalar softmax reference point. It does NOT need to bound
+        # the max score — it cancels exactly between numerator and
+        # denominator — it only needs to sit within ~±110 doublings of the
+        # true max (exp2 headroom both ways in f32/bf16). The Cauchy-Schwarz
+        # upper bound alone drifts ~sqrt(D)*gain^2 above the max (breaks at
+        # D=128, qk gain ~3), so center between it and a cheap LOWER bound:
+        # the actual max score of query row 0. distance(ref, true_max)
+        # <= (upper - lower)/2, far inside the budget for any real data.
+        qf32 = q.reshape(bh, q_len, dim).astype(jnp.float32)
+        kf32 = k.reshape(bh, kv_len, dim).astype(jnp.float32)
+        qn_max = jnp.max(jnp.linalg.norm(qf32, axis=-1), axis=-1)
+        kn_max = jnp.max(jnp.linalg.norm(kf32, axis=-1), axis=-1)
+        upper = qn_max * kn_max * (scale * LOG2_E)
+        lower = jnp.max(jnp.einsum("bd,bkd->bk", qf32[:, 0], kf32), axis=-1) * (scale * LOG2_E)
+        bnd = (0.5 * (upper + lower)).reshape(bh, 1, 1)
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_scalar_bound, kv_len=kv_len,
+                              block_k=block_k, scale_log2e=scale * LOG2_E),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1), lambda b, qi, ki: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+                pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+                pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, q_pad, dim), q.dtype),
+                jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, dim), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(bnd, qp, kp, vp, kv_bias)
+        out = out[:, :q_len].reshape(batch, heads, q_len, dim)
+        lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
+        return out, lse
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
         grid=grid,
@@ -131,7 +222,7 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k), lambda b, qi, ki: (0, ki)),
+            pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
@@ -868,7 +959,8 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
     k_pad = kp.shape[1]
     nq = q_pad // block_q
     nk = k_pad // block_k
-    kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None]
+    kv_bias = jnp.broadcast_to(
+        jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
@@ -880,7 +972,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
             pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
-            pl.BlockSpec((1, block_k), lambda b, qi, ki: (0, ki)),
+            pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki)),
         ],
         out_specs=pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, q_pad, dim), q.dtype),
@@ -900,7 +992,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
             pl.BlockSpec((1, block_q, dim), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
             pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
-            pl.BlockSpec((1, block_k), lambda b, ki, qi: (0, ki)),
+            pl.BlockSpec((8, block_k), lambda b, ki, qi: (0, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
@@ -944,6 +1036,12 @@ def _forward_dispatch(q, k, v, scale, block_q, block_k):
         bq = max(min(block_q, _cdiv(q.shape[2], LANES) * LANES), LANES)
         bk = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
         return _flash_attention_forward_t(q, k, v, scale, bq, bk)
+    if (block_q, block_k) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K):
+        # tuned row-forward blocks: 163.3 TFLOP/s at D=128 (2048,1024) vs
+        # 159.1 at (1024,1024) — sweep in scripts/attn_bench.py --dim 128
+        block_q = 2048
+    block_q = max(min(block_q, _cdiv(q.shape[2], 8) * 8), 8)
+    block_k = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
     return _flash_attention_forward(q, k, v, scale, block_q, block_k)
 
 
