@@ -1,0 +1,88 @@
+"""Training-step throughput on one v5e: CogVideoX-5B VAP SFT step at the
+flagship shape (49f@480p, joint MoT attention, flash fwd+bwd, remat, adamw).
+
+The DiT depth is scaled down (default 6 of 42 blocks) so params + fp32 adam
+moments + remat activations fit 16 GB; per-step time extrapolates linearly in
+depth like bench.py. Reports step seconds and achieved TFLOP/s (fwd+bwd ~= 3x
+forward FLOPs on the block stack).
+
+Usage: python scripts/train_bench.py [blocks] [steps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vap_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from vap_tpu.models.cogvideox import CogVideoXMOTConfig, init_cogvideox_mot
+from vap_tpu.training import TrainStepConfig, get_lr_schedule, get_optimizer, make_train_step
+
+
+def main():
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    frames, height, width = 49, 480, 720
+
+    cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(
+        num_layers=n_blocks, block_idx_with_mot_ref=tuple(range(n_blocks)))
+    tcfg = TrainStepConfig(model=cfg, remat=True)
+    params = init_cogvideox_mot(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    tx = get_optimizer("adamw", get_lr_schedule("constant_with_warmup", 1e-5, warmup_steps=10))
+    init_fn, step_fn = make_train_step(tcfg, tx)
+    train_p, frozen_p, opt_state = init_fn(params)
+    del params
+
+    lat_f = (frames - 1) // 4 + 1
+    lat_h, lat_w = height // 8, width // 8
+    C = cfg.in_channels // 2
+    T = cfg.max_text_seq_length
+    rng = np.random.default_rng(0)
+
+    def mk(shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    batch = {
+        "latents": mk((1, lat_f, C, lat_h, lat_w)),
+        "image_latents": mk((1, lat_f, C, lat_h, lat_w)),
+        "latents_mot_ref": mk((1, lat_f, C, lat_h, lat_w)),
+        "image_latents_mot_ref": mk((1, lat_f, C, lat_h, lat_w)),
+        "encoder_hidden_states": mk((1, T, cfg.text_embed_dim)),
+        "encoder_hidden_states_mot_ref": mk((1, T, cfg.text_embed_dim)),
+    }
+
+    step = jax.jit(step_fn, donate_argnums=(0, 2))
+    t0 = time.perf_counter()
+    train_p, opt_state, metrics = step(train_p, frozen_p, opt_state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])  # materialize (axon block_until_ready lies)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        train_p, opt_state, metrics = step(train_p, frozen_p, opt_state, batch,
+                                           jax.random.PRNGKey(2 + i))
+    loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    # fwd FLOPs per block (B=1, no CFG) scaled 3x for fwd+bwd
+    d = cfg.inner_dim
+    vid = lat_f * (lat_h // cfg.patch_size) * (lat_w // cfg.patch_size)
+    s_joint = 2 * (T + vid)
+    attn = 4.0 * cfg.num_attention_heads * s_joint ** 2 * cfg.attention_head_dim
+    lin = s_joint * 12 * d * d * 2.0
+    flops = 3.0 * n_blocks * (attn + lin)
+    print(f"train step: blocks={n_blocks} step={dt:.3f}s  {flops/dt/1e12:.1f} TFLOP/s "
+          f"(fwd+bwd)  extrap42={dt*42/n_blocks:.2f}s  compile={compile_s:.1f}s  loss={loss:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -831,7 +831,11 @@ def _flash_attention_backward_t(scale, block_q, block_k, res, g):
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
     dim_ext = ((dim + 1 + 7) // 8) * 8
-    block_q = max(min(DEFAULT_BLOCK_Q_BWD_T, _cdiv(q_len, LANES) * LANES), LANES)
+    # fp32 inputs (training without an explicit bf16 cast) double the VMEM
+    # footprint of every operand tile — the (2048, 512) blocks overflow the
+    # 16 MB scoped-vmem stack by ~2% there, so halve block_q for f32
+    bq_default = DEFAULT_BLOCK_Q_BWD_T if q.dtype == jnp.bfloat16 else DEFAULT_BLOCK_Q_BWD_T // 2
+    block_q = max(min(bq_default, _cdiv(q_len, LANES) * LANES), LANES)
     block_k = max(min(DEFAULT_BLOCK_K_BWD_T, _cdiv(kv_len, 8) * 8), 8)
 
     delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)  # [B,H,Sq]
