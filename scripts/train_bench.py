@@ -34,7 +34,10 @@ def main():
 
     cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(
         num_layers=n_blocks, block_idx_with_mot_ref=tuple(range(n_blocks)))
-    tcfg = TrainStepConfig(model=cfg, remat=True)
+    # VAP_TRAIN_BENCH_REMAT: full (default) | ops (dots_saveable: matmul
+    # outputs kept, bwd skips the forward recompute) | block_skip:N
+    remat = os.environ.get("VAP_TRAIN_BENCH_REMAT", "full")
+    tcfg = TrainStepConfig(model=cfg, remat=remat)
     params = init_cogvideox_mot(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
 
     tx = get_optimizer("adamw", get_lr_schedule("constant_with_warmup", 1e-5, warmup_steps=10))
@@ -59,6 +62,22 @@ def main():
         "encoder_hidden_states": mk((1, T, cfg.text_embed_dim)),
         "encoder_hidden_states_mot_ref": mk((1, T, cfg.text_embed_dim)),
     }
+
+    # forward-only attribution (VAP_TRAIN_BENCH_FWD=1): time the loss alone
+    # to split step time into fwd vs bwd+optimizer for roofline work
+    if os.environ.get("VAP_TRAIN_BENCH_FWD", "0") == "1":
+        from vap_tpu.training.train_step import cogvideox_vap_loss, merge_params
+
+        fwd = jax.jit(lambda tp, fp, b, k: cogvideox_vap_loss(merge_params(tp, fp), tcfg, b, k)[0])
+        t0 = time.perf_counter()
+        loss = float(fwd(train_p, frozen_p, batch, jax.random.PRNGKey(1)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            loss = float(fwd(train_p, frozen_p, batch, jax.random.PRNGKey(2 + i)))
+        dt = (time.perf_counter() - t0) / n_steps
+        print(f"fwd-only: blocks={n_blocks} {dt:.3f}s  compile={compile_s:.1f}s  loss={loss:.4f}")
+        return
 
     step = jax.jit(step_fn, donate_argnums=(0, 2))
     t0 = time.perf_counter()
