@@ -2,13 +2,19 @@
 
 Round-1 regression: param init / jax.random.normal in dryrun_multichip ran on
 the *default* backend (a broken TPU in the driver environment) before
-device_put, crashing the run (MULTICHIP_r01 ok=false). The dryrun now pins
-everything to the mesh backend.
+device_put, crashing the run (MULTICHIP_r01 ok=false). Round-2 regression: a
+single bare `jnp.isfinite(python_float)` AFTER the `with jax.default_device`
+block crashed on the libtpu-mismatched default backend (MULTICHIP_r02
+ok=false) — and the fast suite masked it, because conftest.py sets a global
+CPU default device that the driver's fresh interpreter does not have.
 
-Two variants: the fast suite calls dryrun_multichip(8) in-process (same code
-path, no subprocess re-init — this box has a single CPU core, so a fresh
-interpreter + full recompile costs ~7 min); the slow suite additionally runs
-the exact driver invocation in a fresh subprocess with the driver's XLA_FLAGS.
+dryrun_multichip now sets the PROCESS-GLOBAL default device to the chosen
+mesh backend, making any bare-jnp touch land on the mesh backend. The
+subprocess test below runs in the FAST suite, in a fresh interpreter with the
+conftest's CPU default scrubbed (JAX_PLATFORMS / default-device untouched,
+exactly like the driver), and asserts that after the dryrun a bare jnp op
+commits to the CPU backend — so removing the global-default line fails this
+test on any host whose default backend is not CPU (i.e. this one).
 """
 
 import os
@@ -19,6 +25,32 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+_SUBPROCESS_SCRIPT = """
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+# Tripwire: dryrun_multichip must have pinned the global default device to the
+# mesh (CPU) backend. A bare jnp op after the dryrun must land on CPU even on
+# a host whose default backend is a (possibly broken) TPU plugin.
+import jax
+import jax.numpy as jnp
+dev = list(jnp.zeros(()).devices())[0]
+assert dev.platform == "cpu", f"bare jnp op landed on default backend: {dev}"
+print("default-backend tripwire OK")
+"""
+
+
+def _driver_env():
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    # Scrub anything the suite sets that the driver environment would not:
+    # the dryrun itself must choose its backend and attention provider.
+    env.pop("VAP_TEST_TPU", None)
+    env.pop("VAP_ATTN_PROVIDER", None)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
 
 def test_dryrun_multichip_8_inprocess():
     sys.path.insert(0, REPO)
@@ -27,19 +59,22 @@ def test_dryrun_multichip_8_inprocess():
     g.dryrun_multichip(8)  # raises on any failure
 
 
-@pytest.mark.slow
-def test_dryrun_multichip_8_subprocess():
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    )
+def test_dryrun_multichip_8_subprocess_driver_env():
+    """Faithful driver invocation: fresh interpreter, default backend untouched.
+
+    This MUST stay in the fast suite — it is the only test that runs in the
+    environment where MULTICHIP_r01/r02 failed (no conftest CPU default).
+    """
     r = subprocess.run(
-        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        [sys.executable, "-c", _SUBPROCESS_SCRIPT],
         cwd=REPO,
-        env=env,
+        env=_driver_env(),
         capture_output=True,
         text=True,
         timeout=900,
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "one train step OK" in r.stdout
+    assert "default-backend tripwire OK" in r.stdout
+    # both mesh phases must have run: (data,fsdp,seq) and the tensor=2 phase
+    assert r.stdout.count("one train step OK") == 2, r.stdout
