@@ -127,6 +127,49 @@ def test_wan_control_step_updates_only_adapters():
         np.asarray(params["patch_embedding"]["bias"]))
 
 
+def test_wan_control_direct_partition_receives_gradient():
+    """Regression (advisor r2, high): init_fn returned the FULL param tree as
+    frozen, so merge_params resolved every leaf to the frozen copy — the
+    widened patch_embedding partition got zero gradient and control
+    conditioning was silently inert. The frozen tree must be the complement
+    (None at direct positions) and the injection kernel's gradient nonzero."""
+    base_cfg = _tiny_t2v()
+    widened = control_in_channels(base_cfg.in_channels)
+    cfg = WanControlTrainStepConfig(
+        model=_tiny_t2v(in_channels=widened), remat=False,
+        frame_conditioning_type="prefix")
+    params = init_wan(jax.random.PRNGKey(0), base_cfg)
+    params = expand_patch_embedding(params, base_cfg, base_cfg.in_channels)
+    tx = get_optimizer("adamw", get_lr_schedule("constant", 1e-3))
+    init_fn, grad_fn, _, _ = make_control_step(
+        wan_control_loss, cfg, tx, family="wan", lora_rank=2, lora_alpha=2.0)
+    train_p, frozen_p, _ = init_fn(params, jax.random.PRNGKey(1))
+
+    # frozen must be the complement: None exactly where the direct partition
+    # holds a leaf, so merge_params takes the TRAINED copy
+    assert frozen_p["patch_embedding"]["kernel"] is None
+    assert frozen_p["patch_embedding"]["bias"] is not None
+
+    B, F, H, W, C = 1, 2, 4, 4, base_cfg.in_channels
+    k = jax.random.PRNGKey(2)
+    batch = {
+        "latents": jax.random.normal(k, (B, F, H, W, C)),
+        "control_latents": jax.random.normal(jax.random.fold_in(k, 1), (B, F, H, W, C)),
+        "encoder_hidden_states": jax.random.normal(
+            jax.random.fold_in(k, 2), (B, base_cfg.text_len, base_cfg.text_dim)),
+    }
+    grads, _ = jax.jit(grad_fn)(train_p, frozen_p, batch, jax.random.PRNGKey(7))
+    g = np.asarray(grads["direct"]["patch_embedding"]["kernel"])
+    assert np.abs(g).max() > 0, "zero gradient through the injection kernel"
+
+    # the widened control-input rows specifically must receive gradient: they
+    # are zero-initialized, so a shadowed merge leaves control inert forever.
+    # kernel layout: flattened (C, pt, ph, pw) rows, original channels first.
+    pt, ph, pw = base_cfg.patch_size
+    g_ctrl = g[base_cfg.in_channels * pt * ph * pw:]
+    assert np.abs(g_ctrl).max() > 0
+
+
 def test_wan_control_full_finetune_step():
     base_cfg = _tiny_t2v()
     widened = control_in_channels(base_cfg.in_channels)

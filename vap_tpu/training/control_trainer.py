@@ -38,6 +38,7 @@ import optax
 
 from ..utils.logging import get_logger
 from .train_step import (
+    _compute_dtype,
     flow_loss_weights,
     merge_params,
     partition_params,
@@ -150,7 +151,7 @@ def wan_control_loss(params, cfg: WanControlTrainStepConfig, batch, key):
         cfg.frame_conditioning_concatenate_mask)
     hidden = jnp.concatenate([noisy, control], axis=-1)
 
-    dtype = batch["encoder_hidden_states"].dtype
+    dtype = _compute_dtype(params)
     pred = wan_forward(
         params, cfg.model,
         hidden_states=hidden.astype(dtype),
@@ -201,7 +202,7 @@ def cogview4_control_loss(params, cfg: CogView4ControlTrainStepConfig, batch, ke
 
     comp = 8
     default_size = jnp.broadcast_to(jnp.asarray([[h * comp, w * comp]], jnp.float32), (b, 2))
-    dtype = batch["encoder_hidden_states"].dtype
+    dtype = _compute_dtype(params)
     pred = cogview4_forward(
         params, cfg.model,
         hidden_states=hidden.astype(dtype),
@@ -278,9 +279,14 @@ def make_control_step(
             lora = init_lora(key, params, rank=lora_rank,
                              targets=CONTROL_LORA_TARGETS, mot_only=False)
             mask = _control_direct_mask(params, injection_path, train_qk_norm)
-            direct, _ = partition_params(params, mask)
+            # The frozen tree MUST be the complement (None at direct
+            # positions): merge_params keeps the frozen leaf wherever it is
+            # not None, so returning the full tree here silently shadows the
+            # trained partition — zero gradients through the widened
+            # injection kernel, control conditioning inert.
+            direct, rest = partition_params(params, mask)
             train = {"lora": lora, "direct": direct}
-            return train, params, optimizer.init(train)
+            return train, rest, optimizer.init(train)
 
         def merged(tp, frozen):
             base = merge_params(tp["direct"], frozen)

@@ -320,7 +320,15 @@ def make_lora_sft_step(loss_fn, cfg, optimizer: optax.GradientTransformation, *,
     step_fn) — grad/apply split for gradient accumulation."""
     from .lora import DEFAULT_TARGETS, apply_lora, init_lora
 
-    targets = targets or DEFAULT_TARGETS
+    # None means "use defaults"; an explicit empty tuple (e.g.
+    # --target_modules none) is a config error, not a request to silently
+    # train every default projection.
+    if targets is None:
+        targets = DEFAULT_TARGETS
+    elif not targets:
+        raise ValueError(
+            "LoRA training with no target modules: --target_modules 'none' "
+            "selects nothing to train; pass 'default' or an explicit regex")
 
     def init_fn(params, key):
         lora = init_lora(key, params, rank=rank, targets=targets, mot_only=mot_only)

@@ -505,6 +505,11 @@ class SFTTrainer:
         merged = self._merged_params()
         csv_path, gen, cfg_num_samples = self._load_validation_config()
         num_samples = num_samples if num_samples is not None else cfg_num_samples
+        if num_samples is None:
+            # Neither the caller nor the validation JSON bounded the pass: a
+            # full 30-50-step 480p generation per CSV row at every validation
+            # interval is never what a user meant — default to one sample.
+            num_samples = 1
         ds = VideoAsPromptValidationDataset(
             csv_path, num_frames=gen.get("num_frames", args.video_resolution_buckets[0][0]),
             shard_index=jax.process_index(), num_shards=max(jax.process_count(), 1))
@@ -516,8 +521,7 @@ class SFTTrainer:
         gen_kwargs = dict(
             height=gen.get("height", fb[1]), width=gen.get("width", fb[2]),
             num_frames=gen.get("num_frames", fb[0]),
-            num_inference_steps=gen.get("num_inference_steps", 50),
-            seed=args.seed)
+            num_inference_steps=gen.get("num_inference_steps", 50))
         for k in ("guidance_scale", "use_dynamic_cfg"):
             if k in gen:
                 gen_kwargs[k] = gen[k]
@@ -525,7 +529,10 @@ class SFTTrainer:
             if num_samples is not None and i >= num_samples:
                 break
             with self._attn_ctx(training=False):
-                video = self.spec.validation(merged, sample, **gen_kwargs)
+                # per-sample seed: every row gets distinct initial noise
+                # (reference validation varies noise across samples)
+                video = self.spec.validation(
+                    merged, sample, seed=args.seed + i, **gen_kwargs)
             path = os.path.join(out_dir, f"sample_{i}.mp4")
             export_to_video((np.asarray(video) + 1.0) / 2.0, path, fps=16)
             artifacts[f"validation/sample_{i}"] = path
