@@ -37,12 +37,14 @@ class T5Config:
     per_layer_relative_bias: bool = False  # True for UMT5
 
     @classmethod
-    def t5_xxl(cls) -> "T5Config":
-        return cls()
+    def t5_xxl(cls, **overrides) -> "T5Config":
+        return cls(**overrides)
 
     @classmethod
-    def umt5_xxl(cls) -> "T5Config":
-        return cls(vocab_size=256384, per_layer_relative_bias=True)
+    def umt5_xxl(cls, **overrides) -> "T5Config":
+        base = dict(vocab_size=256384, per_layer_relative_bias=True)
+        base.update(overrides)
+        return cls(**base)
 
     @classmethod
     def tiny(cls, **overrides) -> "T5Config":

@@ -181,15 +181,42 @@ def export_safetensors(params: Dict[str, Any], cfg, path: str, metadata: Optiona
     from safetensors.numpy import save_file
 
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    flat = _flatten_to_reference_names(params, cfg)
+    if type(cfg).__name__ == "CogVideoXMOTConfig":
+        flat = _flatten_to_reference_names(params, cfg)
+    else:
+        from .export_flatten import flatten_for_config
+
+        flat = flatten_for_config(params, cfg)
     flat = {k: np.ascontiguousarray(v) for k, v in flat.items()}
     save_file(flat, path, metadata=metadata or {"format": "pt"})
     return path
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load a safetensors state dict from a file, a sharded-index json, or a
+    component directory (HF layout: model.safetensors or
+    model.safetensors.index.json + shards), merging shards into one dict."""
+    import json
+
     from safetensors.numpy import load_file
 
+    if os.path.isdir(path):
+        single = os.path.join(path, "model.safetensors")
+        index = os.path.join(path, "model.safetensors.index.json")
+        if os.path.exists(single):
+            path = single
+        elif os.path.exists(index):
+            path = index
+        else:
+            raise FileNotFoundError(f"no (sharded) safetensors under {path}")
+    if path.endswith(".index.json"):
+        with open(path) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        base = os.path.dirname(path)
+        out: Dict[str, np.ndarray] = {}
+        for shard in shards:
+            out.update(load_file(os.path.join(base, shard)))
+        return out
     return load_file(path)
 
 
