@@ -78,3 +78,21 @@ def batch_sharding(mesh: Mesh, ndim: int, *, frame_axis: int = None) -> NamedSha
     if frame_axis is not None:
         spec[frame_axis] = "seq"
     return NamedSharding(mesh, P(*spec))
+
+
+def put_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """device_put every batch tensor with its training sharding: batch dim over
+    (data, fsdp) and — when the mesh has a seq axis — the frame axis of 5D
+    latent tensors over seq, so the train step sees data already laid out for
+    sequence parallelism instead of resharding it every step."""
+    import numpy as np
+
+    seq = dict(mesh.shape).get("seq", 1)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, list):
+            continue
+        arr = np.asarray(v)
+        frame_axis = 1 if (seq > 1 and arr.ndim == 5 and arr.shape[1] % seq == 0) else None
+        out[k] = jax.device_put(arr, batch_sharding(mesh, arr.ndim, frame_axis=frame_axis))
+    return out

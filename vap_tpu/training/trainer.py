@@ -24,7 +24,7 @@ from ..data.video import resize_to_nearest_bucket
 import contextlib
 
 from ..ops.attention import attention_provider
-from ..parallel import MeshConfig, batch_sharding, make_mesh, shard_params
+from ..parallel import MeshConfig, make_mesh, put_batch, shard_params
 from ..utils.logging import get_logger
 from ..utils.trackers import initialize_trackers
 from .args import TrainingArgs
@@ -392,10 +392,7 @@ class SFTTrainer:
             if self.dpo:
                 batch = _assemble_dpo_batch(batch)
             if self.mesh is not None:
-                batch = {
-                    k: jax.device_put(np.asarray(v), batch_sharding(self.mesh, np.asarray(v).ndim))
-                    for k, v in batch.items() if not isinstance(v, list)
-                }
+                batch = put_batch(self.mesh, batch)
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
 
