@@ -13,6 +13,7 @@ python train.py \
   --training_type control_lora \
   --pretrained_model_name_or_path "$MODEL_PATH" \
   --data_root "$DATA_ROOT" \
+  --dataset_config examples/training/control/cogview4/canny/training.json \
   --image_resolution_buckets 1024x1024 \
   --control_type canny \
   --rank 64 --lora_alpha 64 \

@@ -13,6 +13,7 @@ python train.py \
   --training_type control_lora \
   --pretrained_model_name_or_path "$MODEL_PATH" \
   --data_root "$DATA_ROOT" \
+  --dataset_config examples/training/control/wan/image_condition/training.json \
   --video_resolution_buckets 49x480x832 \
   --control_type none \
   --frame_conditioning_type index --frame_conditioning_index 0 \

@@ -19,7 +19,8 @@ python train.py \
   --gradient_checkpointing \
   --ref_videos_num 10 --sample_ref_videos_num 1 --mask_ref_ratio 0.0 \
   --lr 1e-5 --lr_scheduler constant_with_warmup --lr_warmup_steps 1000 \
-  --checkpointing_steps 1000 --checkpointing_limit 1 --validation_steps 100 \
+  --checkpointing_steps 1000 --checkpointing_limit 1 --validation_dataset_file examples/training/sft/cogvideox/vap_mot/validation.json \
+  --validation_steps 100 \
   --output_dir "$OUTPUT_DIR" --resume_from_checkpoint latest \
   --data_degree 8 \
   --model_structure_config examples/training/sft/cogvideox/vap_mot/config_ori.json \

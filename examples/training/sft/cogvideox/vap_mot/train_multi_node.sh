@@ -27,5 +27,6 @@ python train.py \
   --data_degree 48 --fsdp_degree 1 --seq_degree 1 \
   --lr 1e-5 --lr_scheduler constant_with_warmup --lr_warmup_steps 1000 \
   --sample_ref_videos_num 1 --mask_caption_ratio 0.02 \
-  --checkpointing_steps 500 --checkpointing_limit 2 --validation_steps 500 \
+  --checkpointing_steps 500 --checkpointing_limit 2 --validation_dataset_file examples/training/sft/cogvideox/vap_mot/validation.json \
+  --validation_steps 500 \
   --output_dir "$OUTPUT_DIR" --resume_from_checkpoint latest

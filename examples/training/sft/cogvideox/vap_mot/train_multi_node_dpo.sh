@@ -25,5 +25,6 @@ python train.py \
   --target_modules "(transformer_blocks|single_transformer_blocks).*(to_q|to_k|to_v|to_out.0)" \
   --lr 5e-5 --lr_scheduler constant \
   --sample_ref_videos_num 1 --mask_ref_ratio 0.0 --mask_caption_ratio 0.02 \
-  --checkpointing_steps 501 --checkpointing_limit 1 --validation_steps 100 \
+  --checkpointing_steps 501 --checkpointing_limit 1 --validation_dataset_file examples/training/sft/cogvideox/vap_mot/validation.json \
+  --validation_steps 100 \
   --output_dir "$OUTPUT_DIR" --resume_from_checkpoint latest

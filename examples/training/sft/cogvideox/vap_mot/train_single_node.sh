@@ -17,6 +17,7 @@ python train.py \
   --pretrained_model_name_or_path "$MODEL_PATH" \
   --model_structure_config examples/training/sft/cogvideox/vap_mot/config_ori.json \
   --data_root "$DATA_ROOT" --meta_df_name vap_data.csv \
+  --dataset_config examples/training/sft/cogvideox/vap_mot/training.json \
   --video_resolution_buckets 49x480x720 \
   --data_degree 4 --fsdp_degree 1 --seq_degree 1 \
   --batch_size 1 --train_steps 60000 \
@@ -25,6 +26,7 @@ python train.py \
   --gradient_checkpointing \
   --sample_ref_videos_num 1 --mask_caption_ratio 0.02 \
   --checkpointing_steps 500 --checkpointing_limit 2 \
-  --validation_steps 500 \
+  --validation_dataset_file examples/training/sft/cogvideox/vap_mot/validation.json \
+  --validation_steps 100 \
   --output_dir "$OUTPUT_DIR" \
   --resume_from_checkpoint latest

@@ -164,3 +164,108 @@ def test_native_decoder_matches_cv2(tmp_path):
     assert sel.shape == (3, 32, 48, 3)
     batch = native.decode_batch([p, p], [None, [1, 2]], 64, 96, nthreads=2)
     assert batch[0].shape[0] == 10 and batch[1].shape[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# frames_selection (reference functional/video.py:66-126)
+# ---------------------------------------------------------------------------
+
+def test_frames_selection_modes():
+    frames = np.arange(9, dtype=np.uint8).reshape(9, 1, 1, 1) * np.ones(
+        (9, 4, 4, 3), np.uint8)
+    buckets = ((5, 4, 4),)
+    ev, _ = resize_to_nearest_bucket(frames, buckets, "evenly")
+    assert list(ev[:, 0, 0, 0].astype(int)) == [0, 2, 4, 6, 8]
+    fi, _ = resize_to_nearest_bucket(frames, buckets, "first")
+    assert list(fi[:, 0, 0, 0].astype(int)) == [0, 1, 2, 3, 4]
+    import random
+
+    ra, _ = resize_to_nearest_bucket(frames, buckets, "random", rng=random.Random(0))
+    vals = list(ra[:, 0, 0, 0].astype(int))
+    assert vals == list(range(vals[0], vals[0] + 5))  # contiguous window
+    with pytest.raises(ValueError):
+        resize_to_nearest_bucket(frames, buckets, "center")
+
+
+# ---------------------------------------------------------------------------
+# --dataset_config -> dataset construction (reference trainer.py:327-389)
+# ---------------------------------------------------------------------------
+
+def _args_stub(tmp_path, **kw):
+    from vap_tpu.training.args import TrainingArgs
+
+    base = dict(data_root=str(tmp_path), training_type="video_as_prompt_mot",
+                output_dir=str(tmp_path / "out"))
+    base.update(kw)
+    return TrainingArgs(**base)
+
+
+def test_dataset_config_vap_with_annotations(tmp_path):
+    from vap_tpu.data.config import build_datasets_from_config
+
+    _make_dataset_dir(tmp_path)
+    cfg = {"datasets": [{
+        "dataset_type": "video",
+        "video_resolution_buckets": [[5, 16, 16]],
+        "frames_selection": "first",
+        "reshape_mode": "bicubic",
+        "meta_df_name": "vap_data.csv",
+    }]}
+    path = tmp_path / "training.json"
+    path.write_text(json.dumps(cfg))
+    ds = build_datasets_from_config(str(path), _args_stub(tmp_path), family="cogvideox")
+    sample = next(iter(ds))
+    # VAP sample (training type drives the kind) + per-dataset annotations
+    assert "ref_videos" in sample
+    assert sample["_resolution_buckets"] == ((5, 16, 16),)
+    assert sample["_frames_selection"] == "first"
+    # stateful: resume round-trips through the wrapper
+    state = ds.state_dict()
+    ds.load_state_dict(state)
+
+
+def test_dataset_config_combined_and_generic(tmp_path):
+    from vap_tpu.data.config import build_datasets_from_config
+    from vap_tpu.data.generic import CombinedDataset
+
+    root_a = tmp_path / "a"
+    root_b = tmp_path / "b"
+    for root in (root_a, root_b):
+        root.mkdir()
+        for i in range(2):
+            frames = (np.random.default_rng(i).uniform(0, 1, (6, 16, 16, 3)) * 255
+                      ).astype(np.uint8)
+            export_to_video(frames, str(root / f"v{i}.mp4"), fps=16)
+            (root / f"v{i}.txt").write_text(f"cap {i}")
+    cfg = {"datasets": [
+        {"data_root": str(root_a), "dataset_type": "video",
+         "video_resolution_buckets": [[5, 16, 16]]},
+        {"data_root": str(root_b), "dataset_type": "video"},
+    ]}
+    path = tmp_path / "training.json"
+    path.write_text(json.dumps(cfg))
+    args = _args_stub(tmp_path, training_type="sft")
+    ds = build_datasets_from_config(str(path), args, family="ltx_video")
+    assert isinstance(ds, CombinedDataset)
+    sample = next(iter(ds))
+    assert "video" in sample and "caption" in sample
+
+
+def test_dataset_config_unknown_key_raises(tmp_path):
+    from vap_tpu.data.config import build_datasets_from_config
+
+    path = tmp_path / "training.json"
+    path.write_text(json.dumps({"datasets": [
+        {"dataset_type": "video", "sample_ref_videos_num": 3}]}))
+    with pytest.raises(ValueError, match="unknown dataset_config keys"):
+        build_datasets_from_config(str(path), _args_stub(tmp_path), family="cogvideox")
+
+
+def test_dataset_config_bad_reshape_mode_raises(tmp_path):
+    from vap_tpu.data.config import build_datasets_from_config
+
+    path = tmp_path / "training.json"
+    path.write_text(json.dumps({"datasets": [
+        {"dataset_type": "video", "reshape_mode": "center_crop"}]}))
+    with pytest.raises(ValueError, match="reshape_mode"):
+        build_datasets_from_config(str(path), _args_stub(tmp_path), family="cogvideox")

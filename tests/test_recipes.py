@@ -56,3 +56,43 @@ def test_recipe_flags_parse(path):
     if args.validation_dataset_file:
         assert os.path.exists(os.path.join(REPO, args.validation_dataset_file)), \
             args.validation_dataset_file
+
+
+def _recipe_args(path):
+    return parse_args(_extract_train_flags(path))
+
+
+@pytest.mark.parametrize("path", SCRIPTS, ids=[os.path.relpath(p, REPO) for p in SCRIPTS])
+def test_recipe_configs_are_consumed(path):
+    """VERDICT r2 missing #6: a recipe must not ship flags/configs nothing
+    reads — every referenced dataset_config must exist and schema-validate,
+    and explicitly requesting validation_steps without a validation dataset
+    means validation silently never runs."""
+    import json
+
+    from vap_tpu.data.config import _ENTRY_KEYS
+
+    argv = _extract_train_flags(path)
+    args = parse_args(argv)
+    if args.dataset_config:
+        cfg_path = os.path.join(REPO, args.dataset_config)
+        assert os.path.exists(cfg_path), args.dataset_config
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        assert cfg.get("datasets"), args.dataset_config
+        for entry in cfg["datasets"]:
+            unknown = set(entry) - _ENTRY_KEYS
+            assert not unknown, f"{args.dataset_config}: unread keys {sorted(unknown)}"
+    if "--validation_steps" in argv:
+        assert args.validation_dataset_file, \
+            f"{path} passes --validation_steps but no --validation_dataset_file: " \
+            "validation would silently never run"
+
+
+def test_wan_vap_recipes_use_logit_normal():
+    """Reference wan train_single_node.sh:77 trains with logit_normal flow
+    weighting — omitting it changes the sigma distribution."""
+    for path in SCRIPTS:
+        if "sft/wan/vap_mot" in path:
+            args = _recipe_args(path)
+            assert args.flow_weighting_scheme == "logit_normal", path

@@ -112,11 +112,14 @@ def resize_to_nearest_bucket_image(
 
 
 def resize_to_nearest_bucket(
-    frames: np.ndarray, buckets: Sequence[Tuple[int, int, int]]
+    frames: np.ndarray, buckets: Sequence[Tuple[int, int, int]],
+    frames_selection: str = "evenly", rng=None,
 ) -> Tuple[np.ndarray, bool]:
     """Fit a video to the nearest (frames, height, width) bucket
-    (finetrainers/functional/video.py:48-126): nearest-or-smaller frame
-    bucket, aspect-nearest spatial bucket, center temporal selection."""
+    (finetrainers/functional/video.py:66-126): nearest-or-smaller frame
+    bucket, aspect-nearest spatial bucket, temporal selection per
+    frames_selection — 'evenly' (linspace, the reference default), 'first',
+    or 'random' (contiguous window at a random start)."""
     f, h, w = frames.shape[:3]
     frame_buckets = sorted({b[0] for b in buckets})
     fb = max([b for b in frame_buckets if b <= f], default=frame_buckets[0])
@@ -126,7 +129,19 @@ def resize_to_nearest_bucket(
 
     first_frame_only = f < fb
     if f > fb:
-        start = (f - fb) // 2
-        frames = frames[start:start + fb]
+        if frames_selection == "evenly":
+            idx = np.linspace(0, f - 1, fb).astype(np.int64)
+            frames = frames[idx]
+        elif frames_selection == "first":
+            frames = frames[:fb]
+        elif frames_selection == "random":
+            import random as _random
+
+            start = (rng or _random).randint(0, f - fb)
+            frames = frames[start:start + fb]
+        else:
+            raise ValueError(
+                f"invalid frames_selection {frames_selection!r}; "
+                "choose from 'evenly', 'first', 'random'")
     out = resize_video(frames, bh, bw)
     return out, first_frame_only

@@ -370,13 +370,20 @@ class ControlTrainer(SFTTrainer):
         args = self.args
         shard_index = jax.process_index()
         num_shards = max(jax.process_count(), 1)
-        dataset_type = "image" if self.family in ("cogview4", "flux") else "video"
-        dataset = initialize_dataset(args.data_root, dataset_type, infinite=True)
-        if num_shards > 1 and hasattr(dataset, "_items"):
-            dataset._items = dataset._items[shard_index::num_shards]
-        dataset = DatasetPreprocessingWrapper(
-            dataset, id_token=args.id_token,
-            remove_common_llm_caption_prefixes=args.remove_common_llm_caption_prefixes)
+        if args.dataset_config:
+            from ..data.config import build_datasets_from_config
+
+            dataset = build_datasets_from_config(
+                args.dataset_config, args, family=self.family,
+                shard_index=shard_index, num_shards=num_shards)
+        else:
+            dataset_type = "image" if self.family in ("cogview4", "flux") else "video"
+            dataset = initialize_dataset(args.data_root, dataset_type, infinite=True)
+            if num_shards > 1 and hasattr(dataset, "_items"):
+                dataset._items = dataset._items[shard_index::num_shards]
+            dataset = DatasetPreprocessingWrapper(
+                dataset, id_token=args.id_token,
+                remove_common_llm_caption_prefixes=args.remove_common_llm_caption_prefixes)
         dataset = ControlDatasetWrapper(dataset, args.control_type)
         return PrefetchingDataLoader(dataset, prefetch=4)
 
@@ -384,18 +391,22 @@ class ControlTrainer(SFTTrainer):
         from ..data.video import resize_to_nearest_bucket, resize_to_nearest_bucket_image
 
         if "image" in sample and "video" not in sample:
+            buckets = sample.get("_image_resolution_buckets",
+                                 self.args.image_resolution_buckets)
             sample = dict(sample, image=resize_to_nearest_bucket_image(
-                sample["image"], self.args.image_resolution_buckets))
+                sample["image"], buckets))
             if "control_image" in sample:
                 sample["control_image"] = resize_to_nearest_bucket_image(
-                    sample["control_image"], self.args.image_resolution_buckets)
+                    sample["control_image"], buckets)
         else:
-            video, _ = resize_to_nearest_bucket(
-                sample["video"], self.args.video_resolution_buckets)
+            buckets = sample.get("_resolution_buckets",
+                                 self.args.video_resolution_buckets)
+            fsel = sample.get("_frames_selection", "evenly")
+            video, _ = resize_to_nearest_bucket(sample["video"], buckets, fsel)
             sample = dict(sample, video=video)
             if "control_video" in sample:
                 cv, _ = resize_to_nearest_bucket(
-                    sample["control_video"], self.args.video_resolution_buckets)
+                    sample["control_video"], buckets, fsel)
                 sample["control_video"] = cv
         with self.tracker.timed("timing/prepare_conditions"):
             cond = self.spec.prepare_conditions(sample)

@@ -212,6 +212,15 @@ class SFTTrainer:
         args = self.args
         shard_index = jax.process_index()
         num_shards = max(jax.process_count(), 1)
+        if args.dataset_config:
+            # multi-dataset training.json (reference trainer.py:327-389:
+            # initialize_dataset/combine_datasets with per-dataset buckets)
+            from ..data.config import build_datasets_from_config
+
+            dataset = build_datasets_from_config(
+                args.dataset_config, args, family=self.family,
+                shard_index=shard_index, num_shards=num_shards)
+            return PrefetchingDataLoader(dataset, prefetch=4)
         if self.family not in ("cogvideox", "wan"):
             # generic families: auto-detected local layout (reference
             # initialize_dataset, data/dataset.py:1542-1610)
@@ -322,11 +331,18 @@ class SFTTrainer:
         if "image" in sample and "video" not in sample:
             from ..data.video import resize_to_nearest_bucket_image
 
-            img = resize_to_nearest_bucket_image(sample["image"], self.args.image_resolution_buckets)
+            buckets = sample.get("_image_resolution_buckets",
+                                 self.args.image_resolution_buckets)
+            img = resize_to_nearest_bucket_image(sample["image"], buckets)
             sample = dict(sample, image=img)
         else:
-            video, _ = resize_to_nearest_bucket(sample["video"], self.args.video_resolution_buckets)
-            refs = [resize_to_nearest_bucket(r, self.args.video_resolution_buckets)[0]
+            # per-dataset bucket/frame-selection annotations from a
+            # --dataset_config training.json override the global flags
+            buckets = sample.get("_resolution_buckets",
+                                 self.args.video_resolution_buckets)
+            fsel = sample.get("_frames_selection", "evenly")
+            video, _ = resize_to_nearest_bucket(sample["video"], buckets, fsel)
+            refs = [resize_to_nearest_bucket(r, buckets, fsel)[0]
                     for r in sample.get("ref_videos", [])]
             sample = dict(sample, video=video, ref_videos=refs)
         with self.tracker.timed("timing/prepare_conditions"):
