@@ -1,0 +1,372 @@
+"""Pipeline-level golden parity: the jit-scanned denoise loops must reproduce
+the reference torch pipelines' latent trajectories (VERDICT r2 missing #4 —
+component parity existed, but CFG batching, dynamic-CFG cosine, latent prep
+and frame-selection math were only verified by eyeball).
+
+Same tiny weights on both sides via the parity-tested converters; same fake
+tokenizer; the torch VAE posterior is pinned to its mode (the reference
+samples it with a torch generator, which has no JAX twin — everything else
+runs the reference code verbatim). Reference:
+diffusers/pipelines/cogvideo/pipeline_cogvideox_image2video_mot.py:676-1092,
+pipeline_wan_i2v_mot.py:527-919.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vap_tpu.models.cogvideox import CogVideoXMOTConfig
+from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig
+from vap_tpu.models.text_encoders import T5Config, convert_t5_state_dict
+
+from conftest import REFERENCE_DIFFUSERS  # noqa: F401 (sys.path setup)
+
+
+class PtBatch(dict):
+    def __getattr__(self, k):
+        return self[k]
+
+
+class FakeTokenizer:
+    """Deterministic char tokenizer usable by both pipelines (pt + np)."""
+
+    model_max_length = 226
+
+    def __call__(self, texts, padding=None, max_length=16, truncation=True,
+                 add_special_tokens=True, return_attention_mask=True,
+                 return_tensors="np"):
+        if isinstance(texts, str):
+            texts = [texts]
+        if padding == "longest":
+            max_length = max(1, max(len(t) for t in texts))
+        ids = np.zeros((len(texts), max_length), np.int64)
+        for i, t in enumerate(texts):
+            for j, ch in enumerate(t[:max_length]):
+                ids[i, j] = (ord(ch) * 7 + j) % 100 + 1
+        mask = (ids > 0).astype(np.int64)
+        if return_tensors == "pt":
+            import torch
+
+            return PtBatch(input_ids=torch.from_numpy(ids),
+                           attention_mask=torch.from_numpy(mask))
+        return {"input_ids": ids.astype(np.int32), "attention_mask": mask.astype(np.int32)}
+
+    def batch_decode(self, ids):
+        return [""] * len(ids)
+
+
+def _pin_vae_mode(monkeypatch):
+    """Make the torch VAE encode deterministic (posterior mode)."""
+    from diffusers.models.autoencoders.vae import DiagonalGaussianDistribution
+
+    monkeypatch.setattr(DiagonalGaussianDistribution, "sample",
+                        lambda self, generator=None: self.mode())
+
+
+def _t5_pair(torch, d_model):
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    cfg = T5Config.tiny(vocab_size=128, d_model=d_model)
+    torch.manual_seed(7)
+    model = T5EncoderModel(HFT5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv, d_ff=cfg.d_ff,
+        num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False, use_cache=False,
+        tie_word_embeddings=False,
+    )).eval()
+    params = convert_t5_state_dict(
+        {k: v.numpy() for k, v in model.state_dict().items()}, cfg)
+    return model, params, cfg
+
+
+def _cog_vae_pair(torch, cfg: CogVideoXVAEConfig):
+    from diffusers.models.autoencoders.autoencoder_kl_cogvideox import (
+        AutoencoderKLCogVideoX)
+
+    from vap_tpu.models.cogvideox.vae_weights import convert_cogvideox_vae_state_dict
+
+    torch.manual_seed(3)
+    m = AutoencoderKLCogVideoX(
+        block_out_channels=cfg.block_out_channels, latent_channels=cfg.latent_channels,
+        layers_per_block=cfg.layers_per_block, norm_num_groups=cfg.norm_num_groups,
+    ).eval()
+    params = convert_cogvideox_vae_state_dict(
+        {k: v.numpy() for k, v in m.state_dict().items()}, cfg)
+    return m, params
+
+
+def _cog_transformer_pair(torch, cfg: CogVideoXMOTConfig):
+    from diffusers.models.transformers.cogvideox_transformer_3d_mot import (
+        CogVideoXTransformer3DMOTModel)
+
+    from vap_tpu.models.cogvideox import convert_cogvideox_mot_state_dict
+    from vap_tpu.models.cogvideox.weights import torch_state_dict_to_numpy
+
+    torch.manual_seed(11)
+    m = CogVideoXTransformer3DMOTModel(
+        num_attention_heads=cfg.num_attention_heads,
+        attention_head_dim=cfg.attention_head_dim,
+        in_channels=cfg.in_channels,
+        out_channels=cfg.out_channels,
+        time_embed_dim=cfg.time_embed_dim,
+        text_embed_dim=cfg.text_embed_dim,
+        num_layers=cfg.num_layers,
+        sample_width=cfg.sample_width,
+        sample_height=cfg.sample_height,
+        sample_frames=cfg.sample_frames,
+        patch_size=cfg.patch_size,
+        patch_size_t=cfg.patch_size_t,
+        max_text_seq_length=cfg.max_text_seq_length,
+        use_rotary_positional_embeddings=True,
+        block_idx_with_mot_ref=list(cfg.block_idx_with_mot_ref),
+    ).eval()
+    params = convert_cogvideox_mot_state_dict(torch_state_dict_to_numpy(m), cfg)
+    return m, params
+
+
+def _pil_video(rng, f, h, w):
+    import PIL.Image
+
+    arr = rng.integers(0, 256, (f, h, w, 3), dtype=np.uint8)
+    return arr, [PIL.Image.fromarray(a) for a in arr]
+
+
+@pytest.mark.parametrize("use_dynamic_cfg,scheduler", [
+    (True, "ddim"), (False, "ddim"), (False, "dpm")])
+def test_cogvideox_pipeline_latent_parity(torch_reference, monkeypatch,
+                                          use_dynamic_cfg, scheduler):
+    torch = torch_reference
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _pin_vae_mode(monkeypatch)
+    from diffusers.pipelines.cogvideo.pipeline_cogvideox_image2video_mot import (
+        CogVideoXImageToVideoMOTPipeline)
+    from diffusers.schedulers import CogVideoXDDIMScheduler as TorchDDIM
+
+    from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
+    from vap_tpu.pipelines.cogvideox_i2v_mot import CogVideoXVAPPipeline
+
+    if scheduler == "dpm":
+        # the SDE-DPM++ step draws per-step noise (torch generator vs jax key
+        # have no common stream) — pin BOTH sides to zero noise and compare
+        # the deterministic multistep math
+        import diffusers.schedulers.scheduling_dpm_cogvideox as sched_mod
+
+        monkeypatch.setattr(
+            sched_mod, "randn_tensor",
+            lambda shape, generator=None, device=None, dtype=None:
+                torch.zeros(shape, device=device, dtype=dtype))
+        monkeypatch.setattr(
+            jax.random, "normal",
+            lambda key, shape, dtype=np.float32: jnp.zeros(shape, dtype))
+
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    tok = FakeTokenizer()
+    t5_m, t5_p, txt_cfg = _t5_pair(torch, t_cfg.text_embed_dim)
+    vae_m, vae_p = _cog_vae_pair(torch, vae_cfg)
+    tr_m, tr_p = _cog_transformer_pair(torch, t_cfg)
+
+    # production CogVideoX-5B scheduler config (the torch class default is
+    # timestep_spacing="leading"; the shipped checkpoint uses trailing +
+    # v-prediction + zero-SNR + snr_shift 3.0, which the repo defaults mirror)
+    if scheduler == "dpm":
+        from diffusers.schedulers import CogVideoXDPMScheduler as TorchSched
+
+        from vap_tpu.ops.schedulers import CogVideoXDPMScheduler
+
+        jax_sched = CogVideoXDPMScheduler()
+    else:
+        TorchSched = TorchDDIM
+        jax_sched = CogVideoXDDIMScheduler()
+    ref_pipe = CogVideoXImageToVideoMOTPipeline(
+        tokenizer=tok, text_encoder=t5_m, vae=vae_m, transformer=tr_m,
+        scheduler=TorchSched(
+            num_train_timesteps=jax_sched.num_train_timesteps,
+            beta_start=jax_sched.beta_start, beta_end=jax_sched.beta_end,
+            beta_schedule=jax_sched.beta_schedule,
+            set_alpha_to_one=jax_sched.set_alpha_to_one,
+            prediction_type=jax_sched.prediction_type,
+            timestep_spacing=jax_sched.timestep_spacing,
+            rescale_betas_zero_snr=jax_sched.rescale_betas_zero_snr,
+            snr_shift_scale=jax_sched.snr_shift_scale))
+
+    H = W = 32
+    F = 9
+    steps = 2
+    rng = np.random.default_rng(0)
+    img_arr, img_pil = _pil_video(rng, 1, H, W)
+    ref_arr, ref_pil = _pil_video(rng, F, H, W)
+    lat_f = (F - 1) // vae_cfg.temporal_compression_ratio + 1
+    init_latents = rng.standard_normal(
+        (1, lat_f, t_cfg.in_channels // 2, H // 8, W // 8)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_pipe(
+            image=img_pil[0], prompt="a cat", ref_videos=[ref_pil],
+            prompt_mot_ref=["explode it"], height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=6.0,
+            use_dynamic_cfg=use_dynamic_cfg,
+            latents=torch.from_numpy(init_latents),
+            max_sequence_length=t_cfg.max_text_seq_length,
+            output_type="latent", frames_selection="first",
+        ).frames.numpy()
+
+    pipe = CogVideoXVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
+        params={"transformer": tr_p, "vae": vae_p, "text_encoder": t5_p},
+        tokenizer=tok, scheduler=jax_sched, dtype=jnp.float32,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = pipe(
+            image=(img_arr[0].astype(np.float32) / 127.5 - 1.0),
+            prompt="a cat", ref_videos=[ref_arr.astype(np.float32) / 127.5 - 1.0],
+            prompt_mot_ref=["explode it"], height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=6.0,
+            use_dynamic_cfg=use_dynamic_cfg,
+            latents=jnp.asarray(init_latents),
+            max_sequence_length=t_cfg.max_text_seq_length,
+            output_type="latent",
+        )
+    got = np.asarray(got)
+    assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
+    np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Wan MOT pipeline (reference pipeline_wan_i2v_mot.py:527-919): FlowMatch
+# Euler, 36ch conditioning, fixed-t refs, CLIP image embeds; the reference
+# runs CFG as two sequential forwards — the repo folds it into the batch,
+# which is mathematically identical and verified here.
+# ---------------------------------------------------------------------------
+
+def _wan_pairs(torch, clip_image_size):
+    from transformers import (
+        CLIPVisionConfig as HFCLIPConfig, CLIPVisionModel,
+        T5Config as HFT5Config, UMT5EncoderModel)
+    from diffusers import AutoencoderKLWan
+    from diffusers.models.transformers.transformer_wan_mot import (
+        WanTransformer3DMOTModel)
+
+    from vap_tpu.models.text_encoders.clip_vision import (
+        CLIPVisionConfig, convert_clip_vision_state_dict)
+    from vap_tpu.models.wan import WanMOTConfig, convert_wan_mot_state_dict
+    from vap_tpu.models.wan.vae import WanVAEConfig
+    from vap_tpu.models.wan.vae_weights import convert_wan_vae_state_dict
+
+    clip_cfg = CLIPVisionConfig.tiny(image_size=clip_image_size, patch_size=16)
+    vae_cfg = WanVAEConfig.tiny()
+    # I2V channel layout: [noisy(z) | mask(4) | cond-latent(z)]
+    t_cfg = WanMOTConfig.tiny(image_dim=clip_cfg.hidden_size, text_len=512,
+                              in_channels=2 * vae_cfg.z_dim + 4,
+                              out_channels=vae_cfg.z_dim)
+    txt_cfg = T5Config.tiny(vocab_size=128, d_model=t_cfg.text_dim,
+                            per_layer_relative_bias=True)
+
+    torch.manual_seed(5)
+    umt5 = UMT5EncoderModel(HFT5Config(
+        vocab_size=txt_cfg.vocab_size, d_model=txt_cfg.d_model, d_kv=txt_cfg.d_kv,
+        d_ff=txt_cfg.d_ff, num_layers=txt_cfg.num_layers, num_heads=txt_cfg.num_heads,
+        relative_attention_num_buckets=txt_cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=txt_cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False, use_cache=False,
+        tie_word_embeddings=False)).eval()
+    clip = CLIPVisionModel(HFCLIPConfig(
+        hidden_size=clip_cfg.hidden_size, intermediate_size=clip_cfg.intermediate_size,
+        num_hidden_layers=clip_cfg.num_hidden_layers,
+        num_attention_heads=clip_cfg.num_attention_heads,
+        image_size=clip_cfg.image_size, patch_size=clip_cfg.patch_size,
+        hidden_act=clip_cfg.hidden_act)).eval()
+    vae = AutoencoderKLWan(base_dim=vae_cfg.base_dim, z_dim=vae_cfg.z_dim,
+                           dim_mult=list(vae_cfg.dim_mult),
+                           num_res_blocks=vae_cfg.num_res_blocks,
+                           latents_mean=list(vae_cfg.latents_mean),
+                           latents_std=list(vae_cfg.latents_std)).eval()
+    tr = WanTransformer3DMOTModel(
+        patch_size=list(t_cfg.patch_size),
+        num_attention_heads=t_cfg.num_attention_heads,
+        attention_head_dim=t_cfg.attention_head_dim,
+        in_channels=t_cfg.in_channels, out_channels=t_cfg.out_channels,
+        text_dim=t_cfg.text_dim, freq_dim=t_cfg.freq_dim, ffn_dim=t_cfg.ffn_dim,
+        num_layers=t_cfg.num_layers, cross_attn_norm=t_cfg.cross_attn_norm,
+        image_dim=t_cfg.image_dim, added_kv_proj_dim=t_cfg.added_kv_proj_dim,
+        rope_max_seq_len=t_cfg.rope_max_seq_len,
+        block_idx_with_mot_ref=list(t_cfg.block_idx_with_mot_ref)).eval()
+
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items() if hasattr(v, "numpy")}
+    params = {
+        "transformer": convert_wan_mot_state_dict(sd(tr), t_cfg),
+        "vae": convert_wan_vae_state_dict(sd(vae), vae_cfg),
+        "text_encoder": convert_t5_state_dict(sd(umt5), txt_cfg),
+        "image_encoder": convert_clip_vision_state_dict(sd(clip), clip_cfg),
+    }
+    return (umt5, clip, vae, tr), (t_cfg, vae_cfg, txt_cfg, clip_cfg), params
+
+
+def test_wan_pipeline_latent_parity(torch_reference, monkeypatch):
+    torch = torch_reference
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _pin_vae_mode(monkeypatch)
+    from transformers import CLIPImageProcessor
+    import diffusers.pipelines.wan.pipeline_wan_i2v_mot as wan_mod
+    from diffusers.pipelines.wan.pipeline_wan_i2v_mot import (
+        WanImageToVideoMOTPipeline)
+
+    # ftfy is not installed in this image; the cleanup is identity for the
+    # ASCII prompts used here (the repo pipeline applies none either)
+    monkeypatch.setattr(wan_mod, "basic_clean", lambda t: t.strip())
+    from diffusers.schedulers import FlowMatchEulerDiscreteScheduler
+
+    from vap_tpu.ops.schedulers import FlowMatchEulerScheduler
+    from vap_tpu.pipelines.wan_i2v_mot import WanVAPPipeline
+
+    H = W = 32
+    F = 9
+    steps = 2
+    (umt5, clip, vae, tr), (t_cfg, vae_cfg, txt_cfg, clip_cfg), params = \
+        _wan_pairs(torch, clip_image_size=H)
+    tok = FakeTokenizer()
+    proc = CLIPImageProcessor(
+        do_resize=True, size={"shortest_edge": H}, do_center_crop=True,
+        crop_size={"height": H, "width": W}, do_rescale=True, do_normalize=True)
+
+    ref_pipe = WanImageToVideoMOTPipeline(
+        tokenizer=tok, text_encoder=umt5, image_encoder=clip, image_processor=proc,
+        transformer=tr, vae=vae,
+        scheduler=FlowMatchEulerDiscreteScheduler(shift=3.0))
+
+    rng = np.random.default_rng(0)
+    img_arr, img_pil = _pil_video(rng, 1, H, W)
+    ref_arr, ref_pil = _pil_video(rng, F, H, W)
+    zc = vae_cfg.z_dim
+    lat_f = (F - 1) // 4 + 1
+    init_latents = rng.standard_normal((1, zc, lat_f, H // 8, W // 8)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_pipe(
+            image=img_pil[0], prompt="a cat", ref_videos=[ref_pil],
+            prompt_mot_ref=["explode it"], height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=5.0,
+            latents=torch.from_numpy(init_latents),
+            max_sequence_length=512, output_type="latent",
+            frames_selection="first",
+        ).frames.numpy()
+
+    pipe = WanVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg, clip_cfg=clip_cfg,
+        params=params, tokenizer=tok,
+        scheduler=FlowMatchEulerScheduler(shift=3.0), dtype=jnp.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = pipe(
+            image=(img_arr[0].astype(np.float32) / 127.5 - 1.0),
+            prompt="a cat", ref_videos=[ref_arr.astype(np.float32) / 127.5 - 1.0],
+            prompt_mot_ref=["explode it"], height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=5.0,
+            latents=jnp.asarray(init_latents.transpose(0, 2, 3, 4, 1)),
+            max_sequence_length=512, output_type="latent",
+        )
+    got = np.asarray(got).transpose(0, 4, 1, 2, 3)  # [B,F,h,w,C] -> [B,C,F,h,w]
+    assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
+    np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)

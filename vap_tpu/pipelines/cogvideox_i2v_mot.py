@@ -66,10 +66,16 @@ def select_frames(frames: Sequence, num: int, mode: str = "evenly") -> List:
 
 
 def dynamic_cfg_schedule(timesteps: np.ndarray, guidance_scale: float, num_inference_steps: int) -> np.ndarray:
-    """Cosine dynamic CFG (pipeline :1036-1039), precomputed per step."""
-    return 1.0 + guidance_scale * (
-        (1 - np.cos(np.pi * ((num_inference_steps - timesteps) / num_inference_steps) ** 5.0)) / 2
-    )
+    """Cosine dynamic CFG (pipeline :1036-1039), precomputed per step.
+
+    The reference plugs the RAW timestep value (e.g. 999) into
+    (steps - t)/steps — so the cosine argument is astronomically large and its
+    value is pure float64 libm folklore. Compute in float64 exactly as
+    math.cos does torch-side; float32 would diverge (parity-tested)."""
+    t64 = np.asarray(timesteps, np.float64)
+    return (1.0 + guidance_scale * (
+        (1 - np.cos(np.pi * ((num_inference_steps - t64) / num_inference_steps) ** 5.0)) / 2
+    )).astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
