@@ -188,16 +188,186 @@ class VideoAsPromptDataset:
         }
 
 
+DPO_STAGE_SCHEDULE = (
+    {"epochs": 2, "pos_min": 90, "neg_max": 10},
+    {"epochs": 10_000, "pos_min": 80, "neg_max": 30},
+)
+
+
 class VideoAsPromptDPODataset(VideoAsPromptDataset):
-    """Win/lose preference pairs for DPO (dataset.py:839-1174). The CSV carries
-    win_video_paths / lose_video_paths / dpo_weight columns."""
+    """Win/lose preference pairs for DPO (reference VideoAsPromptDPOV2Dataset,
+    dataset.py:839-1174): pairs are CONSTRUCTED per row from
+    reference_alignment_score —
+
+      * staged curriculum: epoch-indexed (pos_min, neg_max) decade thresholds
+        (2 epochs at 90/10, then 80/30) pick win from {score >= pos_min} and
+        lose from {score <= neg_max} within the row's kind (:890-893,
+        :1076-1100)
+      * the MoT reference video comes from the score==100 pool, falling back
+        to 80<score<100, banning the chosen pair (:1057-1065, :1122-1126)
+      * score-based reweighting: weight = ((|s_win - s_lose| * beta) /
+        max(sqrt(p_win * p_lose), prob_eps)) ** alpha with p = frequency of
+        the video's score bin (freq_bin_width decades + smoothing)
+        (:974-1035, :1127-1135)
+
+    The reference filters at threshold 0 for DPO regardless of the SFT
+    threshold flag (:905-908) and truncates the train rows to a multiple of
+    48 (:921-923) — both matched. Rows whose pools are empty are skipped.
+    Fast path: a CSV that already carries win_video_paths / lose_video_paths
+    (+ optional dpo_weight) is used as-is."""
+
+    def __init__(self, root: str, *, reweight: bool = True, alpha: float = 1.0,
+                 beta: float = 0.02, prob_eps: float = 1e-8,
+                 freq_bin_width: int = 10, freq_smoothing: float = 0.0,
+                 stage_schedule=DPO_STAGE_SCHEDULE, **kw):
+        assert 1 <= int(freq_bin_width) <= 100 and 100 % int(freq_bin_width) == 0, \
+            f"freq_bin_width must divide 100; got {freq_bin_width}"
+        kw["alignment_score_threshold"] = 0.0  # reference DPO filters at 0
+        super().__init__(root, **kw)
+        # pools/dicts are built over ALL splits (the reference builds its
+        # caption/kind/score dicts and pools before the split filter,
+        # :913-935) — re-read the CSV rather than reuse the train-only rows
+        meta = kw.get("meta_df_name", "vap_data.csv")
+        all_rows = _read_csv_rows(os.path.join(root, meta))
+        self._all_rows = filter_and_update_refs(all_rows, 0.0, seed=kw.get("shuffle_seed", 42))
+        self.reweight = bool(reweight)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.prob_eps = float(prob_eps)
+        self.freq_bin_width = int(freq_bin_width)
+        self.freq_smoothing = float(freq_smoothing)
+        self.stage_schedule = list(stage_schedule)
+
+        self._explicit_pairs = bool(self.rows) and "win_video_paths" in self.rows[0]
+        if self._explicit_pairs:
+            return
+
+        # reference truncates to a multiple of 48 when >= 16 rows (:921-923)
+        if len(self.rows) >= 16:
+            self.rows = self.rows[: len(self.rows) - (len(self.rows) % 48)]
+
+        self.score_by_path = {
+            str(r["video_paths"]): float(r["reference_alignment_score"])
+            for r in self._all_rows
+        }
+        self.caption_by_path = {
+            str(r["video_paths"]): r["tar_video_caption"] for r in self._all_rows}
+        self.kind_by_path = {
+            str(r["video_paths"]): r["kind"] for r in self._all_rows}
+        by_kind: Dict[str, List[str]] = {}
+        for p, kind in self.kind_by_path.items():
+            by_kind.setdefault(kind, []).append(p)
+        # decade-threshold pools (reference :941-957)
+        self.pos_pools: Dict[str, Dict[int, List[str]]] = {}
+        self.neg_pools: Dict[str, Dict[int, List[str]]] = {}
+        self.ref_pool_eq100: Dict[str, List[str]] = {}
+        self.ref_pool_80_100: Dict[str, List[str]] = {}
+        for kind, vids in by_kind.items():
+            s = self.score_by_path
+            self.pos_pools[kind] = {
+                b: [v for v in vids if s[v] >= b] for b in range(0, 101, 10)}
+            self.neg_pools[kind] = {
+                b: [v for v in vids if s[v] <= b] for b in range(0, 101, 10)}
+            self.ref_pool_eq100[kind] = [v for v in vids if s[v] == 100]
+            self.ref_pool_80_100[kind] = [v for v in vids if 80 < s[v] < 100]
+
+        # per-video score-bin frequency for reweighting (reference :974-1035)
+        bin_w = self.freq_bin_width
+        max_idx = 100 // bin_w
+
+        def to_bin(score: float) -> int:
+            s = min(max(score, 0.0), 100.0)
+            return max_idx if int(s) >= 100 else int(s) // bin_w
+
+        counts = {i: 0.0 for i in range(max_idx + 1)}
+        for p, score in self.score_by_path.items():
+            counts[to_bin(score)] += 1.0
+        if self.freq_smoothing > 0.0:
+            for i in counts:
+                counts[i] += self.freq_smoothing
+        total = sum(counts.values()) or 1.0
+        self.prob_by_path = {
+            p: counts[to_bin(score)] / total for p, score in self.score_by_path.items()}
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def _current_stage(self) -> Dict[str, int]:
+        n = max(len(self.rows), 1)
+        epoch = self._sample_index // n
+        start = 0
+        for st in self.stage_schedule:
+            if start <= epoch < start + st["epochs"]:
+                return st
+            start += st["epochs"]
+        return self.stage_schedule[-1]
+
+    def _pair_weight(self, win: str, lose: str) -> float:
+        if not self.reweight:
+            return 1.0
+        s0 = self.score_by_path.get(win, 0.0)
+        s1 = self.score_by_path.get(lose, 0.0)
+        p0 = self.prob_by_path.get(win, 1.0)
+        p1 = self.prob_by_path.get(lose, 1.0)
+        prob = (max(p0, self.prob_eps) * max(p1, self.prob_eps)) ** 0.5
+        return (abs(s0 - s1) * self.beta / max(prob, self.prob_eps)) ** self.alpha
+
+    def _construct_pair(self, row: Dict[str, Any]):
+        """(win, lose, ref, weight) for this row per the current stage, or
+        None when a pool is empty (row skipped, as in the reference)."""
+        stage = self._current_stage()
+        pos_min = min(max((stage["pos_min"] // 10) * 10, 0), 100)
+        neg_max = min(max((stage["neg_max"] // 10) * 10, 0), 100)
+        kind = row["kind"]
+        pos_pool = self.pos_pools.get(kind, {}).get(pos_min, [])
+        neg_pool = self.neg_pools.get(kind, {}).get(neg_max, [])
+        if not pos_pool or not neg_pool:
+            return None
+        win = self._rng.choice(pos_pool)
+        lose_candidates = [v for v in neg_pool if v != win]
+        if not lose_candidates:
+            return None
+        lose = self._rng.choice(lose_candidates)
+        ban = {win, lose}
+        ref_pool = [v for v in self.ref_pool_eq100.get(kind, []) if v not in ban]
+        if not ref_pool:
+            ref_pool = [v for v in self.ref_pool_80_100.get(kind, []) if v not in ban]
+        if not ref_pool:
+            return None
+        ref = self._rng.choice(ref_pool)
+        return win, lose, ref, self._pair_weight(win, lose)
 
     def _make_sample(self, row: Dict[str, Any]) -> Dict[str, Any]:
-        sample = super()._make_sample(dict(row, video_paths=row["win_video_paths"]))
-        lose = _decode_resampled(os.path.join(self.root, str(row["lose_video_paths"])))
-        sample["video_lose"] = lose
-        sample["dpo_weight"] = float(row.get("dpo_weight", 1.0))
-        return sample
+        if self._explicit_pairs:
+            sample = super()._make_sample(dict(row, video_paths=row["win_video_paths"]))
+            lose = _decode_resampled(os.path.join(self.root, str(row["lose_video_paths"])))
+            sample["video_lose"] = lose
+            sample["dpo_weight"] = float(row.get("dpo_weight", 1.0))
+            return sample
+
+        pair = self._construct_pair(row)
+        if pair is None:
+            raise ValueError(f"no DPO pair for kind {row['kind']!r} at this stage")
+        win, lose, ref, weight = pair
+        win_v = _decode_resampled(os.path.join(self.root, win))
+        lose_v = _decode_resampled(os.path.join(self.root, lose))
+        ref_v = _decode_resampled(os.path.join(self.root, ref))
+        caption = str(self.caption_by_path.get(win, "")).strip()
+        caption_lose = str(self.caption_by_path.get(lose, "")).strip()
+        ref_caption = str(self.caption_by_path.get(ref, "")).strip()
+        if self._rng.random() < self.mask_caption_ratio:
+            caption = caption_lose = ref_caption = ""
+        return {
+            "video": win_v,
+            "video_lose": lose_v,
+            "caption": caption,
+            "caption_lose": caption_lose,
+            "ref_videos": [ref_v],
+            "caption_mot_ref": [ref_caption],
+            "effect_types": [row["kind"]],
+            "kind": row["kind"],
+            "dpo_weight": float(weight),
+        }
 
 
 class VideoAsPromptValidationDataset:
