@@ -16,6 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from vap_tpu.ops.flash_attention import flash_attention
+from vap_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def main():
@@ -25,10 +28,11 @@ def main():
     p.add_argument("--heads", type=int, default=48)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--dim", type=int, default=64)
-    p.add_argument("--impl", default="row", choices=["row", "t", "i8", "i8b"],
+    p.add_argument("--impl", default="row", choices=["row", "t", "i8", "i8b", "bwd"],
                    help="row = original layout; t = transposed (S^T/O^T) forward; "
                         "i8 = int8-QK SageAttention analog; i8b = i8 with the "
-                        "bound-softmax (no running max/rescale) kernel")
+                        "bound-softmax (no running max/rescale) kernel; "
+                        "bwd = backward pass (sweep via VAP_ATTN_BWD_BLOCKS)")
     args = p.parse_args()
 
     B, H, S, D = args.batch, args.heads, args.seq, args.dim
@@ -45,6 +49,63 @@ def main():
         configs = [tuple(map(int, c.split("x"))) for c in os.environ["VAP_ATTN_CONFIGS"].split(",")]
     if args.quick:
         configs = [(256, 512), (1024, 512)]
+
+    if args.impl == "bwd":
+        # backward sweep: VAP_ATTN_BWD_BLOCKS drives the block choice inside
+        # _flash_attention_backward_t, set per config before (re-)tracing.
+        # Everything runs jitted — an eager jax.vjp dispatches each reshape/
+        # concat as its own remote compile on the axon service and stalls.
+        bwd_flops = 2.5 * flops  # 5 matmuls of the S/P footprint
+        bwd_configs = [(2048, 512), (2048, 1024), (4096, 512), (1024, 512),
+                       (2048, 256), (4096, 1024), (1024, 1024), (3072, 512)]
+        if os.environ.get("VAP_ATTN_CONFIGS"):
+            bwd_configs = [tuple(map(int, c.split("x")))
+                           for c in os.environ["VAP_ATTN_CONFIGS"].split(",")]
+
+        # k/v MUST be jit arguments, not closure constants — captured arrays
+        # are baked into the HLO as literals and blow the remote compile
+        # service's request-size limit (HTTP 413)
+        def fwd_only(q, k, v):
+            return flash_attention(q, k, v)
+
+        fwd = jax.jit(fwd_only)
+        float(fwd(q, k, v).mean())
+        n = 4
+        t0 = time.perf_counter()
+        cur = q
+        for _ in range(n):
+            cur = fwd(cur, k, v)
+        float(cur.mean())
+        t_fwd = (time.perf_counter() - t0) / n
+        print(f"fwd-only baseline: {t_fwd*1e3:8.1f} ms  {flops/t_fwd/1e12:6.1f} TFLOP/s",
+              flush=True)
+
+        for bq, bk in bwd_configs:
+            os.environ["VAP_ATTN_BWD_BLOCKS"] = f"{bq}x{bk}"
+            try:
+                def fwdbwd(q, k, v):
+                    out, vjp = jax.vjp(fwd_only, q, k, v)
+                    return vjp(jnp.ones_like(out))[0]
+
+                fb = jax.jit(fwdbwd)
+                float(fb(q, k, v).mean())
+                t0 = time.perf_counter()
+                cur = q
+                for _ in range(n):
+                    cur = fb(cur, k, v)  # chain dq -> q to serialize
+                float(cur.mean())
+                dt = (time.perf_counter() - t0) / n
+                t_bwd = dt - t_fwd
+                print(f"bq={bq:5d} bk={bk:5d}: fwd+bwd {dt*1e3:8.1f} ms, "
+                      f"bwd {t_bwd*1e3:8.1f} ms  {bwd_flops/t_bwd/1e12:6.1f} TFLOP/s (bwd)",
+                      flush=True)
+            except Exception as e:
+                print(f"bq={bq:5d} bk={bk:5d}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                      flush=True)
+            finally:
+                # new env value must invalidate the jitted closure
+                jax.clear_caches()
+        return
 
     for bq, bk in configs:
         try:

@@ -17,6 +17,7 @@ D ≤ 128 while giving the MXU large tiles.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -823,7 +824,12 @@ def _bwd_dkv_kernel_t(qt_ref, q_ref, kext_ref, vt_ref, do_ref, dot_ref,
 
 
 DEFAULT_BLOCK_Q_BWD_T = 2048
-DEFAULT_BLOCK_K_BWD_T = 512
+# bf16 sweep at [2,48,35552,64] (scripts/attn_bench.py --impl bwd):
+# (2048,1024) 426.7 ms > (1024,1024) 428.6 > (4096,512) 435.0 > (2048,512)
+# 441.3; (4096,1024) overflows VMEM. f32 operand tiles are twice the size —
+# keep bk=512 there (block_q already halves below).
+DEFAULT_BLOCK_K_BWD_T = 1024
+DEFAULT_BLOCK_K_BWD_T_F32 = 512
 
 
 def _flash_attention_backward_t(scale, block_q, block_k, res, g):
@@ -834,9 +840,15 @@ def _flash_attention_backward_t(scale, block_q, block_k, res, g):
     # fp32 inputs (training without an explicit bf16 cast) double the VMEM
     # footprint of every operand tile — the (2048, 512) blocks overflow the
     # 16 MB scoped-vmem stack by ~2% there, so halve block_q for f32
-    bq_default = DEFAULT_BLOCK_Q_BWD_T if q.dtype == jnp.bfloat16 else DEFAULT_BLOCK_Q_BWD_T // 2
+    if q.dtype == jnp.bfloat16:
+        bq_default, bk_default = DEFAULT_BLOCK_Q_BWD_T, DEFAULT_BLOCK_K_BWD_T
+    else:
+        bq_default, bk_default = DEFAULT_BLOCK_Q_BWD_T // 2, DEFAULT_BLOCK_K_BWD_T_F32
+    if os.environ.get("VAP_ATTN_BWD_BLOCKS"):  # block sweep (scripts/attn_bench.py)
+        bq_default, bk_default = (
+            int(x) for x in os.environ["VAP_ATTN_BWD_BLOCKS"].split("x"))
     block_q = max(min(bq_default, _cdiv(q_len, LANES) * LANES), LANES)
-    block_k = max(min(DEFAULT_BLOCK_K_BWD_T, _cdiv(kv_len, 8) * 8), 8)
+    block_k = max(min(bk_default, _cdiv(kv_len, 8) * 8), 8)
 
     delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)  # [B,H,Sq]
 
