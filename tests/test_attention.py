@@ -158,3 +158,39 @@ def test_flash_d128_scalar_bound(gain):
     g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2, rtol=3e-2)
+
+
+def test_flash_d128_underflow_fallback():
+    """Advisor r2: the D>=128 scalar-reference path silently emitted all-zero
+    output rows when a query row's max score sat >~126 doublings below the
+    per-(b,h) reference (every exp2 underflows, l==0). The per-row probe
+    guard must detect the gap and fall back to the running-max kernel so the
+    pathological row stays correct."""
+    key = jax.random.PRNGKey(9)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, S, D = 1, 1, 256, 128
+    gain = 4.0  # CS-midpoint reference lands ~130 doublings above a zero row
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32) * gain
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32) * gain
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+    q = q.at[:, :, 17].multiply(1e-4)  # one near-zero query row
+
+    ref = dense_attention(q, k, v)
+    got = _run(lambda q, k, v: flash_attention(q, k, v), q, k, v)
+    row = np.asarray(got)[0, 0, 17]
+    assert np.abs(row).max() > 0, "underflowed row silently zeroed"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3, rtol=5e-3)
+
+
+def test_flash_d128_bound_path_still_default():
+    """Well-scaled inputs must keep the fast scalar-bound path (the guard
+    only trips on pathological gaps): outputs still match dense."""
+    key = jax.random.PRNGKey(10)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, S, D = 1, 2, 256, 128
+    q = jax.random.normal(kq, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, S, D), jnp.float32)
+    ref = dense_attention(q, k, v)
+    got = _run(lambda q, k, v: flash_attention(q, k, v), q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=2e-3)

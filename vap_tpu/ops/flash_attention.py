@@ -170,28 +170,12 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True):
         jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))
 
     grid = (bh, nq, nk)
-    if use_bound:
-        # Per-(b,h) scalar softmax reference point. It does NOT need to bound
-        # the max score — it cancels exactly between numerator and
-        # denominator — it only needs to sit within ~±110 doublings of the
-        # true max (exp2 headroom both ways in f32/bf16). The Cauchy-Schwarz
-        # upper bound alone drifts ~sqrt(D)*gain^2 above the max (breaks at
-        # D=128, qk gain ~3), so center between it and a cheap LOWER bound:
-        # the actual max score of query row 0. distance(ref, true_max)
-        # <= (upper - lower)/2, far inside the budget for any real data.
-        qf32 = q.reshape(bh, q_len, dim).astype(jnp.float32)
-        kf32 = k.reshape(bh, kv_len, dim).astype(jnp.float32)
-        qn_max = jnp.max(jnp.linalg.norm(qf32, axis=-1), axis=-1)
-        kn_max = jnp.max(jnp.linalg.norm(kf32, axis=-1), axis=-1)
-        upper = qn_max * kn_max * (scale * LOG2_E)
-        lower = jnp.max(jnp.einsum("bd,bkd->bk", qf32[:, 0], kf32), axis=-1) * (scale * LOG2_E)
-        bnd = (0.5 * (upper + lower)).reshape(bh, 1, 1)
-        out, lse = pl.pallas_call(
-            functools.partial(_fwd_kernel_scalar_bound, kv_len=kv_len,
-                              block_k=block_k, scale_log2e=scale * LOG2_E),
+
+    def _runmax_call(qp, kp, vp, kv_bias):
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, 1), lambda b, qi, ki: (b, 0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
                 pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
@@ -208,41 +192,80 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True):
             scratch_shapes=[
                 pltpu.VMEM((block_q, dim), jnp.float32),
                 pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
-        )(bnd, qp, kp, vp, kv_bias)
+        )(qp, kp, vp, kv_bias)
+
+    if use_bound:
+        # Per-(b,h) scalar softmax reference point. It does NOT need to bound
+        # the max score — it cancels exactly between numerator and
+        # denominator — it only needs to sit within ~±110 doublings of the
+        # true max (exp2 headroom both ways in f32/bf16). The Cauchy-Schwarz
+        # upper bound alone drifts ~sqrt(D)*gain^2 above the max (breaks at
+        # D=128, qk gain ~3), so center between it and a cheap LOWER bound:
+        # the actual max score of query row 0. distance(ref, true_max)
+        # <= (upper - lower)/2, far inside the budget for any real data.
+        qf32 = q.reshape(bh, q_len, dim).astype(jnp.float32)
+        kf32 = k.reshape(bh, kv_len, dim).astype(jnp.float32)
+        qn_max = jnp.max(jnp.linalg.norm(qf32, axis=-1), axis=-1)
+        kn_max = jnp.max(jnp.linalg.norm(kf32, axis=-1), axis=-1)
+        upper = qn_max * kn_max * (scale * LOG2_E)
+        lower = jnp.max(jnp.einsum("bd,bkd->bk", qf32[:, 0], kf32), axis=-1) * (scale * LOG2_E)
+        bnd = (0.5 * (upper + lower)).reshape(bh, 1, 1)
+
+        # Silent-underflow guard (advisor r2): a query row whose own max
+        # score sits >~126 doublings BELOW the reference has every exp2
+        # underflow — l==0 and an all-zero output row with no error. Probe a
+        # per-row LOWER bound on each row's max (its best score against the
+        # first key block, one thin matmul ~0.3% of QK^T) and fall back to
+        # the running-max kernel whenever any row's gap exceeds the exp2
+        # budget, so pathological activations stay correct instead of
+        # training on zeroed attention.
+        probe = jnp.einsum("bqd,bkd->bqk", qf32, kf32[:, : min(kv_len, 128)])
+        row_lb = jnp.max(probe, axis=-1) * (scale * LOG2_E)     # [bh, q_len]
+        safe = jnp.all(bnd[:, 0, 0][:, None] - row_lb < 110.0)
+
+        def _bound_call(ops):
+            bnd, qp, kp, vp, kv_bias = ops
+            return pl.pallas_call(
+                functools.partial(_fwd_kernel_scalar_bound, kv_len=kv_len,
+                                  block_k=block_k, scale_log2e=scale * LOG2_E),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, 1, 1), lambda b, qi, ki: (b, 0, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+                    pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+                    pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
+                    pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
+                    pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((bh, q_pad, dim), q.dtype),
+                    jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, dim), jnp.float32),
+                    pltpu.VMEM((block_q, LANES), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel", "arbitrary"),
+                ),
+            )(bnd, qp, kp, vp, kv_bias)
+
+        out, lse = jax.lax.cond(
+            safe, _bound_call, lambda ops: _runmax_call(*ops[1:]),
+            (bnd, qp, kp, vp, kv_bias))
         out = out[:, :q_len].reshape(batch, heads, q_len, dim)
         lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
         return out, lse
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, q_pad, dim), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, q_pad), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, dim), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(qp, kp, vp, kv_bias)
 
+    out, lse = _runmax_call(qp, kp, vp, kv_bias)
     out = out[:, :q_len].reshape(batch, heads, q_len, dim)
     lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
     return out, lse
