@@ -199,3 +199,19 @@ def test_put_batch_shards_frames_over_seq(mesh8):
     assert out["odd_frames"].sharding.spec == P(("data", "fsdp"), None, None, None, None)
     assert out["encoder_hidden_states"].sharding.spec == P(("data", "fsdp"), None, None)
     np.testing.assert_array_equal(np.asarray(out["latents"]), batch["latents"])
+
+
+def test_local_batch_size_per_rank():
+    """--batch_size is per data-parallel rank (reference torchrun semantics):
+    the sampler assembles batch_size x (data*fsdp) / process_count samples so
+    recipe --batch_size 1 works on an 8-chip HSDP mesh."""
+    from vap_tpu.training.args import TrainingArgs
+    from vap_tpu.training.trainer import local_batch_size
+
+    a = TrainingArgs(batch_size=1, data_degree=2, fsdp_degree=4, output_dir="x")
+    assert local_batch_size(a, 1) == 8
+    assert local_batch_size(a, 2) == 4   # 2 hosts: each assembles half
+    b = TrainingArgs(batch_size=2, data_degree=2, output_dir="x")
+    assert local_batch_size(b, 1) == 4
+    c = TrainingArgs(batch_size=3, output_dir="x")  # single chip
+    assert local_batch_size(c, 1) == 3

@@ -88,6 +88,16 @@ def _make_step_config(family: str, args: TrainingArgs, transformer_cfg):
     return cfg_cls(model=transformer_cfg, remat=remat, **flow_kw)
 
 
+def local_batch_size(args: TrainingArgs, process_count: int = 1) -> int:
+    """batch_size is PER data-parallel rank, like the reference's per-process
+    batch under torchrun: the batch dim shards over (data, fsdp) — FSDP is
+    ZeRO-style data parallelism — so each process assembles its share of
+    batch_size x (data*fsdp) samples. Recipes pass --batch_size 1 on an
+    8-chip mesh; a global batch of 1 cannot shard over 8 devices."""
+    batch_shards = max(args.data_degree, 1) * max(args.fsdp_degree, 1)
+    return args.batch_size * max(batch_shards // max(process_count, 1), 1)
+
+
 class SFTTrainer:
     def __init__(self, args: TrainingArgs, model_spec):
         self.args = args
@@ -382,7 +392,9 @@ class SFTTrainer:
             # checkpoint: the resumed sample stream is identical to an
             # uninterrupted run (reference StatefulDataLoader semantics)
             loader.load_state_dict({"dataset": dataloader_state})
-        sampler = ResolutionSampler(args.batch_size)
+        batch_shards = max(args.data_degree, 1) * max(args.fsdp_degree, 1)
+        sampler = ResolutionSampler(
+            local_batch_size(args, jax.process_count()))
         data_iter = iter(loader)
         pre_iter = None
         if args.enable_precomputation:
@@ -413,7 +425,7 @@ class SFTTrainer:
                 batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
 
             self.train_state.step += 1
-            self.train_state.observed_data_samples += args.batch_size * max(args.data_degree, 1)
+            self.train_state.observed_data_samples += args.batch_size * batch_shards
             # step key is a pure function of (seed, step) so resumed runs draw
             # the same noise/timesteps as uninterrupted ones — and do NOT
             # replay steps 1..N the way re-splitting from PRNGKey(seed) would
