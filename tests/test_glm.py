@@ -49,3 +49,34 @@ def test_glm_init_runs():
     out = glm_encode(params, cfg, jnp.zeros((1, 6), jnp.int32))
     assert out.shape == (1, 6, cfg.hidden_size)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_glm_penultimate_hidden_layer_parity(torch_reference):
+    """CogView4 conditions on output_hidden_states[-2] (un-normed penultimate
+    block), not last_hidden_state — glm_encode(hidden_layer=-2) must match."""
+    import torch
+    from transformers import GlmConfig as HFConfig, GlmModel
+
+    cfg = GlmConfig.tiny(num_hidden_layers=3)
+    hf_cfg = HFConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim, partial_rotary_factor=cfg.partial_rotary_factor,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        pad_token_id=0, attention_bias=True,
+    )
+    torch.manual_seed(1)
+    m = GlmModel(hf_cfg).eval()
+    params = convert_glm_state_dict({k: v.numpy() for k, v in m.state_dict().items()}, cfg)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, cfg.vocab_size, (1, 16)).astype(np.int32)
+    with torch.no_grad():
+        hs = m(torch.from_numpy(ids.astype(np.int64)),
+               output_hidden_states=True).hidden_states
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(glm_encode(params, cfg, jnp.asarray(ids), hidden_layer=-2))
+    np.testing.assert_allclose(got, hs[-2].numpy(), atol=3e-5, rtol=1e-4)

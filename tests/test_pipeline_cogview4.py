@@ -13,8 +13,10 @@ from vap_tpu.pipelines.cogview4 import (
 
 
 class FakeTokenizer:
+    pad_token_id = 0
+
     def __call__(self, texts, padding=None, max_length=8, truncation=True,
-                 return_tensors="np"):
+                 add_special_tokens=True, return_tensors="np"):
         ids = np.zeros((len(texts), max_length), np.int32)
         for i, t in enumerate(texts):
             for j, ch in enumerate(t[:max_length]):

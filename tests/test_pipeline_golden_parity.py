@@ -35,6 +35,7 @@ class FakeTokenizer:
 
     def __call__(self, texts, padding=None, max_length=16, truncation=True,
                  add_special_tokens=True, return_attention_mask=True,
+                 return_overflowing_tokens=False, return_length=False,
                  return_tensors="np"):
         if isinstance(texts, str):
             texts = [texts]
@@ -54,6 +55,12 @@ class FakeTokenizer:
 
     def batch_decode(self, ids):
         return [""] * len(ids)
+
+    # maybe_convert_prompt (textual inversion) probes these
+    added_tokens_encoder = {}
+
+    def tokenize(self, prompt):
+        return list(prompt)
 
 
 def _pin_vae_mode(monkeypatch):
@@ -368,5 +375,224 @@ def test_wan_pipeline_latent_parity(torch_reference, monkeypatch):
             max_sequence_length=512, output_type="latent",
         )
     got = np.asarray(got).transpose(0, 4, 1, 2, 3)  # [B,F,h,w,C] -> [B,C,F,h,w]
+    assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
+    np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Flux (reference pipelines/flux/pipeline_flux.py): distilled guidance, packed
+# latents, dynamic-shift FlowMatch Euler — single forward per step.
+# ---------------------------------------------------------------------------
+
+def test_flux_pipeline_latent_parity(torch_reference, monkeypatch):
+    torch = torch_reference
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _pin_vae_mode(monkeypatch)
+    from transformers import (
+        CLIPTextConfig as HFCLIPTextConfig, CLIPTextModel,
+        T5Config as HFT5Config, T5EncoderModel)
+    from diffusers import AutoencoderKL, FluxTransformer2DModel
+    from diffusers.pipelines.flux.pipeline_flux import FluxPipeline as TorchFlux
+    from diffusers.schedulers import FlowMatchEulerDiscreteScheduler
+
+    from vap_tpu.models.autoencoder_kl import (
+        AutoencoderKLConfig, convert_autoencoder_kl_state_dict)
+    from vap_tpu.models.flux import FluxConfig, convert_flux_state_dict
+    from vap_tpu.models.text_encoders.clip_text import (
+        CLIPTextConfig, convert_clip_text_state_dict)
+    from vap_tpu.pipelines.flux import FluxPipeline
+
+    vae_cfg = AutoencoderKLConfig.tiny()
+    t_cfg = FluxConfig.tiny(in_channels=4 * vae_cfg.latent_channels)
+    txt_cfg = T5Config.tiny(vocab_size=128, d_model=t_cfg.joint_attention_dim)
+    clip_cfg = CLIPTextConfig.tiny(hidden_size=t_cfg.pooled_projection_dim,
+                                   num_attention_heads=4, vocab_size=128,
+                                   max_position_embeddings=77)
+
+    torch.manual_seed(21)
+    n = len(vae_cfg.block_out_channels)
+    vae_m = AutoencoderKL(
+        in_channels=vae_cfg.in_channels, out_channels=vae_cfg.out_channels,
+        down_block_types=("DownEncoderBlock2D",) * n,
+        up_block_types=("UpDecoderBlock2D",) * n,
+        block_out_channels=list(vae_cfg.block_out_channels),
+        layers_per_block=vae_cfg.layers_per_block,
+        latent_channels=vae_cfg.latent_channels,
+        norm_num_groups=vae_cfg.norm_num_groups,
+        use_quant_conv=vae_cfg.use_quant_conv,
+        use_post_quant_conv=vae_cfg.use_post_quant_conv,
+        scaling_factor=vae_cfg.scaling_factor,
+        shift_factor=vae_cfg.shift_factor,
+        mid_block_add_attention=vae_cfg.mid_block_add_attention,
+    ).eval()
+    tr_m = FluxTransformer2DModel(
+        patch_size=t_cfg.patch_size, in_channels=t_cfg.in_channels,
+        num_layers=t_cfg.num_layers, num_single_layers=t_cfg.num_single_layers,
+        attention_head_dim=t_cfg.attention_head_dim,
+        num_attention_heads=t_cfg.num_attention_heads,
+        joint_attention_dim=t_cfg.joint_attention_dim,
+        pooled_projection_dim=t_cfg.pooled_projection_dim,
+        guidance_embeds=t_cfg.guidance_embeds,
+        axes_dims_rope=tuple(t_cfg.axes_dims_rope),
+    ).eval()
+    t5_m = T5EncoderModel(HFT5Config(
+        vocab_size=txt_cfg.vocab_size, d_model=txt_cfg.d_model, d_kv=txt_cfg.d_kv,
+        d_ff=txt_cfg.d_ff, num_layers=txt_cfg.num_layers, num_heads=txt_cfg.num_heads,
+        relative_attention_num_buckets=txt_cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=txt_cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False, use_cache=False,
+        tie_word_embeddings=False)).eval()
+    clip_m = CLIPTextModel(HFCLIPTextConfig(
+        hidden_size=clip_cfg.hidden_size, intermediate_size=clip_cfg.intermediate_size,
+        num_hidden_layers=clip_cfg.num_hidden_layers,
+        num_attention_heads=clip_cfg.num_attention_heads,
+        max_position_embeddings=clip_cfg.max_position_embeddings,
+        vocab_size=clip_cfg.vocab_size, hidden_act=clip_cfg.hidden_act,
+        eos_token_id=clip_cfg.eos_token_id, bos_token_id=clip_cfg.eos_token_id - 1,
+        pad_token_id=0)).eval()
+
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items()}
+    params = {
+        "transformer": convert_flux_state_dict(sd(tr_m), t_cfg),
+        "vae": convert_autoencoder_kl_state_dict(sd(vae_m), vae_cfg),
+        "text_encoder": convert_clip_text_state_dict(sd(clip_m), clip_cfg),
+        "text_encoder_2": convert_t5_state_dict(sd(t5_m), txt_cfg),
+    }
+
+    tok = FakeTokenizer()
+    tok.model_max_length = 77  # FluxPipeline reads CLIP length from here
+    H = W = 32
+    steps = 2
+    rng = np.random.default_rng(0)
+    comp = vae_cfg.spatial_compression  # tiny VAE compresses 2x, not 8x
+    seq = (H // (comp * 2)) * (W // (comp * 2))
+    init_latents = rng.standard_normal((1, seq, t_cfg.in_channels)).astype(np.float32)
+
+    ref_pipe = TorchFlux(
+        scheduler=FlowMatchEulerDiscreteScheduler(use_dynamic_shifting=True,
+                                                  base_shift=0.5, max_shift=1.15),
+        vae=vae_m, text_encoder=clip_m, tokenizer=tok,
+        text_encoder_2=t5_m, tokenizer_2=tok, transformer=tr_m)
+    with torch.no_grad():
+        ref_out = ref_pipe(
+            prompt="a cat on a mat", height=H, width=W,
+            num_inference_steps=steps, guidance_scale=3.5,
+            latents=torch.from_numpy(init_latents),
+            max_sequence_length=64, output_type="latent",
+        ).images.numpy()
+
+    pipe = FluxPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
+        clip_text_cfg=clip_cfg, params=params, tokenizer=tok,
+        clip_tokenizer=tok, dtype=jnp.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(pipe(
+            prompt="a cat on a mat", height=H, width=W,
+            num_inference_steps=steps, guidance_scale=3.5,
+            latents=init_latents, max_sequence_length=64,
+            output_type="latent"))
+    assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
+    np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# CogView4 (reference pipelines/cogview4/pipeline_cogview4.py): penultimate
+# GLM hidden states left-padded to /16, floor(linspace(1000,1,N))/1000 sigma
+# base with linear dynamic shift, two sequential CFG forwards.
+# ---------------------------------------------------------------------------
+
+def test_cogview4_pipeline_latent_parity(torch_reference, monkeypatch):
+    torch = torch_reference
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _pin_vae_mode(monkeypatch)
+    from transformers import GlmConfig as HFGlmConfig, GlmModel
+    from diffusers import AutoencoderKL
+    from diffusers.models.transformers.transformer_cogview4 import (
+        CogView4Transformer2DModel)
+    from diffusers.pipelines.cogview4.pipeline_cogview4 import (
+        CogView4Pipeline as TorchCogView4)
+    from diffusers.schedulers import FlowMatchEulerDiscreteScheduler
+
+    from vap_tpu.models.autoencoder_kl import (
+        AutoencoderKLConfig, convert_autoencoder_kl_state_dict)
+    from vap_tpu.models.cogview4 import CogView4Config, convert_cogview4_state_dict
+    from vap_tpu.models.text_encoders.glm import GlmConfig, convert_glm_state_dict
+    from vap_tpu.pipelines.cogview4 import CogView4Pipeline
+
+    vae_cfg = AutoencoderKLConfig.tiny(use_quant_conv=True, use_post_quant_conv=True,
+                                       shift_factor=None, scaling_factor=0.5)
+    t_cfg = CogView4Config.tiny(in_channels=vae_cfg.latent_channels)
+    glm_cfg = GlmConfig.tiny(hidden_size=t_cfg.text_embed_dim, vocab_size=128)
+
+    torch.manual_seed(31)
+    n = len(vae_cfg.block_out_channels)
+    vae_m = AutoencoderKL(
+        in_channels=vae_cfg.in_channels, out_channels=vae_cfg.out_channels,
+        down_block_types=("DownEncoderBlock2D",) * n,
+        up_block_types=("UpDecoderBlock2D",) * n,
+        block_out_channels=list(vae_cfg.block_out_channels),
+        layers_per_block=vae_cfg.layers_per_block,
+        latent_channels=vae_cfg.latent_channels,
+        norm_num_groups=vae_cfg.norm_num_groups,
+        use_quant_conv=vae_cfg.use_quant_conv,
+        use_post_quant_conv=vae_cfg.use_post_quant_conv,
+        scaling_factor=vae_cfg.scaling_factor,
+        shift_factor=vae_cfg.shift_factor,
+        mid_block_add_attention=vae_cfg.mid_block_add_attention,
+    ).eval()
+    tr_m = CogView4Transformer2DModel(
+        patch_size=t_cfg.patch_size, in_channels=t_cfg.in_channels,
+        out_channels=t_cfg.out_channels, num_layers=t_cfg.num_layers,
+        attention_head_dim=t_cfg.attention_head_dim,
+        num_attention_heads=t_cfg.num_attention_heads,
+        text_embed_dim=t_cfg.text_embed_dim, time_embed_dim=t_cfg.time_embed_dim,
+        condition_dim=t_cfg.condition_dim, rope_axes_dim=tuple(t_cfg.rope_axes_dim),
+    ).eval()
+    glm_m = GlmModel(HFGlmConfig(
+        vocab_size=glm_cfg.vocab_size, hidden_size=glm_cfg.hidden_size,
+        intermediate_size=glm_cfg.intermediate_size,
+        num_hidden_layers=glm_cfg.num_hidden_layers,
+        num_attention_heads=glm_cfg.num_attention_heads,
+        num_key_value_heads=glm_cfg.num_key_value_heads,
+        head_dim=glm_cfg.head_dim, partial_rotary_factor=glm_cfg.partial_rotary_factor,
+        rms_norm_eps=glm_cfg.rms_norm_eps, rope_theta=glm_cfg.rope_theta,
+        pad_token_id=0, attention_bias=True)).eval()
+
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items()}
+    params = {
+        "transformer": convert_cogview4_state_dict(sd(tr_m), t_cfg),
+        "vae": convert_autoencoder_kl_state_dict(sd(vae_m), vae_cfg),
+        "text_encoder": convert_glm_state_dict(sd(glm_m), glm_cfg),
+    }
+    tok = FakeTokenizer()
+    tok.pad_token_id = 0
+
+    H = W = 64
+    steps = 2
+    rng = np.random.default_rng(0)
+    comp = vae_cfg.spatial_compression
+    init_latents = rng.standard_normal(
+        (1, t_cfg.in_channels, H // comp, W // comp)).astype(np.float32)
+
+    ref_pipe = TorchCogView4(
+        tokenizer=tok, text_encoder=glm_m, vae=vae_m, transformer=tr_m,
+        scheduler=FlowMatchEulerDiscreteScheduler(
+            use_dynamic_shifting=True, time_shift_type="linear",
+            base_shift=0.25, max_shift=0.75))
+    with torch.no_grad():
+        ref_out = ref_pipe(
+            prompt="a red square", negative_prompt="blurry",
+            height=H, width=W, num_inference_steps=steps, guidance_scale=3.5,
+            latents=torch.from_numpy(init_latents), output_type="latent",
+        ).images.numpy()
+
+    pipe = CogView4Pipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=glm_cfg,
+        params=params, tokenizer=tok, dtype=jnp.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(pipe(
+            prompt="a red square", negative_prompt="blurry",
+            height=H, width=W, num_inference_steps=steps, guidance_scale=3.5,
+            latents=init_latents, output_type="latent"))
     assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
     np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)

@@ -200,8 +200,14 @@ def cogview4_forward(
         # per-head layer norm, no affine (qk_norm="layer_norm")
         q = layer_norm({}, q, 1e-5).astype(dtype)
         k = layer_norm({}, k, 1e-5).astype(dtype)
-        q = q.at[:, :, s_txt:].set(_apply_rope_half(q[:, :, s_txt:], cos, sin))
-        k = k.at[:, :, s_txt:].set(_apply_rope_half(k[:, :, s_txt:], cos, sin))
+        # concatenate instead of .at[].set: the dynamic-update-slice form
+        # fused with the qk layer-norm MISCOMPILES on XLA:CPU inside
+        # lax.scan at batch 1 (silent ~1e-2 wrong values; scan-vs-python-loop
+        # divergence isolated in tests/test_transformer_cogview4.py)
+        q = jnp.concatenate(
+            [q[:, :, :s_txt], _apply_rope_half(q[:, :, s_txt:], cos, sin)], axis=2)
+        k = jnp.concatenate(
+            [k[:, :, :s_txt], _apply_rope_half(k[:, :, s_txt:], cos, sin)], axis=2)
         if bias is not None:
             scores = (q.astype(jnp.float32) @ k.astype(jnp.float32).transpose(0, 1, 3, 2)
                       ) * (hd ** -0.5) + bias

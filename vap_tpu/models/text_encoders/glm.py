@@ -94,8 +94,14 @@ def _rotate_interleaved(x: Array) -> Array:
 
 
 def glm_encode(params: Params, cfg: GlmConfig, input_ids: Array,
-               attention_mask: Optional[Array] = None) -> Array:
-    """input_ids: [B, S] -> last hidden states [B, S, D]."""
+               attention_mask: Optional[Array] = None,
+               hidden_layer: int = -1) -> Array:
+    """input_ids: [B, S] -> hidden states [B, S, D].
+
+    hidden_layer=-1 returns the final-norm output (HF last_hidden_state);
+    hidden_layer=-2 returns the PENULTIMATE block's un-normed output (HF
+    output_hidden_states[-2]) — what CogView4 conditions on (reference
+    processors/glm.py:82, pipeline_cogview4.py:216)."""
     b, s = input_ids.shape
     h_q, h_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     x = params["embed_tokens"][input_ids]
@@ -132,9 +138,14 @@ def glm_encode(params: Params, cfg: GlmConfig, input_ids: Array,
         x = x + linear(bp["o_proj"], attn)
         n = rms_norm(bp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         gate, up = jnp.split(linear(bp["gate_up_proj"], n), 2, axis=-1)
-        return x + linear(bp["down_proj"], up * jax.nn.silu(gate)), None
+        out = x + linear(bp["down_proj"], up * jax.nn.silu(gate))
+        return out, out
 
-    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x, xs = jax.lax.scan(block, x, params["blocks"])
+    if hidden_layer != -1:
+        # HF hidden_states = (embeds, block_1, ..., block_N) with block
+        # outputs UN-normed, so hidden_states[-k] == xs[-k] for k >= 1
+        return xs[hidden_layer]
     return rms_norm(params["norm"], x, cfg.rms_norm_eps)
 
 
@@ -167,3 +178,32 @@ def convert_glm_state_dict(sd: Dict[str, np.ndarray], cfg: GlmConfig,
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
         "norm": rms("norm"),
     }
+
+
+def cogview4_glm_embeds(params: Params, cfg: GlmConfig, tokenizer, prompts,
+                        max_sequence_length: int = 1024,
+                        always_pad: bool = False) -> Array:
+    """CogView4 text conditioning (reference processors/glm.py:66-85 /
+    pipeline_cogview4.py:190-216): tokenize padding='longest', LEFT-pad the
+    ids to a multiple of 16 with pad_token_id, NO attention mask (pads are
+    causally attended), and take the PENULTIMATE block's hidden states.
+
+    always_pad: the reference training processor computes pad_length =
+    16 - len % 16 without the % 16 guard, so an already-divisible length
+    still gains 16 pad tokens; the inference pipeline guards it. Faithful
+    to both."""
+    import numpy as np
+
+    if isinstance(prompts, str):
+        prompts = [prompts]
+    toks = tokenizer(prompts, padding="longest", max_length=max_sequence_length,
+                     truncation=True, add_special_tokens=True, return_tensors="np")
+    ids = np.asarray(toks["input_ids"])
+    pad_id = getattr(tokenizer, "pad_token_id", None) or 0
+    pad_length = 16 - ids.shape[1] % 16
+    if not always_pad:
+        pad_length %= 16
+    if pad_length:
+        pad = np.full((ids.shape[0], pad_length), pad_id, ids.dtype)
+        ids = np.concatenate([pad, ids], axis=1)
+    return glm_encode(params, cfg, jnp.asarray(ids), hidden_layer=-2)

@@ -72,6 +72,8 @@ class FluxPipeline:
         guidance_scale: float = 3.5,
         seed: int = 0,
         max_sequence_length: int = 512,
+        latents=None,
+        output_type: str = "np",
     ) -> np.ndarray:
         cfg = self.transformer_cfg
         comp = self.vae_cfg.spatial_compression
@@ -81,8 +83,10 @@ class FluxPipeline:
         c_packed = cfg.in_channels
 
         embeds, pooled = self.encode_prompt(prompt, max_sequence_length)
-        key = jax.random.PRNGKey(seed)
-        latents = jax.random.normal(key, (1, seq_len, c_packed), jnp.float32).astype(self.dtype)
+        if latents is None:
+            key = jax.random.PRNGKey(seed)
+            latents = jax.random.normal(key, (1, seq_len, c_packed), jnp.float32)
+        latents = jnp.asarray(latents).astype(self.dtype)  # packed [1, S, C]
 
         sigmas = np.linspace(1.0, 1.0 / num_inference_steps, num_inference_steps)
         mu = calculate_shift(seq_len)
@@ -117,6 +121,8 @@ class FluxPipeline:
             return out
 
         latents = denoise(latents)
+        if output_type == "latent":
+            return latents
         z = unpack_latents(latents.astype(jnp.float32), h2 * 2, w2 * 2)  # [1, C, h, w]
         z = unscale_latents(self.vae_cfg, z.transpose(0, 2, 3, 1)).astype(self.dtype)
         image = vae2d_decode(self.params["vae"], self.vae_cfg, z)

@@ -83,6 +83,8 @@ class HunyuanVideoPipeline:
         seed: int = 0,
         max_sequence_length: int = 256,
         use_template: bool = False,
+        latents=None,
+        output_type: str = "np",
     ) -> np.ndarray:
         cfg = self.transformer_cfg
         sc = self.vae_cfg.spatial_compression_ratio
@@ -91,9 +93,11 @@ class HunyuanVideoPipeline:
         lh, lw = height // sc, width // sc
 
         embeds, mask, pooled = self.encode_prompt(prompt, max_sequence_length, use_template)
-        key = jax.random.PRNGKey(seed)
-        latents = jax.random.normal(key, (1, self.vae_cfg.latent_channels, lf, lh, lw),
-                                    jnp.float32)
+        if latents is None:
+            key = jax.random.PRNGKey(seed)
+            latents = jax.random.normal(
+                key, (1, self.vae_cfg.latent_channels, lf, lh, lw), jnp.float32)
+        latents = jnp.asarray(latents, jnp.float32)
 
         sigmas = np.linspace(1.0, 0.0, num_inference_steps + 1)[:-1]
         sigmas = shift_sigmas_constant(sigmas, self.flow_shift)
@@ -121,7 +125,10 @@ class HunyuanVideoPipeline:
             out, _ = jax.lax.scan(step, latents, (sig_t, deltas))
             return out
 
-        z = denoise(latents) / self.vae_cfg.scaling_factor
+        z = denoise(latents)
+        if output_type == "latent":
+            return z  # pre-unscale, as in the reference pipeline
+        z = z / self.vae_cfg.scaling_factor
         z = z.transpose(0, 2, 3, 4, 1).astype(self.dtype)  # -> [B, F, H, W, C]
         video = hunyuan_vae_decode(self.params["vae"], self.vae_cfg, z)
         return np.asarray(jnp.clip(video.astype(jnp.float32), -1, 1))

@@ -56,6 +56,8 @@ class LTXVideoPipeline:
         guidance_scale: float = 3.0,
         seed: int = 0,
         max_sequence_length: int = 128,
+        latents=None,
+        output_type: str = "np",
     ) -> np.ndarray:
         cfg = self.transformer_cfg
         tc, sc = self.vae_temporal_compression, self.vae_spatial_compression
@@ -68,10 +70,12 @@ class LTXVideoPipeline:
         embeds = jnp.concatenate([uncond, cond], axis=0)
         masks = jnp.concatenate([uncond_mask, cond_mask], axis=0)
 
-        key = jax.random.PRNGKey(seed)
-        latents = jax.random.normal(
-            key, (1, cfg.in_channels, lf, lh, lw), jnp.float32)
-        packed = pack_ltx_latents(latents, cfg.patch_size, cfg.patch_size_t)
+        if latents is None:
+            key = jax.random.PRNGKey(seed)
+            latents = jax.random.normal(
+                key, (1, cfg.in_channels, lf, lh, lw), jnp.float32)
+        packed = pack_ltx_latents(jnp.asarray(latents, jnp.float32),
+                                  cfg.patch_size, cfg.patch_size_t)
 
         sigmas = np.linspace(1.0, 1.0 / num_inference_steps, num_inference_steps)
         sigmas = shift_sigmas(sigmas, calculate_shift(seq_len))
@@ -105,6 +109,8 @@ class LTXVideoPipeline:
             return out
 
         packed = denoise(packed)
+        if output_type == "latent":
+            return packed  # packed latents, as in the reference pipeline
         # unpack [B, S, C*pt*p*p] -> [B, C, F, H, W] (inverse of pack)
         b = packed.shape[0]
         pt, p = cfg.patch_size_t, cfg.patch_size

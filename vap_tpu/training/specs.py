@@ -273,16 +273,15 @@ class CogView4Spec:
                                                         np.float32)}
         if self.text_cfg is not None and self.tokenizer is not None \
                 and "text_encoder" in self.params:
-            from ..models.text_encoders.glm import glm_encode
+            # reference CogView4GLMProcessor: 'longest' + LEFT-pad to a
+            # multiple of 16 (always at least 16 in the training processor),
+            # penultimate hidden layer, no attention mask
+            from ..models.text_encoders.glm import cogview4_glm_embeds
 
-            toks = self.tokenizer([sample["caption"]], padding="max_length",
-                                  max_length=max_length, truncation=True,
-                                  return_tensors="np")
-            hidden = glm_encode(self.params["text_encoder"], self.text_cfg,
-                                jnp.asarray(toks["input_ids"]),
-                                jnp.asarray(toks["attention_mask"]))
-            return {"encoder_hidden_states": np.asarray(hidden, np.float32),
-                    "prompt_attention_mask": np.asarray(toks["attention_mask"], np.float32)}
+            hidden = cogview4_glm_embeds(
+                self.params["text_encoder"], self.text_cfg, self.tokenizer,
+                sample["caption"], max_sequence_length=max_length, always_pad=True)
+            return {"encoder_hidden_states": np.asarray(hidden, np.float32)}
         raise NotImplementedError(
             "provide a GLM text encoder (params['text_encoder'] + GlmConfig + "
             "tokenizer) or precomputed sample['encoder_hidden_states']")
