@@ -596,3 +596,241 @@ def test_cogview4_pipeline_latent_parity(torch_reference, monkeypatch):
             latents=init_latents, output_type="latent"))
     assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
     np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# LTX-Video (reference pipelines/ltx/pipeline_ltx.py): T5-masked conditions,
+# packed latents, dynamic-shift FlowMatch Euler, batched CFG.
+# ---------------------------------------------------------------------------
+
+def test_ltx_pipeline_latent_parity(torch_reference, monkeypatch):
+    torch = torch_reference
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _pin_vae_mode(monkeypatch)
+    from diffusers import AutoencoderKLLTXVideo
+    from diffusers.models.transformers.transformer_ltx import (
+        LTXVideoTransformer3DModel)
+    from diffusers.pipelines.ltx.pipeline_ltx import LTXPipeline as TorchLTX
+    from diffusers.schedulers import FlowMatchEulerDiscreteScheduler
+
+    from vap_tpu.models.ltx_video import (
+        LTXVideoConfig, convert_ltx_video_state_dict)
+    from vap_tpu.models.ltx_video.transformer import pack_ltx_latents
+    from vap_tpu.models.ltx_video.vae import LTXVideoVAEConfig, convert_ltx_vae_state_dict
+    from vap_tpu.pipelines.ltx_video import LTXVideoPipeline
+
+    vae_cfg = LTXVideoVAEConfig.tiny()
+    t_cfg = LTXVideoConfig.tiny(in_channels=vae_cfg.latent_channels,
+                                out_channels=vae_cfg.latent_channels)
+    txt_cfg = T5Config.tiny(vocab_size=128, d_model=t_cfg.caption_channels)
+    t5_m, t5_p, txt_cfg = (lambda m, p, c: (m, p, c))(*_t5_pair(torch, t_cfg.caption_channels))
+
+    torch.manual_seed(41)
+    n = len(vae_cfg.block_out_channels)
+    vae_m = AutoencoderKLLTXVideo(
+        in_channels=vae_cfg.in_channels, out_channels=vae_cfg.out_channels,
+        latent_channels=vae_cfg.latent_channels,
+        block_out_channels=list(vae_cfg.block_out_channels),
+        down_block_types=("LTXVideoDownBlock3D",) * n,
+        decoder_block_out_channels=list(vae_cfg.block_out_channels),
+        layers_per_block=list(vae_cfg.layers_per_block),
+        decoder_layers_per_block=list(vae_cfg.layers_per_block),
+        spatio_temporal_scaling=list(vae_cfg.spatio_temporal_scaling),
+        decoder_spatio_temporal_scaling=list(vae_cfg.spatio_temporal_scaling),
+        patch_size=vae_cfg.patch_size, patch_size_t=vae_cfg.patch_size_t,
+        resnet_norm_eps=vae_cfg.resnet_norm_eps,
+        encoder_causal=vae_cfg.encoder_causal, decoder_causal=vae_cfg.decoder_causal,
+        scaling_factor=vae_cfg.scaling_factor, timestep_conditioning=False,
+    ).eval()
+    tr_m = LTXVideoTransformer3DModel(
+        in_channels=t_cfg.in_channels, out_channels=t_cfg.out_channels,
+        patch_size=t_cfg.patch_size, patch_size_t=t_cfg.patch_size_t,
+        num_attention_heads=t_cfg.num_attention_heads,
+        attention_head_dim=t_cfg.attention_head_dim,
+        cross_attention_dim=t_cfg.cross_attention_dim,
+        num_layers=t_cfg.num_layers, caption_channels=t_cfg.caption_channels,
+    ).eval()
+
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items() if hasattr(v, "numpy")}
+    params = {
+        "transformer": convert_ltx_video_state_dict(sd(tr_m), t_cfg),
+        "vae": convert_ltx_vae_state_dict(sd(vae_m), vae_cfg),
+        "text_encoder": t5_p,
+    }
+    tok = FakeTokenizer()
+
+    H = W = 32
+    F = 9
+    steps = 2
+    tc = 2 ** sum(vae_cfg.spatio_temporal_scaling)  # temporal compression
+    sc = tc  # tiny config compresses equally; recompute spatial properly below
+    sc = 2 ** sum(1 for _ in vae_cfg.spatio_temporal_scaling)
+    lf = (F - 1) // vae_cfg.temporal_compression + 1 if hasattr(vae_cfg, "temporal_compression") else None
+    # derive from the torch model's own ratios to avoid config drift
+    tcr = vae_m.temporal_compression_ratio
+    scr = vae_m.spatial_compression_ratio
+    lf = (F - 1) // tcr + 1
+    lh, lw = H // scr, W // scr
+    rng = np.random.default_rng(0)
+    init_unpacked = rng.standard_normal(
+        (1, vae_cfg.latent_channels, lf, lh, lw)).astype(np.float32)
+    init_packed = np.asarray(pack_ltx_latents(
+        jnp.asarray(init_unpacked), t_cfg.patch_size, t_cfg.patch_size_t))
+
+    ref_pipe = TorchLTX(
+        scheduler=FlowMatchEulerDiscreteScheduler(use_dynamic_shifting=True,
+                                                  base_shift=0.5, max_shift=1.15),
+        vae=vae_m, text_encoder=t5_m, tokenizer=tok, transformer=tr_m)
+    with torch.no_grad():
+        ref_out = ref_pipe(
+            prompt="a cat walks", negative_prompt="blurry",
+            height=H, width=W, num_frames=F, frame_rate=25,
+            num_inference_steps=steps, guidance_scale=3.0,
+            latents=torch.from_numpy(init_packed),
+            max_sequence_length=16, output_type="latent",
+        ).frames.numpy()
+
+    pipe = LTXVideoPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
+        params=params, tokenizer=tok, dtype=jnp.float32,
+        vae_temporal_compression=tcr, vae_spatial_compression=scr)
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(pipe(
+            prompt="a cat walks", negative_prompt="blurry",
+            height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=3.0,
+            latents=init_unpacked, max_sequence_length=16,
+            output_type="latent"))
+    assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
+    np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# HunyuanVideo (reference pipelines/hunyuan_video/pipeline_hunyuan_video.py):
+# llava-template LLaMA conditioning from hidden_states[-3] with crop_start,
+# CLIP-L pooled, distilled guidance x1000, static-shift FlowMatch Euler.
+# ---------------------------------------------------------------------------
+
+def test_hunyuan_pipeline_latent_parity(torch_reference, monkeypatch):
+    torch = torch_reference
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _pin_vae_mode(monkeypatch)
+    from transformers import (
+        CLIPTextConfig as HFCLIPTextConfig, CLIPTextModel,
+        LlamaConfig as HFLlamaConfig, LlamaModel)
+    from diffusers import AutoencoderKLHunyuanVideo
+    from diffusers.models.transformers.transformer_hunyuan_video import (
+        HunyuanVideoTransformer3DModel)
+    from diffusers.pipelines.hunyuan_video.pipeline_hunyuan_video import (
+        HunyuanVideoPipeline as TorchHunyuan)
+    from diffusers.schedulers import FlowMatchEulerDiscreteScheduler
+
+    from vap_tpu.models.hunyuan_video import (
+        HunyuanVideoConfig, convert_hunyuan_video_state_dict)
+    from vap_tpu.models.hunyuan_video.vae import (
+        HunyuanVideoVAEConfig, convert_hunyuan_vae_state_dict)
+    from vap_tpu.models.text_encoders.clip_text import (
+        CLIPTextConfig, convert_clip_text_state_dict)
+    from vap_tpu.models.text_encoders.llama import LlamaConfig, convert_llama_state_dict
+    from vap_tpu.pipelines.hunyuan_video import HunyuanVideoPipeline
+
+    vae_cfg = HunyuanVideoVAEConfig.tiny()
+    # 3 layers so hidden_states[-3] is a REAL block output (with 2 layers it
+    # degenerates to the embedding lookup and the encoder goes untested)
+    llama_cfg = LlamaConfig.tiny(vocab_size=128, num_hidden_layers=3)
+    t_cfg = HunyuanVideoConfig.tiny(in_channels=vae_cfg.latent_channels,
+                                    out_channels=vae_cfg.latent_channels,
+                                    text_embed_dim=llama_cfg.hidden_size)
+    clip_cfg = CLIPTextConfig.tiny(hidden_size=t_cfg.pooled_projection_dim,
+                                   num_attention_heads=4, vocab_size=128,
+                                   max_position_embeddings=77)
+
+    torch.manual_seed(51)
+    n = len(vae_cfg.block_out_channels)
+    vae_m = AutoencoderKLHunyuanVideo(
+        in_channels=vae_cfg.in_channels, out_channels=vae_cfg.out_channels,
+        latent_channels=vae_cfg.latent_channels,
+        down_block_types=("HunyuanVideoDownBlock3D",) * n,
+        up_block_types=("HunyuanVideoUpBlock3D",) * n,
+        block_out_channels=list(vae_cfg.block_out_channels),
+        layers_per_block=vae_cfg.layers_per_block,
+        norm_num_groups=vae_cfg.norm_num_groups,
+        scaling_factor=vae_cfg.scaling_factor,
+        spatial_compression_ratio=vae_cfg.spatial_compression_ratio,
+        temporal_compression_ratio=vae_cfg.temporal_compression_ratio,
+        mid_block_add_attention=vae_cfg.mid_block_add_attention,
+    ).eval()
+    tr_m = HunyuanVideoTransformer3DModel(
+        in_channels=t_cfg.in_channels, out_channels=t_cfg.out_channels,
+        num_attention_heads=t_cfg.num_attention_heads,
+        attention_head_dim=t_cfg.attention_head_dim,
+        num_layers=t_cfg.num_layers, num_single_layers=t_cfg.num_single_layers,
+        num_refiner_layers=t_cfg.num_refiner_layers,
+        patch_size=t_cfg.patch_size, patch_size_t=t_cfg.patch_size_t,
+        guidance_embeds=t_cfg.guidance_embeds,
+        text_embed_dim=t_cfg.text_embed_dim,
+        pooled_projection_dim=t_cfg.pooled_projection_dim,
+        rope_theta=t_cfg.rope_theta, rope_axes_dim=tuple(t_cfg.rope_axes_dim),
+    ).eval()
+    llama_m = LlamaModel(HFLlamaConfig(
+        vocab_size=llama_cfg.vocab_size, hidden_size=llama_cfg.hidden_size,
+        intermediate_size=llama_cfg.intermediate_size,
+        num_hidden_layers=llama_cfg.num_hidden_layers,
+        num_attention_heads=llama_cfg.num_attention_heads,
+        num_key_value_heads=llama_cfg.num_key_value_heads,
+        head_dim=llama_cfg.head_dim, rms_norm_eps=llama_cfg.rms_norm_eps,
+        rope_theta=llama_cfg.rope_theta, attention_bias=False,
+        pad_token_id=0)).eval()
+    clip_m = CLIPTextModel(HFCLIPTextConfig(
+        hidden_size=clip_cfg.hidden_size, intermediate_size=clip_cfg.intermediate_size,
+        num_hidden_layers=clip_cfg.num_hidden_layers,
+        num_attention_heads=clip_cfg.num_attention_heads,
+        max_position_embeddings=clip_cfg.max_position_embeddings,
+        vocab_size=clip_cfg.vocab_size, hidden_act=clip_cfg.hidden_act,
+        eos_token_id=clip_cfg.eos_token_id, bos_token_id=clip_cfg.eos_token_id - 1,
+        pad_token_id=0)).eval()
+
+    sd = lambda m: {k: v.numpy() for k, v in m.state_dict().items()}
+    params = {
+        "transformer": convert_hunyuan_video_state_dict(sd(tr_m), t_cfg),
+        "vae": convert_hunyuan_vae_state_dict(sd(vae_m), vae_cfg),
+        "text_encoder": convert_llama_state_dict(sd(llama_m), llama_cfg),
+        "text_encoder_2": convert_clip_text_state_dict(sd(clip_m), clip_cfg),
+    }
+    tok = FakeTokenizer()
+    tok.model_max_length = 77
+
+    H = W = 32
+    F = 9
+    steps = 2
+    tcr = vae_cfg.temporal_compression_ratio
+    scr = vae_cfg.spatial_compression_ratio
+    lf, lh, lw = (F - 1) // tcr + 1, H // scr, W // scr
+    rng = np.random.default_rng(0)
+    init_latents = rng.standard_normal(
+        (1, vae_cfg.latent_channels, lf, lh, lw)).astype(np.float32)
+
+    ref_pipe = TorchHunyuan(
+        text_encoder=llama_m, tokenizer=tok, transformer=tr_m, vae=vae_m,
+        scheduler=FlowMatchEulerDiscreteScheduler(shift=7.0),
+        text_encoder_2=clip_m, tokenizer_2=tok)
+    with torch.no_grad():
+        ref_out = ref_pipe(
+            prompt="a cat walks on grass", height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=6.0,
+            latents=torch.from_numpy(init_latents),
+            max_sequence_length=64, output_type="latent",
+        ).frames.numpy()
+
+    pipe = HunyuanVideoPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=llama_cfg,
+        clip_text_cfg=clip_cfg, params=params, tokenizer=tok,
+        clip_tokenizer=tok, dtype=jnp.float32, flow_shift=7.0)
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(pipe(
+            prompt="a cat walks on grass", height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=6.0,
+            latents=init_latents, max_sequence_length=64,
+            output_type="latent"))
+    assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
+    np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)

@@ -93,8 +93,16 @@ def _rotate_half(x: Array) -> Array:
 
 
 def llama_encode(params: Params, cfg: LlamaConfig, input_ids: Array,
-                 attention_mask: Optional[Array] = None) -> Array:
-    """input_ids: [B, S] -> last hidden states [B, S, D]."""
+                 attention_mask: Optional[Array] = None,
+                 hidden_layer: int = -1) -> Array:
+    """input_ids: [B, S] -> hidden states [B, S, D].
+
+    hidden_layer=-1 returns the final-norm output (HF last_hidden_state).
+    Other negative indices address HF output_hidden_states — a tuple
+    (embeds, block_1, ..., block_N) of UN-normed block outputs — so
+    hidden_layer=-3 is what HunyuanVideo conditions on
+    (num_hidden_layers_to_skip=2, reference pipeline_hunyuan_video.py:249,
+    finetrainers/processors/llama.py:117)."""
     b, s = input_ids.shape
     h_q, h_kv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     x = params["embed_tokens"][input_ids]
@@ -134,7 +142,17 @@ def llama_encode(params: Params, cfg: LlamaConfig, input_ids: Array,
                      jax.nn.silu(linear(bp["gate_proj"], n)) * linear(bp["up_proj"], n))
         return x + mlp, None
 
-    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x_embed = x
+
+    def block_collect(x, bp):
+        out, _ = block(x, bp)
+        return out, out
+
+    x, xs = jax.lax.scan(block_collect, x, params["blocks"])
+    if hidden_layer != -1:
+        # HF hidden_states = (embeds, block_1, ..., block_N), un-normed
+        states = [x_embed] + [xs[i] for i in range(xs.shape[0])]
+        return states[hidden_layer]
     return rms_norm(params["norm"], x, cfg.rms_norm_eps)
 
 

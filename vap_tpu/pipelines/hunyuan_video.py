@@ -33,6 +33,7 @@ DEFAULT_PROMPT_TEMPLATE_PREFIX = (
     "5. camera angles, movements, and transitions used in the video:<|eot_id|>"
     "<|start_header_id|>user<|end_header_id|>\n\n"
 )
+DEFAULT_PROMPT_TEMPLATE_SUFFIX = "<|eot_id|>"
 
 
 def shift_sigmas_constant(sigmas: np.ndarray, shift: float) -> np.ndarray:
@@ -52,14 +53,19 @@ class HunyuanVideoPipeline:
     flow_shift: float = 7.0
 
     def encode_prompt(self, prompt: str, max_length: int = 256,
-                      use_template: bool = False, crop_start: int = 95):
-        text = (DEFAULT_PROMPT_TEMPLATE_PREFIX + prompt) if use_template else prompt
+                      use_template: bool = True, crop_start: int = 95):
+        # reference _get_llama_prompt_embeds (pipeline_hunyuan_video.py:
+        # 199-256): llava template + crop_start, and conditioning comes from
+        # hidden_states[-3] (num_hidden_layers_to_skip=2), not the final norm
+        text = (DEFAULT_PROMPT_TEMPLATE_PREFIX + prompt +
+                DEFAULT_PROMPT_TEMPLATE_SUFFIX) if use_template else prompt
         pad_len = max_length + (crop_start if use_template else 0)
         toks = self.tokenizer([text], padding="max_length", max_length=pad_len,
                               truncation=True, return_tensors="np")
         hidden = llama_encode(self.params["text_encoder"], self.text_cfg,
                               jnp.asarray(toks["input_ids"]),
-                              jnp.asarray(toks["attention_mask"]))
+                              jnp.asarray(toks["attention_mask"]),
+                              hidden_layer=-3)
         mask = jnp.asarray(toks["attention_mask"], jnp.float32)
         if use_template:
             hidden = hidden[:, crop_start:]
@@ -82,7 +88,7 @@ class HunyuanVideoPipeline:
         guidance_scale: float = 6.0,
         seed: int = 0,
         max_sequence_length: int = 256,
-        use_template: bool = False,
+        use_template: bool = True,
         latents=None,
         output_type: str = "np",
     ) -> np.ndarray:

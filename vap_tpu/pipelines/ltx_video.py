@@ -36,14 +36,17 @@ class LTXVideoPipeline:
     vae_spatial_compression: int = 32
 
     def encode_prompt(self, prompt: str, max_length: int = 128):
+        # reference _get_t5_prompt_embeds (pipeline_ltx.py:248-270): the T5
+        # runs WITHOUT the attention mask (pads attended) and the embeds are
+        # NOT zeroed — masking only happens via the transformer's
+        # encoder_attention_mask
         toks = self.tokenizer([prompt], padding="max_length", max_length=max_length,
                               truncation=True, add_special_tokens=True,
                               return_tensors="np")
         mask = jnp.asarray(toks["attention_mask"], jnp.float32)
         embeds = t5_encode(self.params["text_encoder"], self.text_cfg,
-                           jnp.asarray(toks["input_ids"]),
-                           jnp.asarray(toks["attention_mask"]))
-        return (embeds * mask[..., None]).astype(self.dtype), mask
+                           jnp.asarray(toks["input_ids"]))
+        return embeds.astype(self.dtype), mask
 
     def __call__(
         self,

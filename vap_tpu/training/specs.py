@@ -188,16 +188,26 @@ class HunyuanVideoSpec:
                                                         np.float32)}
         elif self.text_cfg is not None and self.tokenizer is not None \
                 and "text_encoder" in self.params:
+            # reference LlamaProcessor (finetrainers/processors/llama.py:
+            # 37-117): llava template + crop_start 95, conditioning from
+            # hidden_states[-3] (num_layers_to_skip=2)
             from ..models.text_encoders.llama import llama_encode
+            from ..pipelines.hunyuan_video import (
+                DEFAULT_PROMPT_TEMPLATE_PREFIX, DEFAULT_PROMPT_TEMPLATE_SUFFIX)
 
-            toks = self.tokenizer([sample["caption"]], padding="max_length",
-                                  max_length=max_length, truncation=True,
-                                  return_tensors="np")
+            crop_start = 95
+            text = (DEFAULT_PROMPT_TEMPLATE_PREFIX + sample["caption"] +
+                    DEFAULT_PROMPT_TEMPLATE_SUFFIX)
+            toks = self.tokenizer([text], padding="max_length",
+                                  max_length=max_length + crop_start,
+                                  truncation=True, return_tensors="np")
             hidden = llama_encode(self.params["text_encoder"], self.text_cfg,
                                   jnp.asarray(toks["input_ids"]),
-                                  jnp.asarray(toks["attention_mask"]))
+                                  jnp.asarray(toks["attention_mask"]),
+                                  hidden_layer=-3)[:, crop_start:]
+            mask = np.asarray(toks["attention_mask"], np.float32)[:, crop_start:]
             cond = {"encoder_hidden_states": np.asarray(hidden, np.float32),
-                    "prompt_attention_mask": np.asarray(toks["attention_mask"], np.float32)}
+                    "prompt_attention_mask": mask}
         else:
             raise NotImplementedError(
                 "provide a LLaMA text encoder (params['text_encoder'] + LlamaConfig "
@@ -323,15 +333,17 @@ class LTXVideoSpec:
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = dtype
-        self._t5 = jax.jit(lambda p, ids, mask: t5_encode(p, text_cfg, ids, mask))
+        self._t5 = jax.jit(lambda p, ids: t5_encode(p, text_cfg, ids))
 
     def prepare_conditions(self, sample: Dict[str, Any], max_length: int = 128) -> Dict[str, Any]:
         toks = self.tokenizer([sample["caption"]], padding="max_length",
                               max_length=max_length, truncation=True,
                               add_special_tokens=True, return_tensors="np")
+        # reference T5Processor runs the encoder WITHOUT the attention mask
+        # (use_attention_mask=False, processors/t5.py:37,56-60); the mask only
+        # reaches the transformer as encoder_attention_mask
         embeds = np.asarray(self._t5(self.params["text_encoder"],
-                                     jnp.asarray(toks["input_ids"]),
-                                     jnp.asarray(toks["attention_mask"])))
+                                     jnp.asarray(toks["input_ids"])))
         return {"encoder_hidden_states": embeds,
                 "prompt_attention_mask": np.asarray(toks["attention_mask"], np.float32)}
 
