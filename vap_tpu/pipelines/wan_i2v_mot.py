@@ -8,8 +8,10 @@ reference first frame, 36-channel conditioning
 near-zero timestep each step, FlowMatch Euler (or UniPC) stepping.
 
 TPU-first: the denoise loop is one jit lax.scan. CFG is folded into the batch
-(the reference runs two sequential forwards — :845-874; set
-`sequential_cfg=True` to reproduce that exactly for parity checks).
+— the reference runs two sequential forwards (:845-874), which is
+mathematically identical for this batch-independent model; the equivalence
+is verified against the reference pipeline end-to-end by
+tests/test_pipeline_golden_parity.py::test_wan_pipeline_latent_parity.
 """
 
 from __future__ import annotations
