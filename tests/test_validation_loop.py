@@ -106,3 +106,67 @@ def test_validate_writes_samples_with_gen_params(tmp_path, monkeypatch):
     out_dir = os.path.join(trainer.args.output_dir, "validation", "000000")
     written = sorted(os.listdir(out_dir))
     assert written == ["sample_0.mp4", "sample_1.mp4"]  # num_samples honored
+
+
+def test_validate_generic_family_flux(tmp_path, monkeypatch):
+    """Generic families must support prompt-driven validation through their
+    own pipelines (reference: every spec has a validation path); previously
+    _validate assumed the VAP CSV dataset and broke for flux/ltx/cogview4/
+    hunyuan."""
+    import cv2
+
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    from vap_tpu.models.autoencoder_kl import AutoencoderKLConfig, init_autoencoder_kl
+    from vap_tpu.models.flux import FluxConfig, init_flux
+    from vap_tpu.models.text_encoders.clip_text import CLIPTextConfig, init_clip_text
+    from vap_tpu.training.specs import FluxSpec
+
+    root = tmp_path / "data"
+    root.mkdir()
+    for i in range(2):
+        img = (np.random.default_rng(i).uniform(0, 255, (32, 32, 3))).astype(np.uint8)
+        cv2.imwrite(str(root / f"s{i}.png"), img)
+        (root / f"s{i}.txt").write_text(f"an image {i}")
+
+    val = {"num_samples": 2, "data": [
+        {"caption": "a red square", "height": 32, "width": 32,
+         "num_inference_steps": 1},
+        {"caption": "a blue circle", "height": 32, "width": 32,
+         "num_inference_steps": 1, "guidance_scale": 2.0},
+    ]}
+    val_path = tmp_path / "validation.json"
+    val_path.write_text(json.dumps(val))
+
+    vae_cfg = AutoencoderKLConfig.tiny()
+    t_cfg = FluxConfig.tiny(in_channels=4 * vae_cfg.latent_channels)
+    txt_cfg = T5Config.tiny(d_model=t_cfg.joint_attention_dim)
+    clip_cfg = CLIPTextConfig.tiny(hidden_size=t_cfg.pooled_projection_dim,
+                                   num_attention_heads=4, vocab_size=64,
+                                   max_position_embeddings=77)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "transformer": init_flux(key, t_cfg, jnp.float32),
+        "vae": init_autoencoder_kl(jax.random.fold_in(key, 1), vae_cfg, jnp.float32),
+        "text_encoder": init_clip_text(jax.random.fold_in(key, 2), clip_cfg, jnp.float32),
+        "text_encoder_2": init_t5_encoder(jax.random.fold_in(key, 3), txt_cfg, jnp.float32),
+    }
+    spec = FluxSpec(t_cfg, vae_cfg, txt_cfg, params, FakeTokenizer(),
+                    FakeTokenizer(), clip_cfg, jnp.float32)
+    spec.prepare_conditions = (
+        lambda s, _o=spec.prepare_conditions: _o(s, max_length=8, clip_max_length=8))
+
+    args = TrainingArgs(
+        data_root=str(root), train_steps=1, batch_size=1, logging_steps=1,
+        checkpointing_steps=100, output_dir=str(tmp_path / "out"), lr=1e-4,
+        gradient_checkpointing=False, mask_caption_ratio=0.0,
+        image_resolution_buckets=((32, 32),),
+        validation_dataset_file=str(val_path), validation_steps=1,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        trainer = SFTTrainer(args, spec)
+        trainer.run()
+    out_dir = tmp_path / "out" / "validation"
+    steps = os.listdir(out_dir)
+    assert steps, "no validation directory written"
+    samples = os.listdir(out_dir / steps[0])
+    assert sorted(samples) == ["sample_0.mp4", "sample_1.mp4"], samples

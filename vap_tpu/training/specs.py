@@ -541,3 +541,86 @@ SUPPORTED_MODEL_SPECS[("wan", "video_as_prompt_mot")] = WanSpec
 SUPPORTED_MODEL_SPECS[("wan", "sft")] = WanSpec
 SUPPORTED_MODEL_SPECS[("wan", "lora")] = WanSpec
 SUPPORTED_MODEL_SPECS[("wan", "dpo")] = WanSpec
+
+
+# ---------------------------------------------------------------------------
+# Generic-family validation: sample with live training weights through each
+# family's pipeline (reference per-spec `validation` — every finetrainers
+# spec supports validation-time generation, base_specification `validation`
+# methods). Samples come from the trainer's validation JSON entries
+# ({"caption": ..., optional height/width/num_frames/num_inference_steps/
+# guidance_scale}); returns media in [-1, 1], [H, W, 3] or [F, H, W, 3].
+# ---------------------------------------------------------------------------
+
+def _flux_validation(spec: "FluxSpec", merged_params, sample, **gen_kwargs):
+    from ..pipelines.flux import FluxPipeline
+
+    pipe = FluxPipeline(
+        transformer_cfg=spec.transformer_cfg, vae_cfg=spec.vae_cfg,
+        text_cfg=spec.text_cfg, clip_text_cfg=spec.clip_text_cfg,
+        params={**spec.params, "transformer": merged_params},
+        tokenizer=spec.tokenizer, clip_tokenizer=spec.clip_tokenizer,
+        dtype=spec.dtype)
+    defaults = dict(num_inference_steps=28, guidance_scale=3.5)
+    for k in ("num_frames", "use_dynamic_cfg", "negative_prompt"):
+        gen_kwargs.pop(k, None)
+    defaults.update(gen_kwargs)
+    return pipe(prompt=sample["caption"], **defaults)[0]
+
+
+FluxSpec.validation = _flux_validation
+
+
+def _cogview4_validation(spec: "CogView4Spec", merged_params, sample, **gen_kwargs):
+    from ..pipelines.cogview4 import CogView4Pipeline
+
+    pipe = CogView4Pipeline(
+        transformer_cfg=spec.transformer_cfg, vae_cfg=spec.vae_cfg,
+        text_cfg=spec.text_cfg,
+        params={**spec.params, "transformer": merged_params},
+        tokenizer=spec.tokenizer, dtype=spec.dtype)
+    defaults = dict(num_inference_steps=50, guidance_scale=3.5)
+    for k in ("num_frames", "use_dynamic_cfg"):
+        gen_kwargs.pop(k, None)
+    defaults.update(gen_kwargs)
+    return pipe(prompt=sample["caption"],
+                negative_prompt=sample.get("negative_prompt", ""), **defaults)[0]
+
+
+CogView4Spec.validation = _cogview4_validation
+
+
+def _ltx_validation(spec: "LTXVideoSpec", merged_params, sample, **gen_kwargs):
+    from ..pipelines.ltx_video import LTXVideoPipeline
+
+    pipe = LTXVideoPipeline(
+        transformer_cfg=spec.transformer_cfg, vae_cfg=spec.vae_cfg,
+        text_cfg=spec.text_cfg,
+        params={**spec.params, "transformer": merged_params},
+        tokenizer=spec.tokenizer, dtype=spec.dtype)
+    defaults = dict(num_inference_steps=50, guidance_scale=3.0)
+    gen_kwargs.pop("use_dynamic_cfg", None)
+    defaults.update(gen_kwargs)
+    return pipe(prompt=sample["caption"],
+                negative_prompt=sample.get("negative_prompt", ""), **defaults)[0]
+
+
+LTXVideoSpec.validation = _ltx_validation
+
+
+def _hunyuan_validation(spec: "HunyuanVideoSpec", merged_params, sample, **gen_kwargs):
+    from ..pipelines.hunyuan_video import HunyuanVideoPipeline
+
+    pipe = HunyuanVideoPipeline(
+        transformer_cfg=spec.transformer_cfg, vae_cfg=spec.vae_cfg,
+        text_cfg=spec.text_cfg, clip_text_cfg=spec.clip_text_cfg,
+        params={**spec.params, "transformer": merged_params},
+        tokenizer=spec.tokenizer, dtype=spec.dtype)
+    defaults = dict(num_inference_steps=50, guidance_scale=6.0)
+    for k in ("use_dynamic_cfg", "negative_prompt"):
+        gen_kwargs.pop(k, None)
+    defaults.update(gen_kwargs)
+    return pipe(prompt=sample["caption"], **defaults)[0]
+
+
+HunyuanVideoSpec.validation = _hunyuan_validation

@@ -528,6 +528,8 @@ class SFTTrainer:
         if args.enable_precomputation:
             self._load_encoders()  # VAE/T5 needed for sampling, reloaded per pass
         merged = self._merged_params()
+        if self.family not in ("cogvideox", "wan"):
+            return self._validate_generic(merged, num_samples)
         csv_path, gen, cfg_num_samples = self._load_validation_config()
         num_samples = num_samples if num_samples is not None else cfg_num_samples
         if num_samples is None:
@@ -560,6 +562,47 @@ class SFTTrainer:
                     merged, sample, seed=args.seed + i, **gen_kwargs)
             path = os.path.join(out_dir, f"sample_{i}.mp4")
             export_to_video((np.asarray(video) + 1.0) / 2.0, path, fps=16)
+            artifacts[f"validation/sample_{i}"] = path
+            logger.info(f"validation sample written: {path}")
+        self.tracker.log_artifacts(artifacts, step=self.train_state.step)
+
+    def _validate_generic(self, merged, num_samples: Optional[int] = None):
+        """Prompt-driven validation for the generic families: the validation
+        JSON carries {"data": [{"caption": ..., optional height/width/
+        num_frames/num_inference_steps/guidance_scale}]} entries sampled
+        through the family's own pipeline (reference per-spec validation)."""
+        import json
+
+        args = self.args
+        with open(args.validation_dataset_file) as f:
+            val = json.load(f)
+        data = val.get("data", val if isinstance(val, list) else [])
+        if num_samples is None:
+            num_samples = val.get("num_samples", 1) if isinstance(val, dict) else 1
+        out_dir = os.path.join(args.output_dir, "validation", f"{self.train_state.step:06d}")
+        os.makedirs(out_dir, exist_ok=True)
+        artifacts = {}
+        image_family = self.family in ("flux", "cogview4")
+        fb = args.image_resolution_buckets[0] if image_family \
+            else args.video_resolution_buckets[0][1:]
+        for i, sample in enumerate(data[:num_samples]):
+            gen_kwargs = dict(
+                height=sample.get("height", fb[0]),
+                width=sample.get("width", fb[1]),
+                num_inference_steps=sample.get("num_inference_steps", 30),
+                seed=args.seed + i)
+            if not image_family:
+                gen_kwargs["num_frames"] = sample.get(
+                    "num_frames", args.video_resolution_buckets[0][0])
+            if "guidance_scale" in sample:
+                gen_kwargs["guidance_scale"] = sample["guidance_scale"]
+            with self._attn_ctx(training=False):
+                media = self.spec.validation(merged, sample, **gen_kwargs)
+            media = np.asarray(media)
+            if media.ndim == 3:  # image -> 1-frame clip
+                media = media[None]
+            path = os.path.join(out_dir, f"sample_{i}.mp4")
+            export_to_video((media + 1.0) / 2.0, path, fps=16)
             artifacts[f"validation/sample_{i}"] = path
             logger.info(f"validation sample written: {path}")
         self.tracker.log_artifacts(artifacts, step=self.train_state.step)
