@@ -25,6 +25,9 @@ def test_bench_smoke_cpu():
     env.update(
         VAP_BENCH_BLOCKS="2", VAP_BENCH_STEPS="1", VAP_BENCH_FRAMES="9",
         VAP_BENCH_HEIGHT="64", VAP_BENCH_WIDTH="96", VAP_BENCH_ATTN="xla",
+        # int8 linears are the TPU bench default but XLA:CPU emulates int8
+        # GEMMs very slowly — the smoke only validates the driver entry path
+        VAP_BENCH_INT8_LINEAR="0",
         JAX_PLATFORMS="cpu", VAP_ATTN_PROVIDER="xla",
         # own cache dir: the parent pytest's jax holds file locks on the
         # shared persistent cache
