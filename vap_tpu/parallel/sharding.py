@@ -81,18 +81,29 @@ def batch_sharding(mesh: Mesh, ndim: int, *, frame_axis: int = None) -> NamedSha
 
 
 def put_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """device_put every batch tensor with its training sharding: batch dim over
+    """Place every batch tensor with its training sharding: batch dim over
     (data, fsdp) and — when the mesh has a seq axis — the frame axis of 5D
     latent tensors over seq, so the train step sees data already laid out for
-    sequence parallelism instead of resharding it every step."""
+    sequence parallelism instead of resharding it every step.
+
+    Single-host: plain device_put. Multi-host: each process holds only ITS
+    shard of the global batch (the dataloader shards by process), so the
+    global array is assembled with jax.make_array_from_process_local_data —
+    device_put of a host-local array under a global sharding is invalid
+    there."""
     import numpy as np
 
     seq = dict(mesh.shape).get("seq", 1)
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, list):
             continue
         arr = np.asarray(v)
         frame_axis = 1 if (seq > 1 and arr.ndim == 5 and arr.shape[1] % seq == 0) else None
-        out[k] = jax.device_put(arr, batch_sharding(mesh, arr.ndim, frame_axis=frame_axis))
+        sharding = batch_sharding(mesh, arr.ndim, frame_axis=frame_axis)
+        if multihost:
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
+        else:
+            out[k] = jax.device_put(arr, sharding)
     return out
