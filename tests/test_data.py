@@ -269,3 +269,35 @@ def test_dataset_config_bad_reshape_mode_raises(tmp_path):
         {"dataset_type": "video", "reshape_mode": "center_crop"}]}))
     with pytest.raises(ValueError, match="reshape_mode"):
         build_datasets_from_config(str(path), _args_stub(tmp_path), family="cogvideox")
+
+
+def test_sampler_buckets_by_all_tensor_shapes():
+    """Code-review r3: conditions can be variable-length (CogView4 'longest'
+    GLM embeds) — the sampler must not batch samples whose condition shapes
+    differ, or collate's np.concatenate crashes mid-training."""
+    s = ResolutionSampler(2)
+    lat = {"latents": np.zeros((1, 4, 8, 8), np.float32)}
+    s.consume({"encoder_hidden_states": np.zeros((1, 16, 8), np.float32)}, dict(lat))
+    s.consume({"encoder_hidden_states": np.zeros((1, 32, 8), np.float32)}, dict(lat))
+    assert not s.is_ready  # different text lengths: separate buckets
+    s.consume({"encoder_hidden_states": np.zeros((1, 16, 8), np.float32)}, dict(lat))
+    assert s.is_ready
+    conds, lats = s.get_batch()
+    out = collate_tensor_dicts(conds)
+    assert out["encoder_hidden_states"].shape == (2, 16, 8)
+
+
+def test_load_safetensors_diffusers_component_dir(tmp_path):
+    """Code-review r3: diffusers components ship diffusion_pytorch_model
+    .safetensors — a real HF checkpoint dir must not be silently treated as
+    absent (which random-initialized the transformer)."""
+    from safetensors.numpy import save_file
+
+    from vap_tpu.training.checkpoint import load_safetensors
+
+    d = tmp_path / "transformer"
+    d.mkdir()
+    save_file({"w": np.ones((2, 2), np.float32)},
+              str(d / "diffusion_pytorch_model.safetensors"))
+    sd = load_safetensors(str(d))
+    assert "w" in sd and sd["w"].shape == (2, 2)

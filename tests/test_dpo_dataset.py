@@ -169,3 +169,29 @@ def test_resume_state_roundtrip(dpo_ds):
         assert x["caption"] == y["caption"]
         assert x["caption_lose"] == y["caption_lose"]
         assert x["dpo_weight"] == y["dpo_weight"]
+
+
+def test_stage_advances_across_epochs(dpo_ds):
+    """Code-review r3: the base iterator reset _sample_index each epoch, so
+    epoch = _sample_index // n was stuck at 0 and the curriculum never
+    advanced. Iterating past 2 epochs must reach stage 2 naturally."""
+    n = len(dpo_ds)
+    it = iter(dpo_ds)
+    for _ in range(2 * n + 1):
+        next(it)
+    assert dpo_ds._current_stage() == DPO_STAGE_SCHEDULE[1]
+
+
+def test_truncation_is_global_not_per_shard(tmp_path, monkeypatch):
+    """Code-review r3: truncating shard-local rows could empty a 16-47-row
+    shard and leave its infinite iterator spinning forever."""
+    monkeypatch.setattr(ds_mod, "_decode_resampled",
+                        lambda path: np.zeros((2, 4, 4, 3), np.float32))
+    rows = _make_rows(n_per_kind=8, kinds=tuple(f"k{i}" for i in range(13)))
+    root = _write_csv(tmp_path, rows)
+    # 91 usable rows globally -> truncate to 48 -> shard 0/4 gets 12 rows
+    shards = [VideoAsPromptDPODataset(str(root), meta_df_name="vap_data.csv",
+                                      seed=0, shard_index=i, num_shards=4)
+              for i in range(4)]
+    assert sum(len(s) for s in shards) == 48
+    assert all(len(s) == 12 for s in shards)

@@ -137,7 +137,9 @@ def _build_cogvideox(args, sec, dtype):
     from vap_tpu.models.text_encoders.t5 import convert_t5_state_dict
 
     base = args.pretrained_model_name_or_path
-    structure_kw = _cfg_kwargs(CogVideoXMOTConfig, sec["transformer"])
+    structure_kw = _cfg_kwargs(CogVideoXMOTConfig,
+                               _component_config(base, "transformer"),
+                               sec["transformer"])
     if args.ablation_single_branch:
         # single-trunk ablation: plain CogVideoX, no MoT branch params
         # (reference sft_trainer/trainer.py:123 -> load_diffusion_models)
@@ -150,8 +152,11 @@ def _build_cogvideox(args, sec, dtype):
         reference_train_mode=args.reference_train_mode, **structure_kw)
     vae_cfg = CogVideoXVAEConfig(
         **_cfg_kwargs(CogVideoXVAEConfig, _component_config(base, "vae"), sec["vae"]))
+    # HF T5 config field names (d_model/d_kv/d_ff/num_layers/num_heads/...)
+    # match T5Config's, so the checkpoint's text_encoder/config.json layers in
     txt_cfg = T5Config.t5_xxl(
-        **_cfg_kwargs(T5Config, sec["text_encoder"]))
+        **_cfg_kwargs(T5Config, _component_config(base, "text_encoder"),
+                      sec["text_encoder"]))
 
     key = jax.random.PRNGKey(args.seed)
     params = {}
@@ -194,7 +199,9 @@ def _build_wan(args, sec, dtype):
     from vap_tpu.models.text_encoders.t5 import convert_t5_state_dict
 
     base = args.pretrained_model_name_or_path
-    structure_kw = _cfg_kwargs(WanMOTConfig, sec["transformer"])
+    structure_kw = _cfg_kwargs(WanMOTConfig,
+                               _component_config(base, "transformer"),
+                               sec["transformer"])
     is_control = args.training_type.startswith("control")
     if is_control:
         base_cfg = WanMOTConfig.wan_1_3b_t2v(
@@ -204,7 +211,9 @@ def _build_wan(args, sec, dtype):
     t_cfg = base_cfg
     vae_cfg = WanVAEConfig(
         **_cfg_kwargs(WanVAEConfig, _component_config(base, "vae"), sec["vae"]))
-    txt_cfg = T5Config.umt5_xxl(**_cfg_kwargs(T5Config, sec["text_encoder"]))
+    txt_cfg = T5Config.umt5_xxl(
+        **_cfg_kwargs(T5Config, _component_config(base, "text_encoder"),
+                      sec["text_encoder"]))
 
     key = jax.random.PRNGKey(args.seed)
     tr_sd = _weights(base, "transformer")
@@ -281,7 +290,8 @@ def _build_flux(args, sec, dtype):
         **_cfg_kwargs(CLIPTextConfig, _component_config(base, "text_encoder"),
                       sec["text_encoder"]))
     txt_cfg = T5Config.t5_xxl(
-        **_cfg_kwargs(T5Config, sec["text_encoder_2"]))
+        **_cfg_kwargs(T5Config, _component_config(base, "text_encoder_2"),
+                      sec["text_encoder_2"]))
 
     key = jax.random.PRNGKey(args.seed)
     params = {
@@ -364,7 +374,9 @@ def _build_ltx_video(args, sec, dtype):
     t_cfg = LTXVideoConfig.ltx_video_2b(
         **_cfg_kwargs(LTXVideoConfig, _component_config(base, "transformer"),
                       sec["transformer"]))
-    txt_cfg = T5Config.t5_xxl(**_cfg_kwargs(T5Config, sec["text_encoder"]))
+    txt_cfg = T5Config.t5_xxl(
+        **_cfg_kwargs(T5Config, _component_config(base, "text_encoder"),
+                      sec["text_encoder"]))
 
     key = jax.random.PRNGKey(args.seed)
     params = {
@@ -424,8 +436,10 @@ def _build_hunyuan_video(args, sec, dtype):
             jax.random.fold_in(key, 3), clip_cfg, dtype),
     }
     spec_cls = get_model_spec_cls(args.model_name, args.training_type)
+    # HF layout: tokenizer = LLaMA, tokenizer_2 = CLIP
     return spec_cls(t_cfg, vae_cfg, llama_cfg, params, _tokenizer(base),
-                    clip_text_cfg=clip_cfg, dtype=dtype)
+                    clip_text_cfg=clip_cfg, dtype=dtype,
+                    clip_tokenizer=_tokenizer(base, "tokenizer_2"))
 
 
 FAMILY_BUILDERS = {

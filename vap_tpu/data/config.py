@@ -14,6 +14,7 @@ shipping as decoration.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict
 
 _ENTRY_KEYS = {
@@ -77,7 +78,19 @@ def build_dataset_from_entry(entry: Dict[str, Any], args, *, family: str,
         raise ValueError(
             f"reshape_mode {entry['reshape_mode']!r} is not implemented "
             "(bicubic only, matching this build's resize path)")
-    root = entry.get("data_root") or entry.get("dataset_file") or args.data_root
+    if entry.get("data_root") and entry.get("dataset_file"):
+        raise ValueError("dataset_config entry: data_root and dataset_file are "
+                         "mutually exclusive (reference trainer.py:342-343)")
+    dataset_file = entry.get("dataset_file")
+    if dataset_file:
+        # a metadata FILE: its directory is the media root. VAP datasets read
+        # it as meta_df_name; generic folder datasets require it to be the
+        # metadata.* file that initialize_dataset auto-detects.
+        if not os.path.isfile(dataset_file):
+            raise ValueError(f"dataset_file {dataset_file!r} is not a file")
+        root = os.path.dirname(os.path.abspath(dataset_file))
+    else:
+        root = entry.get("data_root") or args.data_root
     if not root:
         raise ValueError("dataset_config entry needs data_root (or --data_root)")
     dataset_type = entry.get("dataset_type", "video")
@@ -93,7 +106,8 @@ def build_dataset_from_entry(entry: Dict[str, Any], args, *, family: str,
                   if (args.dpo or args.training_type == "dpo") else VideoAsPromptDataset)
         ds = ds_cls(
             root,
-            meta_df_name=entry.get("meta_df_name", args.meta_df_name),
+            meta_df_name=(os.path.basename(dataset_file) if dataset_file
+                          else entry.get("meta_df_name", args.meta_df_name)),
             infinite=True,
             sample_ref_videos_num=args.sample_ref_videos_num,
             mask_ref_ratio=args.mask_ref_ratio,
@@ -119,6 +133,11 @@ def build_dataset_from_entry(entry: Dict[str, Any], args, *, family: str,
     else:
         from .generic import DatasetPreprocessingWrapper, initialize_dataset
 
+        if dataset_file and not os.path.basename(dataset_file).startswith("metadata"):
+            raise ValueError(
+                "generic dataset_file must be a metadata.{csv,json,jsonl} file "
+                f"(auto-detected by initialize_dataset); got {dataset_file!r} — "
+                "use data_root for folder/caption-pair/webdataset layouts")
         ds = initialize_dataset(root, dataset_type, infinite=True)
         if num_shards > 1 and hasattr(ds, "_items"):
             ds._items = ds._items[shard_index::num_shards]

@@ -123,6 +123,8 @@ class VideoAsPromptDataset:
         rows = filter_and_update_refs(rows, alignment_score_threshold, seed=shuffle_seed)
         rows = rows[: min(len(rows), ablation_scaling_data_num)]
         # shard across data-parallel hosts (replaces split_dataset_by_node)
+        self._global_rows = rows
+        self._shard = (shard_index, num_shards)
         self.rows = rows[shard_index::num_shards]
 
         self.caption_by_path = {str(r["video_paths"]): r["tar_video_caption"] for r in rows}
@@ -159,7 +161,6 @@ class VideoAsPromptDataset:
                 yield sample
             if not self.infinite:
                 break
-            self._sample_index = 0
 
     def _make_sample(self, row: Dict[str, Any]) -> Dict[str, Any]:
         video = _decode_resampled(os.path.join(self.root, str(row["video_paths"])))
@@ -242,9 +243,17 @@ class VideoAsPromptDPODataset(VideoAsPromptDataset):
         if self._explicit_pairs:
             return
 
-        # reference truncates to a multiple of 48 when >= 16 rows (:921-923)
-        if len(self.rows) >= 16:
-            self.rows = self.rows[: len(self.rows) - (len(self.rows) % 48)]
+        # reference truncates to a multiple of 48 when >= 16 rows (:921-923).
+        # Truncation applies to the GLOBAL train rows (as in the reference,
+        # which truncates before distributed sharding) — truncating each
+        # shard independently could empty a small shard entirely and leave
+        # its infinite iterator spinning without ever yielding.
+        g = self._global_rows
+        if len(g) >= 16:
+            g = g[: len(g) - (len(g) % 48)]
+        shard_index, num_shards = self._shard
+        self._global_rows = g
+        self.rows = g[shard_index::num_shards]
 
         self.score_by_path = {
             str(r["video_paths"]): float(r["reference_alignment_score"])

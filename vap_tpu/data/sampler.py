@@ -16,7 +16,17 @@ class ResolutionSampler:
         self._ready_key = None
 
     def consume(self, condition: Dict[str, Any], latent: Dict[str, Any]):
-        key = tuple(np.asarray(latent["latents"]).shape)
+        # Bucket by EVERY tensor shape, not just the latent spatial dims:
+        # conditions can be variable-length too (CogView4's GLM embeds pad
+        # 'longest' to a per-caption multiple of 16), and collate
+        # concatenates — mixed shapes in one bucket would crash mid-training.
+        def shapes(d):
+            return tuple(sorted(
+                (k, tuple(np.asarray(v).shape))
+                for k, v in d.items()
+                if isinstance(v, np.ndarray) or hasattr(v, "shape")))
+
+        key = (shapes(latent), shapes(condition))
         self._buckets.setdefault(key, []).append((condition, latent))
         if len(self._buckets[key]) >= self.batch_size:
             self._ready_key = key

@@ -138,14 +138,22 @@ def glm_encode(params: Params, cfg: GlmConfig, input_ids: Array,
         x = x + linear(bp["o_proj"], attn)
         n = rms_norm(bp["post_attention_layernorm"], x, cfg.rms_norm_eps)
         gate, up = jnp.split(linear(bp["gate_up_proj"], n), 2, axis=-1)
-        out = x + linear(bp["down_proj"], up * jax.nn.silu(gate))
-        return out, out
+        return x + linear(bp["down_proj"], up * jax.nn.silu(gate)), None
 
-    x, xs = jax.lax.scan(block, x, params["blocks"])
     if hidden_layer != -1:
-        # HF hidden_states = (embeds, block_1, ..., block_N) with block
-        # outputs UN-normed, so hidden_states[-k] == xs[-k] for k >= 1
-        return xs[hidden_layer]
+        # HF hidden_states = (embeds, block_1, ..., block_N), UN-normed:
+        # hidden_states[hidden_layer] is the output after running
+        # N + 1 + hidden_layer blocks — scan only that prefix instead of
+        # stacking every layer's states (GLM-4-9B at S~1k would materialize
+        # ~hundreds of MB per encode otherwise)
+        n_blocks = jax.tree.leaves(params["blocks"])[0].shape[0]
+        keep = n_blocks + 1 + hidden_layer
+        if keep <= 0:
+            return x  # the embedding layer itself
+        sub = jax.tree.map(lambda a: a[:keep], params["blocks"])
+        x, _ = jax.lax.scan(block, x, sub)
+        return x
+    x, _ = jax.lax.scan(block, x, params["blocks"])
     return rms_norm(params["norm"], x, cfg.rms_norm_eps)
 
 

@@ -142,17 +142,19 @@ def llama_encode(params: Params, cfg: LlamaConfig, input_ids: Array,
                      jax.nn.silu(linear(bp["gate_proj"], n)) * linear(bp["up_proj"], n))
         return x + mlp, None
 
-    x_embed = x
-
-    def block_collect(x, bp):
-        out, _ = block(x, bp)
-        return out, out
-
-    x, xs = jax.lax.scan(block_collect, x, params["blocks"])
     if hidden_layer != -1:
-        # HF hidden_states = (embeds, block_1, ..., block_N), un-normed
-        states = [x_embed] + [xs[i] for i in range(xs.shape[0])]
-        return states[hidden_layer]
+        # HF hidden_states = (embeds, block_1, ..., block_N), UN-normed:
+        # run only the prefix of blocks whose output is requested instead of
+        # stacking every layer's states (LLaMA-8B at S~350 would materialize
+        # ~hundreds of MB per encode otherwise)
+        n_blocks = jax.tree.leaves(params["blocks"])[0].shape[0]
+        keep = n_blocks + 1 + hidden_layer
+        if keep <= 0:
+            return x  # the embedding layer itself
+        sub = jax.tree.map(lambda a: a[:keep], params["blocks"])
+        x, _ = jax.lax.scan(block, x, sub)
+        return x
+    x, _ = jax.lax.scan(block, x, params["blocks"])
     return rms_norm(params["norm"], x, cfg.rms_norm_eps)
 
 

@@ -201,12 +201,18 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
 
     if os.path.isdir(path):
-        single = os.path.join(path, "model.safetensors")
-        index = os.path.join(path, "model.safetensors.index.json")
-        if os.path.exists(single):
-            path = single
-        elif os.path.exists(index):
-            path = index
+        # transformers components ship model.safetensors; diffusers
+        # components (transformer/vae) ship diffusion_pytorch_model.safetensors
+        candidates = [
+            "model.safetensors", "model.safetensors.index.json",
+            "diffusion_pytorch_model.safetensors",
+            "diffusion_pytorch_model.safetensors.index.json",
+        ]
+        for name in candidates:
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
         else:
             raise FileNotFoundError(f"no (sharded) safetensors under {path}")
     if path.endswith(".index.json"):

@@ -434,7 +434,7 @@ class ControlTrainer(SFTTrainer):
 
         with open(args.validation_dataset_file) as f:
             val = json.load(f)
-        data = val.get("data", val if isinstance(val, list) else [])
+        data = val.get("data", []) if isinstance(val, dict) else val
         if num_samples is not None:
             data = data[:num_samples]
         out_dir = os.path.join(args.output_dir, "validation", f"{self.train_state.step:06d}")

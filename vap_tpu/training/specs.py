@@ -172,13 +172,18 @@ class HunyuanVideoSpec:
     family = "hunyuan_video"
 
     def __init__(self, transformer_cfg, vae_cfg, text_cfg, params: Dict[str, Any],
-                 tokenizer=None, clip_text_cfg=None, dtype=jnp.bfloat16):
+                 tokenizer=None, clip_text_cfg=None, dtype=jnp.bfloat16,
+                 clip_tokenizer=None):
         self.transformer_cfg = transformer_cfg
         self.vae_cfg = vae_cfg
         self.text_cfg = text_cfg  # LlamaConfig (or None for precomputed embeds)
         self.clip_text_cfg = clip_text_cfg
         self.params = params
         self.tokenizer = tokenizer
+        # HF layout: tokenizer = LLaMA, tokenizer_2 = CLIP. Feeding LLaMA ids
+        # into CLIP's embedding table silently gathers garbage (JAX clamps
+        # out-of-range indices), so the CLIP branch needs its own tokenizer.
+        self.clip_tokenizer = clip_tokenizer
         self.dtype = dtype
 
     def prepare_conditions(self, sample: Dict[str, Any], clip_max_length: int = 77,
@@ -216,13 +221,15 @@ class HunyuanVideoSpec:
             cond["prompt_attention_mask"] = np.asarray(sample["prompt_attention_mask"], np.float32)
         if "pooled_projections" in sample:
             cond["pooled_projections"] = np.asarray(sample["pooled_projections"], np.float32)
-        elif self.clip_text_cfg is not None and self.tokenizer is not None:
+        elif self.clip_text_cfg is not None and \
+                (self.clip_tokenizer or self.tokenizer) is not None:
             from ..models.text_encoders.clip_text import clip_text_encode
 
-            toks = self.tokenizer([sample["caption"]], padding="max_length",
-                                  max_length=min(clip_max_length,
-                                                 self.clip_text_cfg.max_position_embeddings),
-                                  truncation=True, return_tensors="np")
+            tok2 = self.clip_tokenizer or self.tokenizer
+            toks = tok2([sample["caption"]], padding="max_length",
+                        max_length=min(clip_max_length,
+                                       self.clip_text_cfg.max_position_embeddings),
+                        truncation=True, return_tensors="np")
             _, pooled = clip_text_encode(self.params["text_encoder_2"], self.clip_text_cfg,
                                          jnp.asarray(toks["input_ids"]))
             cond["pooled_projections"] = np.asarray(pooled, np.float32)
@@ -615,7 +622,8 @@ def _hunyuan_validation(spec: "HunyuanVideoSpec", merged_params, sample, **gen_k
         transformer_cfg=spec.transformer_cfg, vae_cfg=spec.vae_cfg,
         text_cfg=spec.text_cfg, clip_text_cfg=spec.clip_text_cfg,
         params={**spec.params, "transformer": merged_params},
-        tokenizer=spec.tokenizer, dtype=spec.dtype)
+        tokenizer=spec.tokenizer, clip_tokenizer=spec.clip_tokenizer,
+        dtype=spec.dtype)
     defaults = dict(num_inference_steps=50, guidance_scale=6.0)
     for k in ("use_dynamic_cfg", "negative_prompt"):
         gen_kwargs.pop(k, None)

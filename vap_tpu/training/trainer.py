@@ -360,8 +360,10 @@ class SFTTrainer:
         with self.tracker.timed("timing/prepare_latents"):
             lat = self.spec.prepare_latents(sample)
         if self.dpo:
-            lose, _ = resize_to_nearest_bucket(
-                sample["video_lose"], self.args.video_resolution_buckets)
+            # the lose video must use the SAME per-dataset buckets and frame
+            # selection as the win video: divergent shapes crash the pair
+            # concat, and divergent temporal sampling biases the preference
+            lose, _ = resize_to_nearest_bucket(sample["video_lose"], buckets, fsel)
             lat_lose = self.spec.prepare_latents(dict(sample, video=lose))
             # only the target latents differ; image/ref conditioning is shared
             lat["latents_lose"] = lat_lose["latents"]
@@ -576,7 +578,7 @@ class SFTTrainer:
         args = self.args
         with open(args.validation_dataset_file) as f:
             val = json.load(f)
-        data = val.get("data", val if isinstance(val, list) else [])
+        data = val.get("data", []) if isinstance(val, dict) else val
         if num_samples is None:
             num_samples = val.get("num_samples", 1) if isinstance(val, dict) else 1
         out_dir = os.path.join(args.output_dir, "validation", f"{self.train_state.step:06d}")
