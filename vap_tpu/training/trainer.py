@@ -294,13 +294,19 @@ class SFTTrainer:
         args = self.args
 
         def _fit(sample):
+            # per-dataset bucket/frame-selection annotations (dataset_config)
+            # override the global flags, exactly like _preprocess
             if "image" in sample and "video" not in sample:
                 from ..data.video import resize_to_nearest_bucket_image
 
+                buckets = sample.get("_image_resolution_buckets",
+                                     args.image_resolution_buckets)
                 return dict(sample, image=resize_to_nearest_bucket_image(
-                    sample["image"], args.image_resolution_buckets))
-            video, _ = resize_to_nearest_bucket(sample["video"], args.video_resolution_buckets)
-            refs = [resize_to_nearest_bucket(r, args.video_resolution_buckets)[0]
+                    sample["image"], buckets))
+            buckets = sample.get("_resolution_buckets", args.video_resolution_buckets)
+            fsel = sample.get("_frames_selection", "evenly")
+            video, _ = resize_to_nearest_bucket(sample["video"], buckets, fsel)
+            refs = [resize_to_nearest_bucket(r, buckets, fsel)[0]
                     for r in sample.get("ref_videos", [])]
             return dict(sample, video=video, ref_videos=refs)
 
