@@ -834,3 +834,98 @@ def test_hunyuan_pipeline_latent_parity(torch_reference, monkeypatch):
             output_type="latent"))
     assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
     np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)
+
+
+def test_cogvideox_15_pipeline_latent_parity(torch_reference, monkeypatch):
+    """CogVideoX 1.5 variant: patch_size_t=2 latent-frame padding (leading
+    pad discarded before decode, refs padded by repeating the last frame) and
+    invert_scale_latents (image-conditioning latents stay RAW while ref-video
+    latents and the decode division keep the factor) — reference
+    prepare_latents :346-488, __call__ :884-893."""
+    torch = torch_reference
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _pin_vae_mode(monkeypatch)
+    from diffusers.pipelines.cogvideo.pipeline_cogvideox_image2video_mot import (
+        CogVideoXImageToVideoMOTPipeline)
+    from diffusers.schedulers import CogVideoXDDIMScheduler as TorchDDIM
+
+    from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
+    from vap_tpu.pipelines.cogvideox_i2v_mot import CogVideoXVAPPipeline
+
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4, patch_size_t=2)
+    vae_cfg = CogVideoXVAEConfig.tiny(invert_scale_latents=True, scaling_factor=0.7)
+    tok = FakeTokenizer()
+    t5_m, t5_p, txt_cfg = _t5_pair(torch, t_cfg.text_embed_dim)
+    vae_m, vae_p = _cog_vae_pair(torch, vae_cfg)
+
+    from diffusers.models.transformers.cogvideox_transformer_3d_mot import (
+        CogVideoXTransformer3DMOTModel)
+
+    from vap_tpu.models.cogvideox import convert_cogvideox_mot_state_dict
+    from vap_tpu.models.cogvideox.weights import torch_state_dict_to_numpy
+
+    torch.manual_seed(12)
+    tr_m = CogVideoXTransformer3DMOTModel(
+        num_attention_heads=t_cfg.num_attention_heads,
+        attention_head_dim=t_cfg.attention_head_dim,
+        in_channels=t_cfg.in_channels, out_channels=t_cfg.out_channels,
+        time_embed_dim=t_cfg.time_embed_dim, text_embed_dim=t_cfg.text_embed_dim,
+        num_layers=t_cfg.num_layers, sample_width=t_cfg.sample_width,
+        sample_height=t_cfg.sample_height, sample_frames=t_cfg.sample_frames,
+        patch_size=t_cfg.patch_size, patch_size_t=t_cfg.patch_size_t,
+        max_text_seq_length=t_cfg.max_text_seq_length,
+        use_rotary_positional_embeddings=True,
+        block_idx_with_mot_ref=list(t_cfg.block_idx_with_mot_ref),
+    ).eval()
+    tr_p = convert_cogvideox_mot_state_dict(torch_state_dict_to_numpy(tr_m), t_cfg)
+    # match the reference vae config's invert flag
+    vae_m.register_to_config(invert_scale_latents=True, scaling_factor=0.7)
+
+    jax_sched = CogVideoXDDIMScheduler()
+    ref_pipe = CogVideoXImageToVideoMOTPipeline(
+        tokenizer=tok, text_encoder=t5_m, vae=vae_m, transformer=tr_m,
+        scheduler=TorchDDIM(
+            num_train_timesteps=jax_sched.num_train_timesteps,
+            beta_start=jax_sched.beta_start, beta_end=jax_sched.beta_end,
+            beta_schedule=jax_sched.beta_schedule,
+            set_alpha_to_one=jax_sched.set_alpha_to_one,
+            prediction_type=jax_sched.prediction_type,
+            timestep_spacing=jax_sched.timestep_spacing,
+            rescale_betas_zero_snr=jax_sched.rescale_betas_zero_snr,
+            snr_shift_scale=jax_sched.snr_shift_scale))
+
+    H = W = 32
+    F = 9  # latent frames 3 -> padded to 4 (additional_frames = 1)
+    steps = 2
+    rng = np.random.default_rng(0)
+    img_arr, img_pil = _pil_video(rng, 1, H, W)
+    ref_arr, ref_pil = _pil_video(rng, F, H, W)
+    init_latents = rng.standard_normal(
+        (1, 4, t_cfg.in_channels // 2, H // 8, W // 8)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_pipe(
+            image=img_pil[0], prompt="a cat", ref_videos=[ref_pil],
+            prompt_mot_ref=["explode it"], height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=6.0, use_dynamic_cfg=True,
+            latents=torch.from_numpy(init_latents),
+            max_sequence_length=t_cfg.max_text_seq_length,
+            output_type="latent", frames_selection="first",
+        ).frames.numpy()
+
+    pipe = CogVideoXVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
+        params={"transformer": tr_p, "vae": vae_p, "text_encoder": t5_p},
+        tokenizer=tok, scheduler=jax_sched, dtype=jnp.float32,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(pipe(
+            image=(img_arr[0].astype(np.float32) / 127.5 - 1.0),
+            prompt="a cat", ref_videos=[ref_arr.astype(np.float32) / 127.5 - 1.0],
+            prompt_mot_ref=["explode it"], height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=6.0, use_dynamic_cfg=True,
+            latents=jnp.asarray(init_latents),
+            max_sequence_length=t_cfg.max_text_seq_length,
+            output_type="latent"))
+    assert got.shape == ref_out.shape, (got.shape, ref_out.shape)
+    np.testing.assert_allclose(got, ref_out, atol=1e-3, rtol=1e-3)

@@ -83,10 +83,15 @@ def _t5_forward_jit(params, cfg, input_ids):
     return t5_encode(params, cfg, input_ids)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _vae_encode_mode_jit(params, cfg, video):
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _vae_encode_mode_jit(params, cfg, video, scale=True):
     moments = vae_encode(params, cfg, video)
-    return posterior_mode(moments) * cfg.scaling_factor
+    z = posterior_mode(moments)
+    # CogVideoX 1.5 checkpoints set invert_scale_latents: the team forgot the
+    # scaling multiply during training, so IMAGE-conditioning latents stay
+    # raw (reference prepare_latents :391-397) while ref-video latents and
+    # the decode division keep the factor
+    return z * cfg.scaling_factor if scale else z
 
 
 def _vae_decode_jit(params, cfg, z):
@@ -131,8 +136,10 @@ class CogVideoXVAPPipeline:
         nids, _ = self.encode_prompt_tokens(negative_prompt, max_length)
         return self._t5_forward(jnp.asarray(ids)), self._t5_forward(jnp.asarray(nids))
 
-    def _vae_encode_mode(self, video: Array) -> Array:
-        return _vae_encode_mode_jit(self.params["vae"], self.vae_cfg, video.astype(self.dtype))
+    def _vae_encode_mode(self, video: Array, image_cond: bool = False) -> Array:
+        scale = not (image_cond and self.vae_cfg.invert_scale_latents)
+        return _vae_encode_mode_jit(self.params["vae"], self.vae_cfg,
+                                    video.astype(self.dtype), scale)
 
     # ------------------------------------------------------------------
     # the jit-scanned denoise loop
@@ -294,21 +301,37 @@ class CogVideoXVAPPipeline:
 
         # 2. latents
         num_latent_frames = (num_frames - 1) // self.vae_scale_factor_temporal + 1
+        # CogVideoX 1.5 (patch_size_t=2): pad the latent frame count to a
+        # multiple of patch_size_t; the leading pad frames are discarded
+        # before decode (reference __call__ :884-893, :1080)
+        pt = self.transformer_cfg.patch_size_t
+        additional_frames = 0
+        if pt is not None and num_latent_frames % pt != 0:
+            additional_frames = pt - num_latent_frames % pt
+            num_latent_frames += additional_frames
         lat_h = height // self.vae_scale_factor_spatial
         lat_w = width // self.vae_scale_factor_spatial
         latent_channels = self.transformer_cfg.in_channels // 2
 
         img = jnp.asarray(image, jnp.float32)[None, None]  # [1, 1, H, W, 3]
-        image_latents = self._vae_encode_mode(img)  # [1, 1, h, w, Cz]
+        image_latents = self._vae_encode_mode(img, image_cond=True)  # [1, 1, h, w, Cz]
         pad = jnp.zeros((1, num_latent_frames - 1, lat_h, lat_w, latent_channels), image_latents.dtype)
         image_latents = jnp.concatenate([image_latents, pad], axis=1)
 
         ref_lat_list, ref_img_lat_list = [], []
         for rv in ref_videos:
             rv_j = jnp.asarray(rv, jnp.float32)[None]  # [1, F, H, W, 3]
-            ref_lat_list.append(self._vae_encode_mode(rv_j))
+            rl = self._vae_encode_mode(rv_j)
+            if pt is not None:
+                # reference prepare_latents :424-442: pad refs by repeating
+                # the LAST latent frame (pt - size % pt frames, i.e. a full
+                # extra pt when already divisible — faithful to the quirk)
+                extra = pt - rl.shape[1] % pt
+                rl = jnp.concatenate(
+                    [rl, jnp.broadcast_to(rl[:, -1:], (1, extra) + rl.shape[2:])], axis=1)
+            ref_lat_list.append(rl)
             first = rv_j[:, :1]
-            fl = self._vae_encode_mode(first)
+            fl = self._vae_encode_mode(first, image_cond=True)
             fl = jnp.concatenate(
                 [fl, jnp.zeros((1, num_latent_frames - 1, lat_h, lat_w, latent_channels), fl.dtype)], axis=1)
             ref_img_lat_list.append(fl)
@@ -354,7 +377,10 @@ class CogVideoXVAPPipeline:
         if output_type == "latent":
             return latents
 
-        # 4. decode: [B, F, C, H, W] -> channel-last, unscale
+        # 4. decode: drop 1.5 pad frames, [B, F, C, H, W] -> channel-last,
+        # unscale (the decode division keeps the factor even under
+        # invert_scale_latents — reference decode_latents :491-496)
+        latents = latents[:, additional_frames:]
         z = latents.transpose(0, 1, 3, 4, 2).astype(self.dtype) / self.vae_cfg.scaling_factor
         video = _vae_decode_jit(self.params["vae"], self.vae_cfg, z)
         return np.asarray(video.astype(jnp.float32))
