@@ -312,7 +312,8 @@ def _wan_pairs(torch, clip_image_size):
     return (umt5, clip, vae, tr), (t_cfg, vae_cfg, txt_cfg, clip_cfg), params
 
 
-def test_wan_pipeline_latent_parity(torch_reference, monkeypatch):
+@pytest.mark.parametrize("sched", ["flow_match", "unipc"])
+def test_wan_pipeline_latent_parity(torch_reference, monkeypatch, sched):
     torch = torch_reference
     monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
     _pin_vae_mode(monkeypatch)
@@ -325,13 +326,17 @@ def test_wan_pipeline_latent_parity(torch_reference, monkeypatch):
     # ASCII prompts used here (the repo pipeline applies none either)
     monkeypatch.setattr(wan_mod, "basic_clean", lambda t: t.strip())
     from diffusers.schedulers import FlowMatchEulerDiscreteScheduler
+    from diffusers.schedulers import UniPCMultistepScheduler
 
-    from vap_tpu.ops.schedulers import FlowMatchEulerScheduler
+    from vap_tpu.ops.schedulers import FlowMatchEulerScheduler, UniPCScheduler
     from vap_tpu.pipelines.wan_i2v_mot import WanVAPPipeline
 
     H = W = 32
     F = 9
-    steps = 2
+    # UniPC is the production Wan scheduler (reference checkpoint config;
+    # pipeline_wan_i2v_mot.py:146): 4 steps exercise the order-2 predictor,
+    # the corrector, and the lower_order_final ramp at both ends.
+    steps = 4 if sched == "unipc" else 2
     (umt5, clip, vae, tr), (t_cfg, vae_cfg, txt_cfg, clip_cfg), params = \
         _wan_pairs(torch, clip_image_size=H)
     tok = FakeTokenizer()
@@ -339,10 +344,17 @@ def test_wan_pipeline_latent_parity(torch_reference, monkeypatch):
         do_resize=True, size={"shortest_edge": H}, do_center_crop=True,
         crop_size={"height": H, "width": W}, do_rescale=True, do_normalize=True)
 
+    if sched == "unipc":
+        ref_sched = UniPCMultistepScheduler(
+            solver_order=2, prediction_type="flow_prediction",
+            use_flow_sigmas=True, flow_shift=3.0)
+        our_sched = UniPCScheduler(shift=3.0)
+    else:
+        ref_sched = FlowMatchEulerDiscreteScheduler(shift=3.0)
+        our_sched = FlowMatchEulerScheduler(shift=3.0)
     ref_pipe = WanImageToVideoMOTPipeline(
         tokenizer=tok, text_encoder=umt5, image_encoder=clip, image_processor=proc,
-        transformer=tr, vae=vae,
-        scheduler=FlowMatchEulerDiscreteScheduler(shift=3.0))
+        transformer=tr, vae=vae, scheduler=ref_sched)
 
     rng = np.random.default_rng(0)
     img_arr, img_pil = _pil_video(rng, 1, H, W)
@@ -363,8 +375,7 @@ def test_wan_pipeline_latent_parity(torch_reference, monkeypatch):
 
     pipe = WanVAPPipeline(
         transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg, clip_cfg=clip_cfg,
-        params=params, tokenizer=tok,
-        scheduler=FlowMatchEulerScheduler(shift=3.0), dtype=jnp.float32)
+        params=params, tokenizer=tok, scheduler=our_sched, dtype=jnp.float32)
     with jax.default_device(jax.devices("cpu")[0]):
         got = pipe(
             image=(img_arr[0].astype(np.float32) / 127.5 - 1.0),
