@@ -6,10 +6,12 @@ and the VAE decode, then prints ONE JSON line:
 
   {"metric": ..., "value": <sec/video per chip>, "unit": "s", "vs_baseline": ...}
 
-A v5e chip (16 GB HBM) cannot hold the full 10B-param (5B frozen + 5B MoT)
-model in bf16, so the DiT depth is scaled down (VAP_BENCH_BLOCKS, default 18
-of 42) and per-step time is extrapolated linearly in depth — per-block compute
-is homogeneous (every block carries MoT in the released config), making the
+With the default W8A8 projections the FULL 42-block model (~9.5 GB of int8
+weights) fits the 16 GB v5e chip, so the step time is MEASURED at real depth
+(no extrapolation). With VAP_BENCH_INT8_LINEAR=0 the 10B-param bf16 model
+does not fit: depth is scaled down (VAP_BENCH_BLOCKS, default 18 of 42) and
+per-step time is extrapolated linearly in depth — per-block compute is
+homogeneous (every block carries MoT in the released config), making the
 extrapolation exact up to the (measured) non-block overhead.
 
 Baseline: the reference publishes no latency numbers (BASELINE.md). We use a
@@ -54,19 +56,66 @@ from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
 A100_BASELINE_SEC = 600.0  # documented estimate; reference publishes none
 
 
-def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16):
+def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16, int8: bool = False):
     """Init stacked block leaves directly at [L, ...] (no per-block stack copy),
-    so a near-HBM-sized model can be materialized without a 2x peak."""
+    so a near-HBM-sized model can be materialized without a 2x peak.
+
+    With int8=True the block projection kernels are materialized directly in
+    their W8A8 quantized form ({'w_i8','s_w'}, per-output-channel scales):
+    each stacked kernel is generated+quantized one L-slice at a time under
+    `lax.map`, so the bf16 intermediate never exceeds one block's slice and
+    the FULL 42-block model (~9.5 GB int8) fits a 16 GB v5e — the bench then
+    measures the real depth instead of extrapolating 18->42."""
+    import functools
+
+    from vap_tpu.models.common import INT8_LINEAR_NAMES, quantize_linear_int8
+
     key = jax.random.PRNGKey(0)
     proto = jax.eval_shape(lambda k: _init_block(k, cfg, True, dtype), key)
     L = cfg.num_layers
 
-    leaves, treedef = jax.tree_util.tree_flatten(proto)
-    out_leaves = []
-    for i, leaf in enumerate(leaves):
-        k = jax.random.fold_in(key, i)
-        out_leaves.append(jax.random.normal(k, (L,) + leaf.shape, dtype) * 0.02)
-    blocks = jax.tree_util.tree_unflatten(treedef, out_leaves)
+    if not int8:
+        leaves, treedef = jax.tree_util.tree_flatten(proto)
+        out_leaves = []
+        for i, leaf in enumerate(leaves):
+            k = jax.random.fold_in(key, i)
+            out_leaves.append(jax.random.normal(k, (L,) + leaf.shape, dtype) * 0.02)
+        blocks = jax.tree_util.tree_unflatten(treedef, out_leaves)
+    else:
+        counter = iter(range(1 << 20))
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def gen(k, shape):
+            return jax.random.normal(k, (L,) + shape, dtype) * 0.02
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def gen_q(k, shape):
+            def one(kk):
+                w = jax.random.normal(kk, shape, dtype) * 0.02
+                q = quantize_linear_int8({"kernel": w})
+                return q["w_i8"], q["s_w"]
+
+            w_i8, s_w = jax.lax.map(one, jax.random.split(k, L))
+            return {"w_i8": w_i8, "s_w": s_w}
+
+        def build(node):
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    if k in INT8_LINEAR_NAMES and isinstance(v, dict) and "kernel" in v:
+                        q = gen_q(jax.random.fold_in(key, next(counter)),
+                                  tuple(v["kernel"].shape))
+                        if "bias" in v:
+                            q = dict(q, bias=build(v["bias"]))
+                        out[k] = q
+                    else:
+                        out[k] = build(v)
+                return out
+            if isinstance(node, (list, tuple)):
+                return type(node)(build(v) for v in node)
+            return gen(jax.random.fold_in(key, next(counter)), tuple(node.shape))
+
+        blocks = build(proto)
 
     dim = cfg.inner_dim
     patch_in = cfg.in_channels * cfg.patch_size * cfg.patch_size
@@ -114,7 +163,10 @@ V5E_BF16_PEAK = 197e12  # per-chip bf16 peak (v5e); int8 is 2x
 
 
 def main():
-    n_blocks = int(os.environ.get("VAP_BENCH_BLOCKS", "18"))
+    int8_linears = os.environ.get("VAP_BENCH_INT8_LINEAR", "1") == "1"
+    # int8-stored projections fit the FULL 42-block model in 16 GB v5e HBM;
+    # bf16 does not (10B params) and measures 18 blocks + linear extrapolation
+    n_blocks = int(os.environ.get("VAP_BENCH_BLOCKS", "42" if int8_linears else "18"))
     n_steps = int(os.environ.get("VAP_BENCH_STEPS", "3"))
     frames = int(os.environ.get("VAP_BENCH_FRAMES", "49"))
     height = int(os.environ.get("VAP_BENCH_HEIGHT", "480"))
@@ -132,20 +184,13 @@ def main():
     latent_channels = cfg.in_channels // 2
     T = cfg.max_text_seq_length
 
-    params = fast_init_transformer(cfg, dtype)
-    int8_linears = os.environ.get("VAP_BENCH_INT8_LINEAR", "1") == "1"
-    if int8_linears:
-        # W8A8 projections (per-out-channel weights + dynamic per-token
-        # activations on the int8 MXU) — DEFAULT ON: the denoise-trajectory
-        # accuracy gate (tests/test_int8_gate.py) holds final-latent cosine
-        # >= 0.999 and decoded PSNR >= 30 dB over a full multi-step VAP
-        # trajectory (measured 1.000 / 77 dB), the standard CLIP-parity
-        # proxy. Disable with VAP_BENCH_INT8_LINEAR=0.
-        from vap_tpu.models.common import quantize_transformer_linears
-
-        # jit + donate: the eager transform would hold the full bf16 tree,
-        # f32 intermediates, AND the int8 copy at peak (OOM at 18 blocks)
-        params = jax.jit(quantize_transformer_linears, donate_argnums=(0,))(params)
+    # W8A8 projections (per-out-channel weights + dynamic per-token
+    # activations on the int8 MXU) — DEFAULT ON: the denoise-trajectory
+    # accuracy gate (tests/test_int8_gate.py) holds final-latent cosine
+    # >= 0.999 and decoded PSNR >= 30 dB over a full multi-step VAP
+    # trajectory (measured 1.000 / 77 dB), the standard CLIP-parity
+    # proxy. Disable with VAP_BENCH_INT8_LINEAR=0.
+    params = fast_init_transformer(cfg, dtype, int8=int8_linears)
     jax.block_until_ready(params)
 
     kw = dict(attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
