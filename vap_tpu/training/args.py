@@ -30,10 +30,13 @@ class TrainingArgs:
     videoasprompt_mot_name_or_path: Optional[str] = None
     model_structure_config: Optional[str] = None  # JSON with block_idx_with_mot_ref etc.
     training_type: str = "video_as_prompt_mot"    # | sft | lora | dpo | control
-    # (the reference's --layerwise_upcasting is a torch fp8-storage trick with
-    # no TPU counterpart — bf16 params/compute natively cover that use case,
-    # so the flag is intentionally absent rather than silently ignored)
     transformer_dtype: str = "bfloat16"
+    # float8 STORAGE for the frozen base in LoRA training (reference
+    # args.py:406-409 + sft_trainer/trainer.py:184-190; training/layerwise.py)
+    layerwise_upcasting_modules: str = ""         # "" | "transformer"
+    layerwise_upcasting_storage_dtype: str = "float8_e4m3fn"  # | float8_e5m2
+    layerwise_upcasting_skip_modules_pattern: str = \
+        "patch_embed,pos_embed,x_embedder,context_embedder,time_embed,^proj_in$,^proj_out$,norm"
 
     # dataset
     dataset_config: Optional[str] = None
@@ -163,6 +166,17 @@ class TrainingArgs:
                              "valid: full, ops, block_skip")
         if self.checkpointing_n_layer < 1:
             raise ValueError("checkpointing_n_layer must be >= 1")
+        for m in filter(None, self.layerwise_upcasting_modules.split(",")):
+            if m != "transformer":  # reference args.py:759 (choices=["transformer"])
+                raise ValueError(
+                    f"unknown layerwise_upcasting module {m!r}; valid: transformer")
+        from .layerwise import STORAGE_DTYPES
+
+        if self.layerwise_upcasting_storage_dtype not in STORAGE_DTYPES:
+            raise ValueError(
+                f"unknown layerwise_upcasting_storage_dtype "
+                f"{self.layerwise_upcasting_storage_dtype!r}; "
+                f"valid: {tuple(STORAGE_DTYPES)}")
 
     def remat_mode(self):
         """Map the checkpointing flags onto the model forwards' remat arg."""

@@ -51,11 +51,32 @@ def init_lora(key, params, rank: int = 64, targets=DEFAULT_TARGETS, mot_only: bo
         make, params, is_leaf=lambda x: hasattr(x, "ndim"))
 
 
+def _non_storage_dtype(params):
+    """Compute dtype of a tree that may hold float8 STORAGE leaves
+    (training/layerwise.py): the first floating non-f8 leaf's dtype — norm
+    scales are never cast, so this is the dtype the tree was loaded in."""
+    from .layerwise import FLOAT8_DTYPES
+
+    for x in jax.tree_util.tree_leaves(params):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) \
+                and jnp.dtype(x.dtype) not in FLOAT8_DTYPES:
+            return x.dtype
+    return jnp.bfloat16
+
+
 def apply_lora(params, lora, alpha: float = 64.0, rank: int = 64):
-    """Merged params: kernel + (alpha/rank) * A @ B (batched over stacked leading dims)."""
+    """Merged params: kernel + (alpha/rank) * A @ B (batched over stacked leading
+    dims). float8 storage leaves (--layerwise_upcasting) are upcast to the
+    tree's compute dtype here, inside the jitted step — the merged buffers are
+    transient, so the resident tree stays at half size."""
+    from .layerwise import FLOAT8_DTYPES
+
     scale = alpha / rank
+    compute = _non_storage_dtype(params)
 
     def merge(p, l):
+        if jnp.dtype(p.dtype) in FLOAT8_DTYPES:
+            p = p.astype(compute)
         if l is None:
             return p
         delta = jnp.einsum("...ir,...ro->...io", l["A"], l["B"]) * scale

@@ -115,8 +115,11 @@ def _compute_dtype(params) -> Any:
     the reference trains bf16 params under torch autocast (MixedPrecisionPolicy
     param=bf16, ptd.py:479-512); keying off the loader's dtype silently ran
     the whole DiT in fp32 whenever embeds arrived as fp32 (4.8 -> measured
-    faster in bf16 on the train bench)."""
-    return jax.tree_util.tree_leaves(params)[0].dtype
+    faster in bf16 on the train bench). float8 STORAGE leaves
+    (--layerwise_upcasting) are never a compute dtype — skip them."""
+    from .lora import _non_storage_dtype
+
+    return _non_storage_dtype(params)
 
 
 def trainable_mask(params) -> Any:

@@ -164,6 +164,16 @@ class SFTTrainer:
         elif self.lora_mode:
             from .train_step import make_lora_sft_step, parse_target_modules
 
+            if (args.training_type == "lora"
+                    and "transformer" in args.layerwise_upcasting_modules):
+                # float8 storage for the frozen base (reference gates this on
+                # LORA + "transformer", sft_trainer/trainer.py:184-190);
+                # apply_lora upcasts back to compute dtype inside the step
+                from .layerwise import cast_layerwise_storage
+
+                params = cast_layerwise_storage(
+                    params, args.layerwise_upcasting_storage_dtype,
+                    tuple(args.layerwise_upcasting_skip_modules_pattern.split(",")))
             init_fn, grad_fn, apply_fn, step_fn = make_lora_sft_step(
                 loss_fn, self.step_cfg, self.optimizer,
                 rank=args.rank, alpha=float(args.lora_alpha),
