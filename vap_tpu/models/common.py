@@ -9,6 +9,7 @@ transpose.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -42,6 +43,11 @@ def init_layer_norm(dim: int, affine: bool = True, dtype=jnp.float32):
 
 def linear(p, x: Array) -> Array:
     if "w_i8" in p:
+        if os.environ.get("VAP_INT8_PALLAS", "0") == "1":
+            from vap_tpu.ops.int8_matmul import int8_linear_pallas, supported
+
+            if supported(p, x):
+                return int8_linear_pallas(p, x)
         return _int8_linear(p, x)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
@@ -86,7 +92,15 @@ def quantize_linear_int8(p):
 def quantize_transformer_linears(params, names=INT8_LINEAR_NAMES):
     """Replace the attention/FFN projection kernels of a param pytree with
     int8 per-channel quantized forms; `linear()` dispatches on the result.
-    Inference-only (halves projection HBM + runs the GEMMs on the int8 MXU)."""
+    Inference-only (halves projection HBM + runs the GEMMs on the int8 MXU).
+
+    NB quantize-time QKV fusion (one [D, 3D] `to_qkv` projection per
+    self-attention) was implemented and A/B-measured in-model: 15.41 vs
+    15.29 s/step — no gain, despite the standalone int8 `dot_general` rate
+    rising with N (131 TFLOP/s at N=3072 vs 233 at 12288; scripts/
+    linear_bench.py --impl nsweep). In the compiled model XLA already
+    pipelines the three same-input GEMMs back-to-back, so the wide-N win
+    does not survive; the fusion was dropped (docs/ROOFLINE.md)."""
     def rec(node):
         if isinstance(node, dict):
             out = {}
