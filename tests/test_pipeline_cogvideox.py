@@ -93,6 +93,42 @@ def test_end_to_end_generation(tiny_pipeline, scheduler_cls, monkeypatch):
     assert np.isfinite(video).all()
 
 
+def test_patch_size_t_divisible_frames(monkeypatch):
+    """CogVideoX 1.5 (patch_size_t=2) with a latent frame count already
+    divisible by patch_size_t: F=13 -> 4 latent frames, so no padding is
+    needed anywhere. The reference's `pt - size % pt` ref padding adds a
+    full extra pt here and crashes at the ref/ref-image concat
+    (prepare_latents :424-442); our `-size % pt` form makes this work."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4, patch_size_t=2)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(7)
+    pipe = CogVideoXVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
+        params={
+            "transformer": init_cogvideox_mot(key, t_cfg),
+            "vae": _init_vae_params(key, vae_cfg),
+            "text_encoder": init_t5_encoder(key, txt_cfg),
+        },
+        tokenizer=FakeTokenizer(), scheduler=CogVideoXDDIMScheduler(),
+        dtype=jnp.float32,
+    )
+    H = W = 32
+    F = 13  # (13-1)//4 + 1 = 4 latent frames, divisible by pt=2
+    image = np.random.default_rng(4).uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    ref_video = np.random.default_rng(5).uniform(-1, 1, (F, H, W, 3)).astype(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        lat = pipe(
+            image=image, prompt="a cat", ref_videos=[ref_video],
+            prompt_mot_ref=["fx"], height=H, width=W, num_frames=F,
+            num_inference_steps=1, guidance_scale=6.0,
+            max_sequence_length=t_cfg.max_text_seq_length,
+            output_type="latent",
+        )
+    assert lat.shape[1] == 4 and np.isfinite(lat).all()
+
+
 @pytest.mark.parametrize("mode", ["ablation_single_branch", "baseline_single_condition"])
 def test_single_branch_modes(tiny_pipeline, monkeypatch, mode):
     monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")

@@ -324,11 +324,16 @@ class CogVideoXVAPPipeline:
             rl = self._vae_encode_mode(rv_j)
             if pt is not None:
                 # reference prepare_latents :424-442: pad refs by repeating
-                # the LAST latent frame (pt - size % pt frames, i.e. a full
-                # extra pt when already divisible — faithful to the quirk)
-                extra = pt - rl.shape[1] % pt
-                rl = jnp.concatenate(
-                    [rl, jnp.broadcast_to(rl[:, -1:], (1, extra) + rl.shape[2:])], axis=1)
+                # the LAST latent frame up to a multiple of patch_size_t.
+                # NB the reference computes `pt - size % pt`, which adds a
+                # full extra pt when already divisible and then crashes at
+                # the ref/ref-image channel concat (shape mismatch vs the
+                # unpadded target); here the pad is 0 in that case so even
+                # latent frame counts (e.g. 29f -> 8 latents at pt=2) work.
+                extra = -rl.shape[1] % pt
+                if extra:
+                    rl = jnp.concatenate(
+                        [rl, jnp.broadcast_to(rl[:, -1:], (1, extra) + rl.shape[2:])], axis=1)
             ref_lat_list.append(rl)
             first = rv_j[:, :1]
             fl = self._vae_encode_mode(first, image_cond=True)
