@@ -68,7 +68,8 @@ def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16, int8: boo
     measures the real depth instead of extrapolating 18->42."""
     import functools
 
-    from vap_tpu.models.common import INT8_LINEAR_NAMES, quantize_linear_int8
+    from vap_tpu.models.common import (
+        INT8_LINEAR_NAMES, map_transformer_linears, quantize_linear_int8)
 
     key = jax.random.PRNGKey(0)
     proto = jax.eval_shape(lambda k: _init_block(k, cfg, True, dtype), key)
@@ -98,24 +99,20 @@ def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16, int8: boo
             w_i8, s_w = jax.lax.map(one, jax.random.split(k, L))
             return {"w_i8": w_i8, "s_w": s_w}
 
-        def build(node):
-            if isinstance(node, dict):
-                out = {}
-                for k, v in node.items():
-                    if k in INT8_LINEAR_NAMES and isinstance(v, dict) and "kernel" in v:
-                        q = gen_q(jax.random.fold_in(key, next(counter)),
-                                  tuple(v["kernel"].shape))
-                        if "bias" in v:
-                            q = dict(q, bias=build(v["bias"]))
-                        out[k] = q
-                    else:
-                        out[k] = build(v)
-                return out
-            if isinstance(node, (list, tuple)):
-                return type(node)(build(v) for v in node)
+        def gen_leaf(node):
             return gen(jax.random.fold_in(key, next(counter)), tuple(node.shape))
 
-        blocks = build(proto)
+        def quantize_proto(v):
+            q = gen_q(jax.random.fold_in(key, next(counter)),
+                      tuple(v["kernel"].shape))
+            if "bias" in v:
+                q = dict(q, bias=gen_leaf(v["bias"]))
+            return q
+
+        # map_transformer_linears owns the which-projections-match rule, so
+        # this init stays in lockstep with quantize_transformer_linears.
+        blocks = map_transformer_linears(
+            proto, quantize_proto, INT8_LINEAR_NAMES, leaf_fn=gen_leaf)
 
     dim = cfg.inner_dim
     patch_in = cfg.in_channels * cfg.patch_size * cfg.patch_size

@@ -10,10 +10,11 @@ Usage: python scripts/linear_bench.py [--n 3072|12288] [--impl all|pallas]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -69,3 +69,27 @@ def test_quantize_transformer_forward_cos():
     ref, _ = cogvideox_mot_forward(params, cfg, **args)
     got, _ = cogvideox_mot_forward(qparams, cfg, **args)
     assert _cos(got, ref) > 0.999
+
+
+def test_bench_int8_fast_init_matches_quantize_traversal():
+    """bench.py's quantized fast-init must produce exactly the tree that
+    quantizing the bf16 fast-init produces: same structure, shapes, dtypes.
+    Both now share models/common.py map_transformer_linears as the match
+    rule; this guards the int8 branch the bench runs by default on TPU
+    (tests/test_bench_smoke.py pins VAP_BENCH_INT8_LINEAR=0 for speed, so
+    without this test the branch would ship untested)."""
+    import bench
+    from vap_tpu.models.cogvideox.config import CogVideoXMOTConfig
+
+    cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    p8 = bench.fast_init_transformer(cfg, int8=True)
+    pq = quantize_transformer_linears(bench.fast_init_transformer(cfg, int8=False))
+
+    assert jax.tree_util.tree_structure(p8) == jax.tree_util.tree_structure(pq)
+    n_q = 0
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(p8)[0],
+            jax.tree_util.tree_flatten_with_path(pq)[0]):
+        assert a.shape == b.shape and a.dtype == b.dtype, path
+        n_q += any(getattr(k, "key", None) == "w_i8" for k in path)
+    assert n_q > 0  # the int8 projections actually exist

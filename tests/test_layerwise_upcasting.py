@@ -113,3 +113,26 @@ def test_default_skip_patterns_match_reference():
     assert DEFAULT_SKIP_PATTERNS == (
         "patch_embed", "pos_embed", "x_embedder", "context_embedder",
         "time_embed", "^proj_in$", "^proj_out$", "norm")
+
+def test_dotted_skip_patterns_and_matched_nothing_refusal():
+    """Reference-style dotted module patterns (diffusers matches fully-
+    qualified names like 'blocks.0.ff.net_0') must work, and a pattern set
+    matching nothing must raise instead of silently casting every leaf
+    (which would lose the tree's compute dtype)."""
+    mcfg = CogVideoXMOTConfig.tiny(in_channels=4, out_channels=2)
+    params = _params(mcfg)
+
+    cast = cast_layerwise_storage(
+        params, "float8_e4m3fn", DEFAULT_SKIP_PATTERNS + ("ff.net",))
+    blk = cast["blocks"][0]
+    assert blk["ff"]["net_0"]["kernel"].dtype == jnp.bfloat16
+    assert blk["attn1"]["to_q"]["kernel"].dtype == jnp.float8_e4m3fn
+
+    with pytest.raises(ValueError, match="matched no module"):
+        cast_layerwise_storage(params, "float8_e4m3fn", ("zzz_nothing",))
+    with pytest.raises(ValueError, match="matched no module"):
+        cast_layerwise_storage(params, "float8_e4m3fn", ("",))
+
+    with pytest.raises(ValueError, match="bad regex"):
+        TrainingArgs(pretrained_model_name_or_path="x",
+                     layerwise_upcasting_skip_modules_pattern="(").validate()

@@ -101,21 +101,29 @@ def quantize_transformer_linears(params, names=INT8_LINEAR_NAMES):
     linear_bench.py --impl nsweep). In the compiled model XLA already
     pipelines the three same-input GEMMs back-to-back, so the wide-N win
     does not survive; the fusion was dropped (docs/ROOFLINE.md)."""
-    def rec(node):
-        if isinstance(node, dict):
-            out = {}
-            for k, v in node.items():
-                if k in names and isinstance(v, dict) and "kernel" in v:
-                    out[k] = quantize_linear_int8(v)
-                else:
-                    out[k] = rec(v)
-            return out
-        if isinstance(node, (list, tuple)):
-            t = type(node)
-            return t(rec(v) for v in node)
-        return node
+    return map_transformer_linears(params, quantize_linear_int8, names)
 
-    return rec(params)
+
+def map_transformer_linears(node, fn, names=INT8_LINEAR_NAMES, leaf_fn=None):
+    """Walk a param pytree and replace each projection-linear subdict
+    ({'kernel', 'bias'?} keyed by a name in `names`) with `fn(subdict)`;
+    every other leaf is passed through `leaf_fn` (identity when None).
+
+    This is THE match rule for which projections the W8A8 path covers —
+    shared by `quantize_transformer_linears` and bench.py's quantized
+    fast-init so the two cannot diverge."""
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k in names and isinstance(v, dict) and "kernel" in v:
+                out[k] = fn(v)
+            else:
+                out[k] = map_transformer_linears(v, fn, names, leaf_fn)
+        return out
+    if isinstance(node, (list, tuple)):
+        return type(node)(map_transformer_linears(v, fn, names, leaf_fn)
+                          for v in node)
+    return leaf_fn(node) if leaf_fn is not None else node
 
 
 def layer_norm(p, x: Array, eps: float = 1e-5) -> Array:

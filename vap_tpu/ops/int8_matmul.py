@@ -110,7 +110,14 @@ def int8_linear_pallas(p, x):
     """Drop-in for models/common.py `_int8_linear` on TPU backends.
 
     p: {"w_i8": [K, N] int8, "s_w": [N], "bias"?: [N]}; x: [..., K] bf16/f32.
+    Shapes the kernel cannot tile (K or N not a multiple of 128, or a stacked
+    >2-D weight — see `supported`) fall back to the XLA `_int8_linear` path so
+    the drop-in contract holds for every shape that path accepts.
     """
+    if not supported(p, x):
+        from vap_tpu.models.common import _int8_linear
+
+        return _int8_linear(p, x)
     w_i8, s_w = p["w_i8"], p["s_w"]
     K, N = w_i8.shape
     bias = p.get("bias")

@@ -177,6 +177,15 @@ class TrainingArgs:
                 f"unknown layerwise_upcasting_storage_dtype "
                 f"{self.layerwise_upcasting_storage_dtype!r}; "
                 f"valid: {tuple(STORAGE_DTYPES)}")
+        import re as _re
+
+        for p in filter(None, self.layerwise_upcasting_skip_modules_pattern.split(",")):
+            try:
+                _re.compile(p)
+            except _re.error as e:
+                raise ValueError(
+                    f"bad regex in layerwise_upcasting_skip_modules_pattern "
+                    f"{p!r}: {e}") from None
 
     def remat_mode(self):
         """Map the checkpointing flags onto the model forwards' remat arg."""

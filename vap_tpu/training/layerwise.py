@@ -40,17 +40,40 @@ FLOAT8_DTYPES = tuple(jnp.dtype(d) for d in STORAGE_DTYPES.values())
 def cast_layerwise_storage(params, storage_dtype="float8_e4m3fn",
                            skip_patterns: Sequence[str] = DEFAULT_SKIP_PATTERNS):
     """Cast floating param leaves to a float8 storage dtype, except leaves
-    whose path contains a component matching any skip pattern (re.search,
-    mirroring diffusers' module-name matching)."""
+    under a module whose fully-qualified dotted name matches any skip pattern.
+
+    Matching mirrors diffusers' apply_layerwise_casting: during recursion every
+    module's dotted fqn ("blocks.0.ff.net_0") is re.search'd against the
+    patterns and a match skips the whole subtree — so reference-style dotted
+    patterns like "ff.net" work, and anchored ones ("^proj_out$") only hit
+    top-level modules. The leaf's own param name ("kernel"/"bias") is not a
+    module and is excluded from matching.
+
+    Raises if the patterns end up skipping nothing: the feature's contract is
+    that norms/embeddings stay in the load dtype (that surviving dtype is also
+    how `apply_lora` recovers the compute dtype), so casting every leaf is
+    always a mis-configuration, not a valid request."""
     dt = STORAGE_DTYPES[storage_dtype] if isinstance(storage_dtype, str) else storage_dtype
     pats = [re.compile(p) for p in skip_patterns if p]
+    counts = [0, 0]  # cast, skipped
 
     def cast(path, leaf):
         if not hasattr(leaf, "dtype") or not jnp.issubdtype(leaf.dtype, jnp.floating):
             return leaf
         names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
-        if any(p.search(n) for n in names for p in pats):
+        mods = names[:-1] if len(names) > 1 else names
+        fqns = [".".join(mods[: i + 1]) for i in range(len(mods))]
+        if any(p.search(f) for f in fqns for p in pats):
+            counts[1] += 1
             return leaf
+        counts[0] += 1
         return leaf.astype(dt)
 
-    return jax.tree_util.tree_map_with_path(cast, params)
+    out = jax.tree_util.tree_map_with_path(cast, params)
+    if counts[0] and not counts[1]:
+        raise ValueError(
+            "layerwise_upcasting skip patterns matched no module: every "
+            f"floating leaf would be stored as {storage_dtype} and the tree's "
+            "compute dtype would be unrecoverable. Check "
+            f"--layerwise_upcasting_skip_modules_pattern (got {list(skip_patterns)!r}).")
+    return out

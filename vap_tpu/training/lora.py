@@ -53,8 +53,11 @@ def init_lora(key, params, rank: int = 64, targets=DEFAULT_TARGETS, mot_only: bo
 
 def _non_storage_dtype(params):
     """Compute dtype of a tree that may hold float8 STORAGE leaves
-    (training/layerwise.py): the first floating non-f8 leaf's dtype — norm
-    scales are never cast, so this is the dtype the tree was loaded in."""
+    (training/layerwise.py): the first floating non-f8 leaf's dtype.
+    `cast_layerwise_storage` refuses to cast every floating leaf, so a tree it
+    produced always keeps at least one leaf (norm scales under the default
+    skip patterns) in the dtype it was loaded in; the bf16 fallback only
+    covers hand-built all-f8 trees."""
     from .layerwise import FLOAT8_DTYPES
 
     for x in jax.tree_util.tree_leaves(params):
