@@ -19,6 +19,15 @@ if not os.environ.get("VAP_TEST_TPU"):
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent XLA:CPU compile cache: the fast suite is compile-dominated on
+# this 1-core host (train steps, VAEs, golden-parity pipelines), so warm
+# reruns save ~half the wall time. Machine-scoped — XLA:CPU AOT executables
+# from another host can SIGILL. Low threshold: the suite's cost is a long
+# tail of 1-10 s compiles, not a few big ones.
+from vap_tpu.utils.cache import enable_compilation_cache, machine_scoped_cache_dir  # noqa: E402
+
+enable_compilation_cache(machine_scoped_cache_dir(), min_compile_time_secs=1.0)
+
 # Set the GLOBAL default device to CPU (not just the per-test pin below):
 # module-level jnp constants created at import time otherwise land on the
 # axon TPU backend, and any later use forces a TPU->CPU transfer that hangs
