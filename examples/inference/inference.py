@@ -129,7 +129,7 @@ def main():
     p.add_argument("--attn_provider", default="flash",
                    choices=["flash", "sage", "jax_flash", "xla", "ring"])
     p.add_argument("--cp_rotate_method", default="allgather",
-                   choices=["allgather", "ppermute"],
+                   choices=["allgather", "ppermute", "ulysses"],
                    help="KV rotation for sequence-parallel attention "
                         "(reference --cp_rotate_method allgather/alltoall)")
     p.add_argument("--num_frames", type=int, default=49)

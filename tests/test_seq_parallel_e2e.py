@@ -38,7 +38,7 @@ def mesh_seq2():
     return make_mesh(MeshConfig(seq=2), devs[:2])
 
 
-@pytest.mark.parametrize("rotate", ["allgather", "ppermute"])
+@pytest.mark.parametrize("rotate", ["allgather", "ppermute", "ulysses"])
 def test_pipeline_denoise_seq_parallel_parity(tiny_pipeline, mesh_seq2, rotate, monkeypatch):
     """The jit-scanned denoise loop under the ring provider on a seq=2 mesh
     must reproduce the single-device output."""

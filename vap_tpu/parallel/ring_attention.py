@@ -16,6 +16,16 @@ TPU-native equivalents of both:
   while a streaming online-softmax (m, l, acc) accumulates exact attention.
   KV memory stays O(S/n) per chip — use for very long joint sequences.
 
+- ``rotate_method="ulysses"``: head-scatter sequence parallelism (DeepSpeed-
+  Ulysses decomposition; no reference counterpart — SURVEY §2.3 marks it
+  absent upstream). One `all_to_all` reshards q/k/v from seq-sharded
+  [B, H, S/n, D] to head-sharded [B, H/n, S, D], local attention runs over
+  the FULL sequence on H/n heads, and one `all_to_all` reshards the output
+  back. Per-device comm is 4·(S/n)·H·D·(n-1)/n elements vs allgather-KV's
+  2·S·H·D·(n-1)/n — i.e. 2/n of the traffic, and it rides ICI as a single
+  fused collective. Needs H divisible by the seq degree; the joint-attention
+  softmax is exact because heads are independent.
+
 Exposed both as an explicit shard_map wrapper (`sequence_parallel_attention`)
 and through the "ring" provider of vap_tpu.ops.attention when an attention
 mesh context is installed.
@@ -110,9 +120,10 @@ def sequence_parallel_attention(
     same sharding. Softmax is exact for both rotate methods.
 
     rotate_method: "allgather" gathers full KV per shard (reference default);
-    "ppermute" streams KV blocks around the ring (O(S/n) KV memory).
+    "ppermute" streams KV blocks around the ring (O(S/n) KV memory);
+    "ulysses" all-to-alls to head sharding (lowest traffic when H % n == 0).
     """
-    if rotate_method not in ("allgather", "ppermute"):
+    if rotate_method not in ("allgather", "ppermute", "ulysses"):
         raise ValueError(f"unknown rotate_method: {rotate_method!r}")
     platform = _mesh_platform(mesh)
     if mesh.shape[axis] == 1:
@@ -120,9 +131,25 @@ def sequence_parallel_attention(
     n = mesh.shape[axis]
     sm_scale = scale if scale is not None else q.shape[-1] ** -0.5
 
+    if rotate_method == "ulysses" and q.shape[1] % n != 0:
+        raise ValueError(
+            f"rotate_method='ulysses' needs the head count divisible by the "
+            f"sequence degree: H={q.shape[1]} % {axis}={n} != 0. Use "
+            f"'allgather' or 'ppermute' for this config.")
+
     if rotate_method == "ppermute":
         def body(q_loc, k_loc, v_loc):
             return _ring_body(q_loc, k_loc, v_loc, axis=axis, n=n, scale=sm_scale)
+    elif rotate_method == "ulysses":
+        def body(q_loc, k_loc, v_loc):
+            # [B, H, S/n, D] -> [B, H/n, S, D]: scatter heads, gather tokens
+            qh, kh, vh = (
+                jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
+                                   tiled=True)
+                for x in (q_loc, k_loc, v_loc))
+            oh = _local_attention(qh, kh, vh, scale, platform)
+            return jax.lax.all_to_all(oh, axis, split_axis=2, concat_axis=1,
+                                      tiled=True)
     else:
         def body(q_loc, k_loc, v_loc):
             k_full = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)

@@ -23,6 +23,7 @@ class TrainingArgs:
     seq_degree: int = 1
     tensor_degree: int = 1
     cp_rotate_method: str = "allgather"   # | ppermute (reference alltoall analog)
+    #                                       | ulysses (head-scatter; no ref analog)
 
     # models
     model_name: str = "cogvideox"                 # cogvideox | wan
@@ -159,6 +160,10 @@ class TrainingArgs:
                 f"valid: {FLOW_WEIGHTING_SCHEMES}")
         if self.gradient_accumulation_steps < 1:
             raise ValueError("gradient_accumulation_steps must be >= 1")
+        if self.cp_rotate_method not in ("allgather", "ppermute", "ulysses"):
+            raise ValueError(
+                f"unknown cp_rotate_method {self.cp_rotate_method!r}; "
+                "valid: allgather, ppermute, ulysses")
         if self.ablation_scaling_data_num < 1:
             raise ValueError("ablation_scaling_data_num must be a positive integer")
         if self.checkpointing_type not in ("full", "ops", "block_skip"):
