@@ -127,7 +127,7 @@ def main():
     p.add_argument("--sp_degree", type=int, default=1,
                    help="sequence-parallel degree (reference --cp_degree)")
     p.add_argument("--attn_provider", default="flash",
-                   choices=["flash", "sage", "jax_flash", "xla", "ring"])
+                   choices=["flash", "flash_varlen", "sage", "jax_flash", "xla", "ring"])
     p.add_argument("--cp_rotate_method", default="allgather",
                    choices=["allgather", "ppermute", "ulysses"],
                    help="KV rotation for sequence-parallel attention "

@@ -34,7 +34,7 @@ from ..common import (
     sinusoidal_timestep_embedding,
     timestep_embedding_mlp,
 )
-from ...ops.attention import dense_attention
+from ...ops.attention import scaled_dot_product_attention
 from ...ops.rope import apply_rotary_emb, get_1d_rotary_pos_embed
 from .config import HunyuanVideoConfig
 
@@ -301,13 +301,23 @@ def hunyuan_video_forward(
     cos = cos.astype(jnp.float32)
     sin = sin.astype(jnp.float32)
 
-    key_bias = None
+    # Joint-stream key masking: [img tokens (all valid) ‖ txt valid prefix ‖
+    # txt padding] — right-padded tokenizer masks make the valid region a
+    # prefix, so the mask reduces to a per-sample KV length and the joint
+    # attention can run through the fused varlen kernels (the reference's
+    # FLASH_VARLEN makes the same right-padding assumption when deriving
+    # cu_seqlens, attention_dispatch.py:533-551). The "xla" provider's
+    # dense_attention_masked reproduces the previous inline biased-dense
+    # math bit-for-bit.
+    kv_lens = None
     if encoder_attention_mask is not None:
-        keep = jnp.concatenate([
-            jnp.ones((b, s_img), jnp.float32),
-            encoder_attention_mask.astype(jnp.float32)], axis=1)
-        key_bias = jnp.where(keep > 0, 0.0, -jnp.inf
-                             ).astype(jnp.float32)[:, None, None, :]
+        kv_lens = s_img + jnp.sum(
+            encoder_attention_mask.astype(jnp.int32), axis=-1)
+
+    def _joint_attention(q, k, v):
+        if kv_lens is None:
+            return scaled_dot_product_attention(q, k, v, site="joint")
+        return scaled_dot_product_attention(q, k, v, site="joint", kv_lens=kv_lens)
 
     # token-replace selectors: first-frame image tokens take the t=0 mods
     # (HunyuanVideoTokenReplace*Block :647-822). sel shape [1, S, 1].
@@ -348,7 +358,7 @@ def hunyuan_video_forward(
         q = jnp.concatenate([q, qc], axis=2)
         k = jnp.concatenate([k, kc], axis=2)
         v = jnp.concatenate([v, vc], axis=2)
-        out = _masked_attention(q, k, v, key_bias)
+        out = _joint_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, s_img + s_txt, dim)
         img_attn, txt_attn = out[:, :s_img], out[:, s_img:]
 
@@ -374,7 +384,7 @@ def hunyuan_video_forward(
         v = _heads(linear(a["to_v"], n), heads)
         q = jnp.concatenate([apply_rotary_emb(q[:, :, :s_img], cos, sin), q[:, :, s_img:]], axis=2)
         k = jnp.concatenate([apply_rotary_emb(k[:, :, :s_img], cos, sin), k[:, :, s_img:]], axis=2)
-        attn = _masked_attention(q, k, v, key_bias)
+        attn = _joint_attention(q, k, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s_img + s_txt, dim)
         out = linear(bp["proj_out"], jnp.concatenate([attn, mlp], axis=-1))
         return x + (out.astype(jnp.float32) * gate).astype(dtype), None

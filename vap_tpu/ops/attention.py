@@ -5,6 +5,11 @@ The reference framework routes every SDPA call through a provider registry
 CUDA backends. On TPU one Pallas flash kernel covers the need; providers:
 
   * "flash"  — Pallas TPU flash attention (vap_tpu/ops/flash_attention.py)
+  * "flash_varlen" — same kernel family with per-sample KV lengths (the
+               reference's FLASH_VARLEN, attention_dispatch.py:809-889);
+               "flash" also routes to it automatically when the call site
+               passes kv_lens, mirroring how the reference derives
+               cu_seqlens from the attention mask
   * "sage"   — int8-QK flash attention (SageAttention analog; inference only —
                its VJP falls back to the bf16 kernel's backward)
   * "xla"    — plain jnp einsum softmax (XLA-fused; works on any backend)
@@ -31,7 +36,7 @@ Array = jnp.ndarray
 
 _state = threading.local()
 
-_VALID_PROVIDERS = ("flash", "sage", "jax_flash", "xla", "ring", "null")
+_VALID_PROVIDERS = ("flash", "flash_varlen", "sage", "jax_flash", "xla", "ring", "null")
 
 
 def _parse_provider_spec(spec: str) -> dict:
@@ -103,9 +108,11 @@ def dense_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(q.dtype)
 
 
-def jax_flash_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None) -> Array:
+def jax_flash_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None,
+                        kv_lens: Optional[Array] = None) -> Array:
     """jax.experimental.pallas library flash kernel with segment-id masking for
-    ragged lengths (requires seq % 512 == 0 internally; we pad and mask)."""
+    ragged lengths (requires seq % 512 == 0 internally; we pad and mask).
+    kv_lens adds per-sample valid KV lengths via the same segment ids."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         flash_attention as _lib_flash,
@@ -125,9 +132,13 @@ def jax_flash_attention(q: Array, k: Array, v: Array, scale: Optional[float] = N
 
     qp, kp, vp = padseq(q, pad_q), padseq(k, pad_kv), padseq(v, pad_kv)
     seg = None
-    if pad_q or pad_kv:
+    if pad_q or pad_kv or kv_lens is not None:
         q_ids = (jnp.arange(sq + pad_q) >= sq).astype(jnp.int32)[None].repeat(b, 0)
-        kv_ids = (jnp.arange(skv + pad_kv) >= skv).astype(jnp.int32)[None].repeat(b, 0) * 2
+        if kv_lens is not None:
+            kv_ids = (jnp.arange(skv + pad_kv)[None]
+                      >= kv_lens.astype(jnp.int32)[:, None]).astype(jnp.int32) * 2
+        else:
+            kv_ids = (jnp.arange(skv + pad_kv) >= skv).astype(jnp.int32)[None].repeat(b, 0) * 2
         seg = SegmentIds(q=q_ids, kv=kv_ids)  # pads get non-matching ids
     bq = min(1024, qp.shape[2])
     bkv = min(1024, kp.shape[2])
@@ -138,6 +149,26 @@ def jax_flash_attention(q: Array, k: Array, v: Array, scale: Optional[float] = N
     return out[:, :, :sq]
 
 
+def dense_attention_masked(q: Array, k: Array, v: Array,
+                           kv_lens: Optional[Array] = None,
+                           scale: Optional[float] = None) -> Array:
+    """Dense attention with per-sample valid KV lengths (suffix key masking).
+
+    f32 scores AND f32 AV — bit-parity with the masked-SDPA call sites the
+    models previously inlined (e.g. HunyuanVideo's key-biased joint
+    attention), which the reference runs through torch SDPA with an additive
+    float mask.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    if kv_lens is not None:
+        keep = jnp.arange(k.shape[2])[None, :] < kv_lens.astype(jnp.int32)[:, None]
+        s = s + jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(v.dtype)
+
+
 def scaled_dot_product_attention(
     q: Array,
     k: Array,
@@ -145,14 +176,46 @@ def scaled_dot_product_attention(
     scale: Optional[float] = None,
     provider: Optional[str] = None,
     site: str = "default",
+    kv_lens: Optional[Array] = None,
 ) -> Array:
-    """Full (non-causal, unmasked) attention over [B, H, S, D] tensors.
+    """Full (non-causal) attention over [B, H, S, D] tensors.
 
     `site` names the attention call site for per-site provider overrides
     ('joint' = MoT joint self-attention, 'cross' = Wan per-ref cross-attn).
+
+    `kv_lens` ([B] int, optional) gives per-sample valid KV lengths (suffix
+    key padding — the layout right-padded tokenizer masks produce). This is
+    the TPU-native FLASH_VARLEN/SAGE_VARLEN surface: the reference providers
+    derive cu_seqlens from the attention mask and unpad
+    (attention_dispatch.py:533-551); here the lengths mask inside the fused
+    kernels with no repacking. Queries are never masked (reference attn_mask
+    semantics are key-only).
     """
     provider = provider or get_attention_provider(site)
-    if provider == "flash":
+    if kv_lens is not None:
+        if provider in ("flash", "flash_varlen"):
+            from .flash_attention import flash_attention_varlen
+
+            return flash_attention_varlen(q, k, v, kv_lens, scale)
+        elif provider == "sage":
+            from .flash_attention import flash_attention_int8
+
+            return flash_attention_int8(q, k, v, scale, kv_lens=kv_lens)
+        elif provider == "jax_flash":
+            return jax_flash_attention(q, k, v, scale, kv_lens=kv_lens)
+        elif provider == "xla":
+            return dense_attention_masked(q, k, v, kv_lens, scale)
+        elif provider == "null":
+            pass  # fall through to the unmasked null stub below
+        elif provider == "ring":
+            raise ValueError(
+                "ring attention does not support kv_lens: the KV stream is "
+                "sequence-sharded, so per-sample suffix masking would need a "
+                "global length exchange. Run ragged-masked models under "
+                "'flash_varlen' (dp/fsdp/tensor sharding) instead.")
+        else:
+            raise ValueError(f"unknown attention provider {provider!r}")
+    if provider in ("flash", "flash_varlen"):
         return flash_attention(q, k, v, scale)
     elif provider == "sage":
         from .flash_attention import flash_attention_int8

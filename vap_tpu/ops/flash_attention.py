@@ -56,7 +56,7 @@ def _pad_to(x: Array, axis: int, multiple: int) -> Array:
 LANES = 128
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scale, kv_len, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc, *, scale, kv_len, block_k, varlen=False):
     """VPU-lean online-softmax step.
 
     The VPU, not the MXU, bounds D=64 attention, so:
@@ -84,13 +84,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc
     )  # [bq, bk]
 
     # padded key columns: one additive bias row (0 valid / -inf pad) — cheaper
-    # and more pipeline-friendly than per-step masking or lax.cond
-    if kv_len % block_k != 0:
+    # and more pipeline-friendly than per-step masking or lax.cond. varlen
+    # mode carries a per-(b,h) bias (ragged per-sample lengths) and always
+    # applies it.
+    if varlen:
+        s = s + kvb_ref[0, 0]
+    elif kv_len % block_k != 0:
         s = s + kvb_ref[0]
 
     m_prev = m_sc[:]  # [bq, 128]
     m_cur = jnp.max(s, axis=1)[:, None]  # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)   # [bq, 128]
+    if varlen:
+        # a fully-masked kv block leaves m at NEG_INF and exp(s - m) == 1 for
+        # its masked columns, polluting l; flooring m flushes those p to 0.
+        # Real scores below -1e4 nats are unreachable for sane activations.
+        m_new = jnp.maximum(m_new, -1e4)
     p_f32 = jnp.exp(s - jnp.tile(m_new, (1, block_k // LANES)))
     p = p_f32.astype(v_ref.dtype)
     alpha = jnp.exp(m_prev - m_new)      # [bq, 128]
@@ -154,9 +163,11 @@ def _fwd_kernel_scalar_bound(bnd_ref, q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_r
         lse_ref[0, 0] = (0.6931471805599453 * (bnd_ref[0, 0, 0] + jnp.log2(l_safe)))[:, 0]
 
 
-def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True):
+def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True,
+                             kv_lens=None):
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
+    varlen = kv_lens is not None
 
     qp = _pad_to(q.reshape(batch * heads, q_len, dim), 1, block_q)
     kp = _pad_to(k.reshape(batch * heads, kv_len, dim), 1, block_k)
@@ -166,20 +177,35 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True):
     nq = q_pad // block_q
     nk = k_pad // block_k
     # 8 sublanes: TPU lowering needs the last two block dims % (8, 128)
-    kv_bias = jnp.broadcast_to(
-        jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))
+    if varlen:
+        # per-(b,h) ragged lengths: every kv block needs its own bias row,
+        # and the scalar-bound path is skipped (its reference point and
+        # underflow probe are computed over ALL keys, which per-sample
+        # invalid keys would corrupt) — the running-max kernel is exact.
+        use_bound = False
+        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
+        valid = jnp.arange(k_pad)[None, :] < lens_bh[:, None]          # [bh, k_pad]
+        kv_bias = jnp.broadcast_to(
+            jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, :],
+            (bh, 8, k_pad))
+        kvb_spec = pl.BlockSpec((1, 8, block_k), lambda b, qi, ki: (b, 0, ki))
+    else:
+        kv_bias = jnp.broadcast_to(
+            jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))
+        kvb_spec = pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki))
 
     grid = (bh, nq, nk)
 
     def _runmax_call(qp, kp, vp, kv_bias):
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+            functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
+                              varlen=varlen),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
                 pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
-                pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki)),
+                kvb_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
@@ -366,9 +392,22 @@ def _fwd_kernel_t_bound(qt_ref, bnd_ref, k_ref, vt_ref, o_ref, lse_ref, acc_sc, 
         lse_ref[0, 0] = (0.6931471805599453 * (bnd_ref[0] + jnp.log2(l_safe)))[0]
 
 
-def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True):
+def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True,
+                               kv_lens=None):
     """Transposed-layout tiled forward. Same contract as
-    _flash_attention_forward (returns out [B,H,Sq,D] and natural-log lse)."""
+    _flash_attention_forward (returns out [B,H,Sq,D] and natural-log lse).
+
+    kv_lens ([B] int): per-sample valid KV length (suffix padding). Ragged
+    masking rides the SAME extension rows the fixed-length path already
+    carries — the bias column of k_ext becomes per-(b,h), and invalid v
+    rows + their ones-row entries are zeroed so a fully-masked kv block
+    (where the running max never leaves NEG_INF and p == 1) still
+    contributes exactly zero to both the numerator and the denominator.
+    Invalid k rows are zeroed too, so the Hölder/CS reference point stays
+    tight over the valid keys (a garbage suffix would otherwise inflate it
+    until every valid exp2 underflows) while remaining a valid upper bound
+    for the zeroed rows — which the bias column pins to -1e30 regardless.
+    """
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
     # one extra contraction row for mask/rowsum; round sublanes up to 8
@@ -380,21 +419,38 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True)
     bh = qp.shape[0]
     q_pad, k_pad = qp.shape[1], kp.shape[1]
 
+    if kv_lens is not None:
+        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
+        valid = jnp.arange(k_pad)[None, :] < lens_bh[:, None]        # [bh, k_pad]
+        kv_bias_col = jnp.where(valid, 0.0, NEG_INF).astype(k.dtype)[:, :, None]
+        ones_col = valid.astype(v.dtype)[:, :, None]
+        vp = vp * valid[:, :, None].astype(vp.dtype)
+        # ZERO invalid k rows: the Hölder/CS bound below must be tight over
+        # VALID keys only — garbage in the masked suffix would otherwise
+        # inflate the reference point until every valid exp2 underflows
+        # (silent all-zero rows). The kernel never sees these rows' scores
+        # anyway (bias column pins them to -1e30); zeroed rows keep the
+        # bound an upper bound for them too.
+        kp = kp * valid[:, :, None].astype(kp.dtype)
+    else:
+        kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(k.dtype)
+        kv_bias_col = jnp.broadcast_to(kv_bias[None, :, None], (bh, k_pad, 1))
+        ones_col = jnp.ones((bh, k_pad, 1), v.dtype)
+
     # extended operands (one fused HBM pass each, ~ms at VAP sizes)
     qt = jnp.concatenate([
         (qp.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype),
         jnp.ones((bh, q_pad, 1), q.dtype),
         jnp.zeros((bh, q_pad, dim_ext - dim - 1), q.dtype),
     ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, q_pad]
-    kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(k.dtype)
     k_ext = jnp.concatenate([
         kp,
-        jnp.broadcast_to(kv_bias[None, :, None], (bh, k_pad, 1)),
+        kv_bias_col,
         jnp.zeros((bh, k_pad, dim_ext - dim - 1), k.dtype),
     ], axis=-1)  # [bh, k_pad, dim_ext]
     vt = jnp.concatenate([
         vp,
-        jnp.ones((bh, k_pad, 1), v.dtype),
+        ones_col,
         jnp.zeros((bh, k_pad, dim_ext - dim - 1), v.dtype),
     ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, k_pad]
 
@@ -407,6 +463,10 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True)
         # see the int8 bound path for why both are needed; -60 gives
         # two-sided exp2 headroom
         kf32 = k.reshape(bh, kv_len, dim).astype(jnp.float32)
+        if kv_lens is not None:
+            # bound over VALID keys only (invalid rows are bias-masked in the
+            # kernel, and zeroed rows keep the bound valid for them)
+            kf32 = kf32 * valid[:, :kv_len, None].astype(jnp.float32)
         qf32 = q.reshape(bh, q_len, dim).astype(jnp.float32) * (scale * LOG2_E)
         kmax = jnp.max(jnp.abs(kf32), axis=1)
         holder = jnp.einsum("bsd,bd->bs", jnp.abs(qf32), kmax)
@@ -574,8 +634,18 @@ def _fwd_kernel_t_i8_bound(sqk_ref, bnd_ref, kt_ref, qt_ref, vt_ref, o_ref, lse_
         lse_ref[0, 0] = (0.6931471805599453 * (bnd_ref[0] + jnp.log2(l_safe)))[0]
 
 
-def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=True):
-    """int8-QK transposed forward. Same contract as the bf16 forwards."""
+def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=True,
+                                  kv_lens=None):
+    """int8-QK transposed forward. Same contract as the bf16 forwards.
+
+    kv_lens: per-sample ragged masking is free here — it rides the same
+    vt zeroing the fixed-length path uses (invalid keys contribute zero to
+    numerator and denominator; their scores only perturb the running max,
+    which cancels exactly). Invalid k rows are zeroed BEFORE K-smoothing and
+    quantization so a garbage suffix can neither widen the int8 range nor
+    inflate the Hölder/CS bound (which must stay ≥ every in-kernel score —
+    zeroed rows score q·(-k_mean), safely inside it).
+    """
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
     if dim % 32 != 0:
@@ -586,6 +656,12 @@ def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=Tr
     kf = k.reshape(batch * heads, kv_len, dim).astype(jnp.float32)
     vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
     bh = qf.shape[0]
+
+    lens_bh = None
+    if kv_lens is not None:
+        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
+        kf = kf * (jnp.arange(kv_len)[None, :] < lens_bh[:, None]
+                   )[:, :, None].astype(jnp.float32)
 
     # K smoothing + per-(b,h) symmetric int8 quantization
     k_mean = jnp.mean(kf, axis=1, keepdims=True)
@@ -602,10 +678,16 @@ def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=Tr
     kt = _pad_to(k_i8, 1, block_k).transpose(0, 2, 1)   # [bh, dim, k_pad]
     q_pad, k_pad = qt.shape[2], kt.shape[2]
 
-    kv_valid = (jnp.arange(k_pad) < kv_len).astype(v.dtype)  # masks the ones row
+    if lens_bh is not None:
+        valid = jnp.arange(k_pad)[None, :] < lens_bh[:, None]        # [bh, k_pad]
+        valid_col = valid.astype(v.dtype)[:, :, None]
+        vp = vp * valid[:, :, None].astype(vp.dtype)
+    else:
+        kv_valid = (jnp.arange(k_pad) < kv_len).astype(v.dtype)  # masks the ones row
+        valid_col = jnp.broadcast_to(kv_valid[None, :, None], (bh, k_pad, 1))
     vt = jnp.concatenate([
         vp,
-        jnp.broadcast_to(kv_valid[None, :, None], (bh, k_pad, 1)),
+        valid_col,
         jnp.zeros((bh, k_pad, dim_ext - dim - 1), v.dtype),
     ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, k_pad]
 
@@ -694,13 +776,19 @@ def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=Tr
 def flash_attention_int8(q: Array, k: Array, v: Array,
                          scale: Optional[float] = None,
                          block_q: int = DEFAULT_BLOCK_Q_T,
-                         block_k: int = 512) -> Array:
-    """SageAttention-analog int8-QK flash attention (inference only)."""
+                         block_k: int = 512,
+                         kv_lens: Optional[Array] = None) -> Array:
+    """SageAttention-analog int8-QK flash attention (inference only).
+
+    kv_lens ([B] int, optional): per-sample valid KV length (suffix
+    padding) — the varlen analog of the reference's SAGE_VARLEN provider
+    (finetrainers/models/attention_dispatch.py:1593+).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     bq = max(min(block_q, _cdiv(q.shape[2], LANES) * LANES), LANES)
     bk = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
-    return _flash_attention_forward_t_i8(q, k, v, scale, bq, bk)[0]
+    return _flash_attention_forward_t_i8(q, k, v, scale, bq, bk, kv_lens=kv_lens)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -713,7 +801,7 @@ def _row_stat_tiled(row, block_k):
     lanes = jnp.tile(row[:, None], (1, LANES))
     return jnp.tile(lanes, (1, block_k // LANES))
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dq_ref, dq_sc, *, scale, kv_len, block_k):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dq_ref, dq_sc, *, scale, kv_len, block_k, varlen=False):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -724,7 +812,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dq_
     q = (q_ref[0].astype(jnp.float32) * scale).astype(k_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    if kv_len % block_k != 0:
+    if varlen:
+        s = s + kvb_ref[0, 0]
+    elif kv_len % block_k != 0:
         s = s + kvb_ref[0]
 
     p = jnp.exp(s - _row_stat_tiled(lse_ref[0, 0], s.shape[-1]))  # [bq, bk]
@@ -742,7 +832,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dq_
         dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dk_ref, dv_ref, dk_sc, dv_sc, *, scale, kv_len, block_k):
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dk_ref, dv_ref, dk_sc, dv_sc, *, scale, kv_len, block_k, varlen=False):
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
     ki = pl.program_id(1)
@@ -756,7 +846,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, kvb_ref, dk
     q = (q_ref[0].astype(jnp.float32) * scale).astype(k_ref.dtype)  # [bq, D]
     k = k_ref[0]  # [bk, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    if kv_len % block_k != 0:
+    if varlen:
+        s = s + kvb_ref[0, 0]
+    elif kv_len % block_k != 0:
         s = s + kvb_ref[0]
     p = jnp.exp(s - _row_stat_tiled(lse_ref[0, 0], s.shape[-1]))  # [bq, bk]
 
@@ -855,7 +947,7 @@ DEFAULT_BLOCK_K_BWD_T = 1024
 DEFAULT_BLOCK_K_BWD_T_F32 = 512
 
 
-def _flash_attention_backward_t(scale, block_q, block_k, res, g):
+def _flash_attention_backward_t(scale, block_q, block_k, res, g, kv_lens=None):
     q, k, v, out, lse = res
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
@@ -896,10 +988,19 @@ def _flash_attention_backward_t(scale, block_q, block_k, res, g):
         jnp.ones((bh, q_pad, 1), q.dtype),
         jnp.zeros((bh, q_pad, dim_ext - dim - 1), q.dtype),
     ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, q_pad]
-    kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(k.dtype)
+    if kv_lens is not None:
+        # varlen: per-(b,h) bias column — p = exp2(st - lse2) lands exactly 0
+        # for invalid keys, so their dk/dv rows and dq contributions vanish
+        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
+        kv_bias_col = jnp.where(
+            jnp.arange(k_pad)[None, :] < lens_bh[:, None], 0.0, NEG_INF
+        ).astype(k.dtype)[:, :, None]
+    else:
+        kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(k.dtype)
+        kv_bias_col = jnp.broadcast_to(kv_bias[None, :, None], (bh, k_pad, 1))
     k_ext = jnp.concatenate([
         kp,
-        jnp.broadcast_to(kv_bias[None, :, None], (bh, k_pad, 1)),
+        kv_bias_col,
         jnp.zeros((bh, k_pad, dim_ext - dim - 1), k.dtype),
     ], axis=-1)  # [bh, k_pad, dim_ext]
     vt = jnp.concatenate([
@@ -972,13 +1073,15 @@ def _flash_attention_backward_t(scale, block_q, block_k, res, g):
     return dq, dk, dv
 
 
-def _flash_attention_backward(scale, block_q, block_k, res, g):
+def _flash_attention_backward(scale, block_q, block_k, res, g, kv_lens=None):
     q, k, v, out, lse = res
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
+    varlen = kv_lens is not None
 
     if dim + 1 <= 128:
-        return _flash_attention_backward_t(scale, block_q, block_k, res, g)
+        return _flash_attention_backward_t(scale, block_q, block_k, res, g,
+                                           kv_lens=kv_lens)
 
     delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)  # [B,H,Sq]
 
@@ -998,11 +1101,22 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
     k_pad = kp.shape[1]
     nq = q_pad // block_q
     nk = k_pad // block_k
-    kv_bias = jnp.broadcast_to(
-        jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))
+    if varlen:
+        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
+        kv_bias = jnp.broadcast_to(
+            jnp.where(jnp.arange(k_pad)[None, :] < lens_bh[:, None], 0.0, NEG_INF
+                      ).astype(jnp.float32)[:, None, :], (bh, 8, k_pad))
+        kvb_spec_q = pl.BlockSpec((1, 8, block_k), lambda b, qi, ki: (b, 0, ki))
+        kvb_spec_k = pl.BlockSpec((1, 8, block_k), lambda b, ki, qi: (b, 0, ki))
+    else:
+        kv_bias = jnp.broadcast_to(
+            jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))
+        kvb_spec_q = pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki))
+        kvb_spec_k = pl.BlockSpec((8, block_k), lambda b, ki, qi: (0, ki))
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
+                          varlen=varlen),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
@@ -1011,7 +1125,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
             pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
             pl.BlockSpec((1, 1, block_q), lambda b, qi, ki: (b, 0, qi)),
-            pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki)),
+            kvb_spec_q,
         ],
         out_specs=pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, q_pad, dim), q.dtype),
@@ -1022,7 +1136,8 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
     )(qp, kp, vp, dop, lsep, deltap, kv_bias)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k),
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
+                          varlen=varlen),
         grid=(bh, nk, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, dim), lambda b, ki, qi: (b, qi, 0)),
@@ -1031,7 +1146,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
             pl.BlockSpec((1, block_q, dim), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
             pl.BlockSpec((1, 1, block_q), lambda b, ki, qi: (b, 0, qi)),
-            pl.BlockSpec((8, block_k), lambda b, ki, qi: (0, ki)),
+            kvb_spec_k,
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, dim), lambda b, ki, qi: (b, ki, 0)),
@@ -1060,7 +1175,7 @@ def _flash_attention_backward(scale, block_q, block_k, res, g):
 # public API
 # ---------------------------------------------------------------------------
 
-def _forward_dispatch(q, k, v, scale, block_q, block_k):
+def _forward_dispatch(q, k, v, scale, block_q, block_k, kv_lens=None):
     """Pick the forward layout. The transposed kernel wins whenever the ones
     row fits inside the MXU's native 128-deep contraction (D+1 <= 128, i.e.
     every D < 128 pays nothing for it); at D >= 128 the extra row would add a
@@ -1074,14 +1189,14 @@ def _forward_dispatch(q, k, v, scale, block_q, block_k):
         # so short sequences don't pad to a huge tile
         bq = max(min(block_q, _cdiv(q.shape[2], LANES) * LANES), LANES)
         bk = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
-        return _flash_attention_forward_t(q, k, v, scale, bq, bk)
+        return _flash_attention_forward_t(q, k, v, scale, bq, bk, kv_lens=kv_lens)
     if (block_q, block_k) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K):
         # tuned row-forward blocks: 163.3 TFLOP/s at D=128 (2048,1024) vs
         # 159.1 at (1024,1024) — sweep in scripts/attn_bench.py --dim 128
         block_q = 2048
     block_q = max(min(block_q, _cdiv(q.shape[2], 8) * 8), 8)
     block_k = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
-    return _flash_attention_forward(q, k, v, scale, block_q, block_k)
+    return _flash_attention_forward(q, k, v, scale, block_q, block_k, kv_lens=kv_lens)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -1114,3 +1229,56 @@ def _fa_bwd(scale, block_q, block_k, res, g):
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# varlen public API — the reference's FLASH_VARLEN provider
+# (finetrainers/models/attention_dispatch.py:809-889: per-sample cu_seqlens
+# derived from a right-padded attention mask). The TPU-native form keeps the
+# dense [B, H, S, D] layout and masks per-sample KEY suffixes inside the
+# kernels (no unpad/repad host work); queries stay unmasked, matching the
+# reference's key-only attn_mask semantics.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_varlen(
+    q: Array,
+    k: Array,
+    v: Array,
+    kv_lens: Array,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> Array:
+    """Fused full attention with per-sample valid KV lengths.
+
+    q/k/v: [B, H, S, D]; kv_lens: [B] int — sample b attends only to keys
+    [0, kv_lens[b]) (suffix padding, as produced by right-padded tokenizer
+    masks). Differentiable in q/k/v; dk/dv rows of invalid keys are zero.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, _ = _forward_dispatch(q, k, v, scale, block_q, block_k, kv_lens=kv_lens)
+    return out
+
+
+def _fav_fwd(q, k, v, kv_lens, scale, block_q, block_k):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, lse = _forward_dispatch(q, k, v, scale, block_q, block_k, kv_lens=kv_lens)
+    return out, (q, k, v, out, lse, kv_lens)
+
+
+def _fav_bwd(scale, block_q, block_k, res, g):
+    q, k, v, out, lse, kv_lens = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    dq, dk, dv = _flash_attention_backward(
+        scale, block_q, block_k, (q, k, v, out, lse), g, kv_lens=kv_lens)
+    import numpy as np  # float0 cotangent for the integer lengths
+
+    return dq, dk, dv, np.zeros(kv_lens.shape, jax.dtypes.float0)
+
+
+flash_attention_varlen.defvjp(_fav_fwd, _fav_bwd)
