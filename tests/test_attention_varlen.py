@@ -182,11 +182,54 @@ def test_dispatch_flash_varlen_provider_routes_to_kernel():
     np.testing.assert_allclose(np.asarray(got), np.asarray(full), atol=ATOL, rtol=2e-3)
 
 
-def test_dispatch_ring_with_kv_lens_raises():
-    q, k, v = _qkv(9, 1, 1, 64, 32)
-    with attention_provider("ring"):
-        with pytest.raises(ValueError, match="ring attention does not support"):
-            scaled_dot_product_attention(q, k, v, kv_lens=jnp.array([32], jnp.int32))
+# ---------------------------------------------------------------------------
+# varlen under sequence parallelism (beyond the reference: its ring providers
+# never supported varlen — FLASH_VARLEN lacks supports_cp)
+# ---------------------------------------------------------------------------
+
+def _mesh8():
+    from vap_tpu.parallel import MeshConfig, make_mesh
+
+    return make_mesh(MeshConfig(data=2, fsdp=2, seq=2, tensor=1),
+                     jax.devices("cpu")[:8])
+
+
+@pytest.mark.parametrize("rotate", ["allgather", "ppermute", "ulysses"])
+def test_seq_parallel_varlen_matches_masked_dense(rotate):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vap_tpu.parallel.ring_attention import sequence_parallel_attention
+
+    mesh = _mesh8()
+    q, k, v = _qkv(9, 2, 4, 64, 16)
+    # sample 1's valid region ends INSIDE the first of the two seq shards,
+    # leaving the second ring block fully masked for it
+    lens = jnp.array([64, 20], jnp.int32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = dense_attention_masked(q, k, v, lens)
+    spec = NamedSharding(mesh, P(None, None, "seq", None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    got = sequence_parallel_attention(qs, ks, vs, mesh, "seq",
+                                      rotate_method=rotate, kv_lens=lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dispatch_ring_with_kv_lens_uses_installed_mesh():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vap_tpu.parallel.ring_attention import attention_mesh
+
+    mesh = _mesh8()
+    q, k, v = _qkv(10, 2, 4, 64, 16)
+    lens = jnp.array([48, 17], jnp.int32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = dense_attention_masked(q, k, v, lens)
+    spec = NamedSharding(mesh, P(None, None, "seq", None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    with attention_mesh(mesh, "seq", rotate_method="ppermute"):
+        with attention_provider("ring"):
+            got = scaled_dot_product_attention(qs, ks, vs, kv_lens=lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
 
 
 # ---------------------------------------------------------------------------

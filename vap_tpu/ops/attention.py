@@ -208,11 +208,18 @@ def scaled_dot_product_attention(
         elif provider == "null":
             pass  # fall through to the unmasked null stub below
         elif provider == "ring":
-            raise ValueError(
-                "ring attention does not support kv_lens: the KV stream is "
-                "sequence-sharded, so per-sample suffix masking would need a "
-                "global length exchange. Run ragged-masked models under "
-                "'flash_varlen' (dp/fsdp/tensor sharding) instead.")
+            from ..parallel.ring_attention import (
+                get_attention_mesh, sequence_parallel_attention)
+
+            ctx = get_attention_mesh()
+            if ctx is None:
+                from .flash_attention import flash_attention_varlen
+
+                return flash_attention_varlen(q, k, v, kv_lens, scale)
+            mesh, axis, rotate_method = ctx
+            return sequence_parallel_attention(
+                q, k, v, mesh, axis, scale, rotate_method=rotate_method,
+                kv_lens=kv_lens)
         else:
             raise ValueError(f"unknown attention provider {provider!r}")
     if provider in ("flash", "flash_varlen"):

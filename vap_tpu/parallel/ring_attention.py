@@ -41,8 +41,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.attention import dense_attention
-from ..ops.flash_attention import flash_attention
+from ..ops.attention import dense_attention, dense_attention_masked
+from ..ops.flash_attention import flash_attention, flash_attention_varlen
 
 _ctx = threading.local()
 
@@ -66,9 +66,13 @@ def get_attention_mesh():
     return getattr(_ctx, "mesh_axis", None)
 
 
-def _local_attention(q, k, v, scale, platform: str):
+def _local_attention(q, k, v, scale, platform: str, kv_lens=None):
     if platform == "tpu":
+        if kv_lens is not None:
+            return flash_attention_varlen(q, k, v, kv_lens, scale)
         return flash_attention(q, k, v, scale)
+    if kv_lens is not None:
+        return dense_attention_masked(q, k, v, kv_lens, scale)
     return dense_attention(q, k, v, scale)
 
 
@@ -79,19 +83,38 @@ def _mesh_platform(mesh: Mesh) -> str:
         return jax.devices()[0].platform
 
 
-def _ring_body(q_loc, k_loc, v_loc, *, axis: str, n: int, scale: float):
+def _ring_body(q_loc, k_loc, v_loc, *, axis: str, n: int, scale: float,
+               kv_lens=None):
     """One shard's streaming ring attention: rotate KV blocks around the
     `axis` ring with ppermute, accumulating exact softmax online (fp32
     m/l/acc carry, flash-attention style). Exact for any block order because
-    softmax is permutation-invariant over keys."""
+    softmax is permutation-invariant over keys.
+
+    kv_lens ([B] int, replicated): per-sample GLOBAL valid KV length. The
+    perm sends block i -> i+1, so at ring step t this device (index `my`)
+    holds the KV shard that started on device (my - t) mod n; its global key
+    positions are block·skv + arange(skv), masked against kv_lens. A fully
+    masked block would leave the running max untouched at -1e30 and alias
+    p == 1, so the max is floored at -1e4 (unreachable by real scores) to
+    flush those p to exact zero.
+    """
     b, h, sq, d = q_loc.shape
+    skv = k_loc.shape[2]
     qf = q_loc.astype(jnp.float32) * scale
     perm = [(i, (i + 1) % n) for i in range(n)]
+    my = jax.lax.axis_index(axis) if kv_lens is not None else None
 
-    def step(carry, _):
+    def step(carry, t):
         acc, m, l, k_cur, v_cur = carry
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32))
+        if kv_lens is not None:
+            block = jnp.mod(my - t, n)
+            pos = block * skv + jnp.arange(skv)                      # global
+            keep = pos[None, :] < kv_lens.astype(jnp.int32)[:, None]  # [B, skv]
+            s = jnp.where(keep[:, None, None, :], s, -1e30)
         m_new = jnp.maximum(m, s.max(axis=-1))
+        if kv_lens is not None:
+            m_new = jnp.maximum(m_new, -1e4)
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
         l_new = l * corr + p.sum(axis=-1)
@@ -107,7 +130,9 @@ def _ring_body(q_loc, k_loc, v_loc, *, axis: str, n: int, scale: float):
         jnp.zeros((b, h, sq), jnp.float32),
         k_loc, v_loc,
     )
-    (acc, _, l, _, _), _ = jax.lax.scan(step, init, None, length=n)
+    (acc, _, l, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
+    if kv_lens is not None:
+        l = jnp.where(l == 0.0, 1.0, l)
     return (acc / l[..., None]).astype(q_loc.dtype)
 
 
@@ -115,6 +140,7 @@ def sequence_parallel_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     mesh: Mesh, axis: str = "seq", scale: Optional[float] = None,
     rotate_method: str = "allgather",
+    kv_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """q/k/v: [B, H, S, D] with S sharded over `axis`. Returns out with the
     same sharding. Softmax is exact for both rotate methods.
@@ -122,12 +148,19 @@ def sequence_parallel_attention(
     rotate_method: "allgather" gathers full KV per shard (reference default);
     "ppermute" streams KV blocks around the ring (O(S/n) KV memory);
     "ulysses" all-to-alls to head sharding (lowest traffic when H % n == 0).
+
+    kv_lens ([B] int, replicated across the mesh): per-sample GLOBAL valid
+    KV length (suffix padding) — varlen under sequence parallelism, which
+    the reference's ring providers never supported (FLASH_VARLEN lacks
+    supports_cp, attention_dispatch.py:779). allgather/ulysses see the full
+    KV stream locally, so the fused varlen kernels apply directly; ppermute
+    masks each rotating block against its global key offsets.
     """
     if rotate_method not in ("allgather", "ppermute", "ulysses"):
         raise ValueError(f"unknown rotate_method: {rotate_method!r}")
     platform = _mesh_platform(mesh)
     if mesh.shape[axis] == 1:
-        return _local_attention(q, k, v, scale, platform)
+        return _local_attention(q, k, v, scale, platform, kv_lens=kv_lens)
     n = mesh.shape[axis]
     sm_scale = scale if scale is not None else q.shape[-1] ** -0.5
 
@@ -138,25 +171,32 @@ def sequence_parallel_attention(
             f"'allgather' or 'ppermute' for this config.")
 
     if rotate_method == "ppermute":
-        def body(q_loc, k_loc, v_loc):
-            return _ring_body(q_loc, k_loc, v_loc, axis=axis, n=n, scale=sm_scale)
+        def body(q_loc, k_loc, v_loc, lens=None):
+            return _ring_body(q_loc, k_loc, v_loc, axis=axis, n=n,
+                              scale=sm_scale, kv_lens=lens)
     elif rotate_method == "ulysses":
-        def body(q_loc, k_loc, v_loc):
+        def body(q_loc, k_loc, v_loc, lens=None):
             # [B, H, S/n, D] -> [B, H/n, S, D]: scatter heads, gather tokens
             qh, kh, vh = (
                 jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
                                    tiled=True)
                 for x in (q_loc, k_loc, v_loc))
-            oh = _local_attention(qh, kh, vh, scale, platform)
+            oh = _local_attention(qh, kh, vh, scale, platform, kv_lens=lens)
             return jax.lax.all_to_all(oh, axis, split_axis=2, concat_axis=1,
                                       tiled=True)
     else:
-        def body(q_loc, k_loc, v_loc):
+        def body(q_loc, k_loc, v_loc, lens=None):
             k_full = jax.lax.all_gather(k_loc, axis, axis=2, tiled=True)
             v_full = jax.lax.all_gather(v_loc, axis, axis=2, tiled=True)
-            return _local_attention(q_loc, k_full, v_full, scale, platform)
+            return _local_attention(q_loc, k_full, v_full, scale, platform,
+                                    kv_lens=lens)
 
     spec = P(None, None, axis, None)
+    if kv_lens is not None:
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(spec, spec, spec, P(None)),
+            out_specs=spec, check_vma=False,
+        )(q, k, v, kv_lens.astype(jnp.int32))
     return jax.shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
