@@ -28,11 +28,16 @@ def main():
     p.add_argument("--heads", type=int, default=48)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--dim", type=int, default=64)
-    p.add_argument("--impl", default="row", choices=["row", "t", "i8", "i8b", "bwd"],
+    p.add_argument("--impl", default="row", choices=["row", "t", "i8", "i8b", "bwd",
+                                                     "varlen"],
                    help="row = original layout; t = transposed (S^T/O^T) forward; "
                         "i8 = int8-QK SageAttention analog; i8b = i8 with the "
                         "bound-softmax (no running max/rescale) kernel; "
-                        "bwd = backward pass (sweep via VAP_ATTN_BWD_BLOCKS)")
+                        "bwd = backward pass (sweep via VAP_ATTN_BWD_BLOCKS); "
+                        "varlen = per-sample KV lengths (alternating full / "
+                        "--varlen-frac of S)")
+    p.add_argument("--varlen-frac", type=float, default=0.4,
+                   help="valid-KV fraction for the ragged half of the batch")
     args = p.parse_args()
 
     B, H, S, D = args.batch, args.heads, args.seq, args.dim
@@ -107,9 +112,23 @@ def main():
                 jax.clear_caches()
         return
 
+    kv_lens = None
+    if args.impl == "varlen":
+        from vap_tpu.ops.flash_attention import flash_attention_varlen
+
+        lens = [S if i % 2 == 0 else int(S * args.varlen_frac) for i in range(B)]
+        kv_lens = jnp.asarray(lens, jnp.int32)
+        # useful flops only count valid keys; the kernel still streams the
+        # padded blocks (bias-masked), so this measures masking overhead too
+        flops = 4.0 * H * S * D * float(sum(lens))
+        print(f"kv_lens={lens} (effective flops {flops/1e12:.1f} T)")
+
     for bq, bk in configs:
         try:
-            if args.impl == "t":
+            if args.impl == "varlen":
+                fn = jax.jit(lambda q, k, v, bq=bq, bk=bk:
+                             flash_attention_varlen(q, k, v, kv_lens, None, bq, bk))
+            elif args.impl == "t":
                 from vap_tpu.ops.flash_attention import _flash_attention_forward_t
 
                 fn = jax.jit(lambda q, k, v, bq=bq, bk=bk:
