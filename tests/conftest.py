@@ -19,6 +19,19 @@ if not os.environ.get("VAP_TEST_TPU"):
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# Pin the CPU platform BEFORE any backend initializes: the host's remote-TPU
+# PJRT plugin (registered by sitecustomize, which pre-imports jax) otherwise
+# gets initialized inside every jax.devices(...) call — including
+# jax.devices("cpu") — and HANGS the whole suite whenever the tunnel service
+# wedges. jax_platforms="cpu" keeps backends() from ever touching it.
+# (Verified against a live wedged tunnel; env stripping can't work because
+# jax is already imported at interpreter startup.)
+if not os.environ.get("VAP_TEST_TPU"):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 # Persistent XLA:CPU compile cache: the fast suite is compile-dominated on
 # this 1-core host (train steps, VAEs, golden-parity pipelines), so warm
 # reruns save ~half the wall time. Machine-scoped — XLA:CPU AOT executables

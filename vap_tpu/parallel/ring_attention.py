@@ -130,9 +130,14 @@ def _ring_body(q_loc, k_loc, v_loc, *, axis: str, n: int, scale: float,
         jnp.zeros((b, h, sq), jnp.float32),
         k_loc, v_loc,
     )
-    (acc, _, l, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
     if kv_lens is not None:
+        (acc, _, l, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
         l = jnp.where(l == 0.0, 1.0, l)
+    else:
+        # xs=None keeps the jaxpr (and thus every persisted compile-cache
+        # entry for seq-parallel train/denoise graphs) identical to the
+        # pre-varlen form — scan-over-iota is a different cache key
+        (acc, _, l, _, _), _ = jax.lax.scan(step, init, None, length=n)
     return (acc / l[..., None]).astype(q_loc.dtype)
 
 
