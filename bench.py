@@ -31,12 +31,30 @@ attention, so the step is attention-MXU-bound, not overhead-bound).
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+
+# Fail FAST if the remote-TPU tunnel is wedged: its PJRT client creation
+# blocks forever inside the first jax.devices()/backend touch (no exception),
+# which would otherwise hang the whole bench run silently. The watchdog is
+# disarmed the moment backend init succeeds; normal startup takes seconds.
+_BACKEND_READY = threading.Event()
+
+
+def _backend_watchdog(timeout_s: float = float(os.environ.get("VAP_BENCH_INIT_TIMEOUT", 300))):
+    if not _BACKEND_READY.wait(timeout_s):
+        print(f"bench: jax backend init did not complete within {timeout_s:.0f}s "
+              f"— remote TPU service unreachable/wedged; aborting", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(17)
+
+
+threading.Thread(target=_backend_watchdog, daemon=True).start()
 
 from vap_tpu.utils.cache import enable_compilation_cache
 
@@ -160,6 +178,16 @@ V5E_BF16_PEAK = 197e12  # per-chip bf16 peak (v5e); int8 is 2x
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # CPU smoke runs: the remote plugin's get_backend hook ignores the
+        # env var and would still initialize (and hang on) the tunnel —
+        # the config pin keeps backends() away from it entirely
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    jax.devices()  # first backend touch — hangs here iff the tunnel is wedged
+    _BACKEND_READY.set()
     int8_linears = os.environ.get("VAP_BENCH_INT8_LINEAR", "1") == "1"
     # int8-stored projections fit the FULL 42-block model in 16 GB v5e HBM;
     # bf16 does not (10B params) and measures 18 blocks + linear extrapolation
