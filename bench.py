@@ -43,6 +43,8 @@ import jax.numpy as jnp
 # blocks forever inside the first jax.devices()/backend touch (no exception),
 # which would otherwise hang the whole bench run silently. The watchdog is
 # disarmed the moment backend init succeeds; normal startup takes seconds.
+# Armed ONLY from __main__ — importers of this module (tests reuse
+# fast_init_transformer) must never inherit an os._exit timer.
 _BACKEND_READY = threading.Event()
 
 
@@ -54,7 +56,9 @@ def _backend_watchdog(timeout_s: float = float(os.environ.get("VAP_BENCH_INIT_TI
         os._exit(17)
 
 
-threading.Thread(target=_backend_watchdog, daemon=True).start()
+def _arm_backend_watchdog():
+    threading.Thread(target=_backend_watchdog, daemon=True,
+                     name="bench-backend-watchdog").start()
 
 from vap_tpu.utils.cache import enable_compilation_cache
 
@@ -327,4 +331,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _arm_backend_watchdog()
     main()

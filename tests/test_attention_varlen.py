@@ -263,3 +263,16 @@ def test_hunyuan_forward_varlen_matches_dense(monkeypatch):
         got = _run(fwd)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_masked_dense_zero_length_returns_zeros_not_nan():
+    """kv_lens == 0 must match the fused kernels' all-zero output; a plain
+    softmax over an all -inf row would emit NaN and poison gradients."""
+    q, k, v = _qkv(11, 2, 2, 32, 16)
+    lens = jnp.array([32, 0], jnp.int32)
+    out = dense_attention_masked(q, k, v, lens)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
+    # gradients stay finite too
+    g = jax.grad(lambda q: jnp.sum(dense_attention_masked(q, k, v, lens) ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all()

@@ -93,3 +93,16 @@ def test_bench_int8_fast_init_matches_quantize_traversal():
         assert a.shape == b.shape and a.dtype == b.dtype, path
         n_q += any(getattr(k, "key", None) == "w_i8" for k in path)
     assert n_q > 0  # the int8 projections actually exist
+
+
+def test_bench_import_does_not_arm_watchdog():
+    """Importing bench (as this module does for fast_init_transformer) must
+    NEVER start the backend-init watchdog: it os._exit(17)s the whole host
+    process when the event stays unset — armed at import, it killed a full
+    pytest run 300 s in. The watchdog belongs to `python bench.py` only."""
+    import threading
+
+    import bench  # noqa: F401
+
+    assert not [t for t in threading.enumerate()
+                if t.name == "bench-backend-watchdog"]

@@ -264,7 +264,14 @@ def hunyuan_video_forward(
     pooled_projections: Array,     # [B, pooled_projection_dim] CLIP-L pooled
     timestep: Array,               # [B] in [0, 1000]
     guidance: Optional[Array] = None,  # [B] already x1000 (pipeline convention)
-    encoder_attention_mask: Optional[Array] = None,  # [B, S_txt]
+    encoder_attention_mask: Optional[Array] = None,  # [B, S_txt] — MUST be a
+    # contiguous right-padded prefix (1s then 0s): it is reduced to per-sample
+    # KV lengths for the fused varlen attention, so a left-padded or
+    # interior-zero mask would silently attend to the wrong keys. Standard
+    # right-padding tokenizer masks satisfy this; the pipeline validates it
+    # eagerly at the tokenizer boundary. (The reference's FLASH_VARLEN makes
+    # the same assumption when deriving cu_seqlens from the mask —
+    # attention_dispatch.py:533-551.)
     remat: bool = True,
 ) -> Array:
     b, c, f, h, w = hidden_states.shape
@@ -315,8 +322,6 @@ def hunyuan_video_forward(
             encoder_attention_mask.astype(jnp.int32), axis=-1)
 
     def _joint_attention(q, k, v):
-        if kv_lens is None:
-            return scaled_dot_product_attention(q, k, v, site="joint")
         return scaled_dot_product_attention(q, k, v, site="joint", kv_lens=kv_lens)
 
     # token-replace selectors: first-frame image tokens take the t=0 mods

@@ -163,9 +163,16 @@ def dense_attention_masked(q: Array, k: Array, v: Array,
         scale = q.shape[-1] ** -0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     if kv_lens is not None:
-        keep = jnp.arange(k.shape[2])[None, :] < kv_lens.astype(jnp.int32)[:, None]
-        s = s + jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)[:, None, None, :]
+        lens = kv_lens.astype(jnp.int32)
+        keep = jnp.arange(k.shape[2])[None, :] < lens[:, None]
+        # finite -1e30 (not -inf): an all-masked row would make softmax
+        # over all -inf emit NaN; with a finite bias it emits uniform p,
+        # which the any-valid gate below turns into the exact zeros the
+        # fused varlen kernels return for kv_lens == 0
+        s = s + jnp.where(keep, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
     p = jax.nn.softmax(s, axis=-1)
+    if kv_lens is not None:
+        p = p * (lens > 0).astype(jnp.float32)[:, None, None, None]
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(v.dtype)
 
 
@@ -192,45 +199,21 @@ def scaled_dot_product_attention(
     semantics are key-only).
     """
     provider = provider or get_attention_provider(site)
-    if kv_lens is not None:
-        if provider in ("flash", "flash_varlen"):
+    if provider in ("flash", "flash_varlen"):
+        if kv_lens is not None:
             from .flash_attention import flash_attention_varlen
 
             return flash_attention_varlen(q, k, v, kv_lens, scale)
-        elif provider == "sage":
-            from .flash_attention import flash_attention_int8
-
-            return flash_attention_int8(q, k, v, scale, kv_lens=kv_lens)
-        elif provider == "jax_flash":
-            return jax_flash_attention(q, k, v, scale, kv_lens=kv_lens)
-        elif provider == "xla":
-            return dense_attention_masked(q, k, v, kv_lens, scale)
-        elif provider == "null":
-            pass  # fall through to the unmasked null stub below
-        elif provider == "ring":
-            from ..parallel.ring_attention import (
-                get_attention_mesh, sequence_parallel_attention)
-
-            ctx = get_attention_mesh()
-            if ctx is None:
-                from .flash_attention import flash_attention_varlen
-
-                return flash_attention_varlen(q, k, v, kv_lens, scale)
-            mesh, axis, rotate_method = ctx
-            return sequence_parallel_attention(
-                q, k, v, mesh, axis, scale, rotate_method=rotate_method,
-                kv_lens=kv_lens)
-        else:
-            raise ValueError(f"unknown attention provider {provider!r}")
-    if provider in ("flash", "flash_varlen"):
         return flash_attention(q, k, v, scale)
     elif provider == "sage":
         from .flash_attention import flash_attention_int8
 
-        return flash_attention_int8(q, k, v, scale)
+        return flash_attention_int8(q, k, v, scale, kv_lens=kv_lens)
     elif provider == "jax_flash":
-        return jax_flash_attention(q, k, v, scale)
+        return jax_flash_attention(q, k, v, scale, kv_lens=kv_lens)
     elif provider == "xla":
+        if kv_lens is not None:
+            return dense_attention_masked(q, k, v, kv_lens, scale)
         return dense_attention(q, k, v, scale)
     elif provider == "null":
         # PROFILING ONLY: skips the attention math so a step timed under
@@ -248,8 +231,13 @@ def scaled_dot_product_attention(
         ctx = get_attention_mesh()
         if ctx is None:
             # no mesh installed: degenerate to the local fused kernel
+            if kv_lens is not None:
+                from .flash_attention import flash_attention_varlen
+
+                return flash_attention_varlen(q, k, v, kv_lens, scale)
             return flash_attention(q, k, v, scale)
         mesh, axis, rotate_method = ctx
         return sequence_parallel_attention(q, k, v, mesh, axis, scale,
-                                           rotate_method=rotate_method)
+                                           rotate_method=rotate_method,
+                                           kv_lens=kv_lens)
     raise ValueError(f"unknown attention provider {provider!r}")

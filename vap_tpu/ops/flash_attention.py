@@ -39,6 +39,16 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _varlen_valid(kv_lens: Array, kv_len_cap: int, length: int, heads: int = 1) -> Array:
+    """[B(*heads), length] bool mask of valid key positions for ragged
+    per-sample KV lengths (suffix padding), capped at the static kv length.
+    heads>1 repeats each sample's row for the head-major [B*H, ...] layout."""
+    lens = jnp.minimum(kv_lens.astype(jnp.int32), kv_len_cap)
+    if heads > 1:
+        lens = jnp.repeat(lens, heads)
+    return jnp.arange(length)[None, :] < lens[:, None]
+
+
 def _pad_to(x: Array, axis: int, multiple: int) -> Array:
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -178,17 +188,20 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True,
     nk = k_pad // block_k
     # 8 sublanes: TPU lowering needs the last two block dims % (8, 128)
     if varlen:
-        # per-(b,h) ragged lengths: every kv block needs its own bias row,
+        # per-SAMPLE ragged lengths: every kv block needs its own bias row,
         # and the scalar-bound path is skipped (its reference point and
         # underflow probe are computed over ALL keys, which per-sample
         # invalid keys would corrupt) — the running-max kernel is exact.
+        # The bias is identical across heads, so it is materialized
+        # per-sample ([B, 8, k_pad], not [B*H, ...]) and the index_map
+        # folds the head out of the grid index — 1/H the HBM footprint.
         use_bound = False
-        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
-        valid = jnp.arange(k_pad)[None, :] < lens_bh[:, None]          # [bh, k_pad]
         kv_bias = jnp.broadcast_to(
-            jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, :],
-            (bh, 8, k_pad))
-        kvb_spec = pl.BlockSpec((1, 8, block_k), lambda b, qi, ki: (b, 0, ki))
+            jnp.where(_varlen_valid(kv_lens, kv_len, k_pad), 0.0, NEG_INF
+                      ).astype(jnp.float32)[:, None, :],
+            (batch, 8, k_pad))
+        kvb_spec = pl.BlockSpec((1, 8, block_k),
+                                lambda b, qi, ki: (b // heads, 0, ki))
     else:
         kv_bias = jnp.broadcast_to(
             jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))
@@ -420,8 +433,7 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True,
     q_pad, k_pad = qp.shape[1], kp.shape[1]
 
     if kv_lens is not None:
-        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
-        valid = jnp.arange(k_pad)[None, :] < lens_bh[:, None]        # [bh, k_pad]
+        valid = _varlen_valid(kv_lens, kv_len, k_pad, heads)        # [bh, k_pad]
         kv_bias_col = jnp.where(valid, 0.0, NEG_INF).astype(k.dtype)[:, :, None]
         ones_col = valid.astype(v.dtype)[:, :, None]
         vp = vp * valid[:, :, None].astype(vp.dtype)
@@ -657,11 +669,9 @@ def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=Tr
     vp = _pad_to(v.reshape(batch * heads, kv_len, dim), 1, block_k)
     bh = qf.shape[0]
 
-    lens_bh = None
     if kv_lens is not None:
-        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
-        kf = kf * (jnp.arange(kv_len)[None, :] < lens_bh[:, None]
-                   )[:, :, None].astype(jnp.float32)
+        kf = kf * _varlen_valid(kv_lens, kv_len, kv_len, heads
+                                )[:, :, None].astype(jnp.float32)
 
     # K smoothing + per-(b,h) symmetric int8 quantization
     k_mean = jnp.mean(kf, axis=1, keepdims=True)
@@ -678,8 +688,8 @@ def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=Tr
     kt = _pad_to(k_i8, 1, block_k).transpose(0, 2, 1)   # [bh, dim, k_pad]
     q_pad, k_pad = qt.shape[2], kt.shape[2]
 
-    if lens_bh is not None:
-        valid = jnp.arange(k_pad)[None, :] < lens_bh[:, None]        # [bh, k_pad]
+    if kv_lens is not None:
+        valid = _varlen_valid(kv_lens, kv_len, k_pad, heads)         # [bh, k_pad]
         valid_col = valid.astype(v.dtype)[:, :, None]
         vp = vp * valid[:, :, None].astype(vp.dtype)
     else:
@@ -991,9 +1001,8 @@ def _flash_attention_backward_t(scale, block_q, block_k, res, g, kv_lens=None):
     if kv_lens is not None:
         # varlen: per-(b,h) bias column — p = exp2(st - lse2) lands exactly 0
         # for invalid keys, so their dk/dv rows and dq contributions vanish
-        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
         kv_bias_col = jnp.where(
-            jnp.arange(k_pad)[None, :] < lens_bh[:, None], 0.0, NEG_INF
+            _varlen_valid(kv_lens, kv_len, k_pad, heads), 0.0, NEG_INF
         ).astype(k.dtype)[:, :, None]
     else:
         kv_bias = jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(k.dtype)
@@ -1102,12 +1111,15 @@ def _flash_attention_backward(scale, block_q, block_k, res, g, kv_lens=None):
     nq = q_pad // block_q
     nk = k_pad // block_k
     if varlen:
-        lens_bh = jnp.repeat(jnp.minimum(kv_lens.astype(jnp.int32), kv_len), heads)
+        # per-sample ([B, ...]) bias, head folded out by the index_map — the
+        # same dedup as the forward (the array is identical across heads)
         kv_bias = jnp.broadcast_to(
-            jnp.where(jnp.arange(k_pad)[None, :] < lens_bh[:, None], 0.0, NEG_INF
-                      ).astype(jnp.float32)[:, None, :], (bh, 8, k_pad))
-        kvb_spec_q = pl.BlockSpec((1, 8, block_k), lambda b, qi, ki: (b, 0, ki))
-        kvb_spec_k = pl.BlockSpec((1, 8, block_k), lambda b, ki, qi: (b, 0, ki))
+            jnp.where(_varlen_valid(kv_lens, kv_len, k_pad), 0.0, NEG_INF
+                      ).astype(jnp.float32)[:, None, :], (batch, 8, k_pad))
+        kvb_spec_q = pl.BlockSpec((1, 8, block_k),
+                                  lambda b, qi, ki: (b // heads, 0, ki))
+        kvb_spec_k = pl.BlockSpec((1, 8, block_k),
+                                  lambda b, ki, qi: (b // heads, 0, ki))
     else:
         kv_bias = jnp.broadcast_to(
             jnp.where(jnp.arange(k_pad) < kv_len, 0.0, NEG_INF).astype(jnp.float32)[None], (8, k_pad))

@@ -66,10 +66,22 @@ class HunyuanVideoPipeline:
                               jnp.asarray(toks["input_ids"]),
                               jnp.asarray(toks["attention_mask"]),
                               hidden_layer=-3)
-        mask = jnp.asarray(toks["attention_mask"], jnp.float32)
+        mask_np = np.asarray(toks["attention_mask"], np.float32)
         if use_template:
             hidden = hidden[:, crop_start:]
-            mask = mask[:, crop_start:]
+            mask_np = mask_np[:, crop_start:]
+        # the transformer reduces the mask to per-sample KV lengths for the
+        # fused varlen attention (hunyuan transformer docstring) — validate
+        # the contiguous right-padding assumption HERE, while the mask is
+        # still a concrete host array (inside jit the reduction is silent)
+        lens = mask_np.sum(axis=-1).astype(np.int64)
+        prefix = (np.arange(mask_np.shape[-1])[None, :] < lens[:, None]).astype(np.float32)
+        if not np.array_equal(mask_np, prefix):
+            raise ValueError(
+                "LLaMA attention mask is not a contiguous right-padded prefix; "
+                "the fused varlen attention assumes suffix padding. Use a "
+                "right-padding tokenizer configuration.")
+        mask = jnp.asarray(mask_np)
         clip_len = min(77, self.clip_text_cfg.max_position_embeddings)
         ctoks = (self.clip_tokenizer or self.tokenizer)(
             [prompt], padding="max_length", max_length=clip_len, truncation=True,
