@@ -82,10 +82,13 @@ def test_varlen_forward_matches_masked_dense_d128_row_kernel():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=ATOL, rtol=2e-3)
 
 
-def test_varlen_output_ignores_masked_suffix_exactly():
+@pytest.mark.parametrize("dim", [64, 128])
+def test_varlen_output_ignores_masked_suffix_exactly(dim):
     """Bit-exact invariance: rewriting k/v beyond each sample's length must not
-    change the output at all (stronger than any dense-comparison tolerance)."""
-    q, k, v = _qkv(3, 2, 2, 640, 64)
+    change the output at all (stronger than any dense-comparison tolerance).
+    dim=64 covers the transposed bound path, dim=128 the row scalar-bound
+    path — both compute their bound statistics over valid keys only."""
+    q, k, v = _qkv(3, 2, 2, 640, dim)
     lens = jnp.array([200, 513], jnp.int32)
     base = _run(lambda *a: flash_attention_varlen(*a), q, k, v, lens)
     mask = (jnp.arange(640)[None, None, :, None] < lens[:, None, None, None])

@@ -131,7 +131,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_ref, acc_sc, m_sc, l_sc
 
 
 def _fwd_kernel_scalar_bound(bnd_ref, q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_ref,
-                             acc_sc, l_sc, *, kv_len, block_k, scale_log2e):
+                             acc_sc, l_sc, *, kv_len, block_k, scale_log2e,
+                             varlen=False):
     """Row-major bound-softmax step for D >= 128.
 
     A per-(b,h) SCALAR softmax reference point (centered between the
@@ -153,7 +154,9 @@ def _fwd_kernel_scalar_bound(bnd_ref, q_ref, k_ref, v_ref, kvb_ref, o_ref, lse_r
     s = jax.lax.dot_general(
         q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, bk], log2 domain
-    if kv_len % block_k != 0:
+    if varlen:
+        s = s + kvb_ref[0, 0]
+    elif kv_len % block_k != 0:
         s = s + kvb_ref[0]
 
     p_f32 = jnp.exp2(s - bnd_ref[0, 0, 0])  # scalar broadcast — free
@@ -188,14 +191,10 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True,
     nk = k_pad // block_k
     # 8 sublanes: TPU lowering needs the last two block dims % (8, 128)
     if varlen:
-        # per-SAMPLE ragged lengths: every kv block needs its own bias row,
-        # and the scalar-bound path is skipped (its reference point and
-        # underflow probe are computed over ALL keys, which per-sample
-        # invalid keys would corrupt) — the running-max kernel is exact.
+        # per-SAMPLE ragged lengths: every kv block needs its own bias row.
         # The bias is identical across heads, so it is materialized
         # per-sample ([B, 8, k_pad], not [B*H, ...]) and the index_map
         # folds the head out of the grid index — 1/H the HBM footprint.
-        use_bound = False
         kv_bias = jnp.broadcast_to(
             jnp.where(_varlen_valid(kv_lens, kv_len, k_pad), 0.0, NEG_INF
                       ).astype(jnp.float32)[:, None, :],
@@ -249,11 +248,26 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True,
         # <= (upper - lower)/2, far inside the budget for any real data.
         qf32 = q.reshape(bh, q_len, dim).astype(jnp.float32)
         kf32 = k.reshape(bh, kv_len, dim).astype(jnp.float32)
+        validK = None
+        if varlen:
+            # reference point and probes over VALID keys only: a garbage
+            # suffix would otherwise inflate the bound until every valid
+            # exp2 underflows. Zeroed rows keep `upper` an upper bound for
+            # the (bias-masked, -1e30) invalid scores too.
+            validK = _varlen_valid(kv_lens, kv_len, kv_len, heads)  # [bh, kv_len]
+            kf32 = kf32 * validK[:, :, None].astype(jnp.float32)
         qn_max = jnp.max(jnp.linalg.norm(qf32, axis=-1), axis=-1)
         kn_max = jnp.max(jnp.linalg.norm(kf32, axis=-1), axis=-1)
         upper = qn_max * kn_max * (scale * LOG2_E)
-        lower = jnp.max(jnp.einsum("bd,bkd->bk", qf32[:, 0], kf32), axis=-1) * (scale * LOG2_E)
+        s0 = jnp.einsum("bd,bkd->bk", qf32[:, 0], kf32)
+        if varlen:
+            s0 = jnp.where(validK, s0, -jnp.inf)
+        lower = jnp.max(s0, axis=-1) * (scale * LOG2_E)
         bnd = (0.5 * (upper + lower)).reshape(bh, 1, 1)
+        if varlen:
+            # lens == 0 gives lower = -inf; keep bnd finite (the safe-check
+            # below already forces the runmax fallback for that batch)
+            bnd = jnp.maximum(bnd, -1e4)
 
         # Silent-underflow guard (advisor r2): a query row whose own max
         # score sits >~126 doublings BELOW the reference has every exp2
@@ -264,6 +278,8 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True,
         # budget, so pathological activations stay correct instead of
         # training on zeroed attention.
         probe = jnp.einsum("bqd,bkd->bqk", qf32, kf32[:, : min(kv_len, 128)])
+        if varlen:
+            probe = jnp.where(validK[:, None, : min(kv_len, 128)], probe, -jnp.inf)
         row_lb = jnp.max(probe, axis=-1) * (scale * LOG2_E)     # [bh, q_len]
         safe = jnp.all(bnd[:, 0, 0][:, None] - row_lb < 110.0)
 
@@ -271,14 +287,15 @@ def _flash_attention_forward(q, k, v, scale, block_q, block_k, use_bound=True,
             bnd, qp, kp, vp, kv_bias = ops
             return pl.pallas_call(
                 functools.partial(_fwd_kernel_scalar_bound, kv_len=kv_len,
-                                  block_k=block_k, scale_log2e=scale * LOG2_E),
+                                  block_k=block_k, scale_log2e=scale * LOG2_E,
+                                  varlen=varlen),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec((1, 1, 1), lambda b, qi, ki: (b, 0, 0), memory_space=pltpu.SMEM),
                     pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
                     pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
                     pl.BlockSpec((1, block_k, dim), lambda b, qi, ki: (b, ki, 0)),
-                    pl.BlockSpec((8, block_k), lambda b, qi, ki: (0, ki)),
+                    kvb_spec,
                 ],
                 out_specs=[
                     pl.BlockSpec((1, block_q, dim), lambda b, qi, ki: (b, qi, 0)),
