@@ -97,6 +97,8 @@ def test_trainer_end_to_end(tmp_path, monkeypatch):
         checkpointing_steps=2, output_dir=str(tmp_path / "out"),
         video_resolution_buckets=((9, 32, 32),), lr=1e-4,
         gradient_checkpointing=False, mask_caption_ratio=0.0,
+        profile_dir=str(tmp_path / "trace"), profile_start_step=2,
+        profile_num_steps=1,
     )
     with jax.default_device(jax.devices("cpu")[0]):
         trainer = SFTTrainer(args, spec)
@@ -106,6 +108,10 @@ def test_trainer_end_to_end(tmp_path, monkeypatch):
         path = trainer.export()
     assert os.path.exists(path)
     assert len(trainer.tracker.history) >= 3
+    # --profile_dir wrote a jax.profiler device trace of step 2
+    trace_files = [os.path.join(dp, f)
+                   for dp, _, fs in os.walk(tmp_path / "trace") for f in fs]
+    assert trace_files, "profiler trace directory is empty"
 
 
 @pytest.mark.slow

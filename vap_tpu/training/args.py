@@ -118,6 +118,15 @@ class TrainingArgs:
     report_to: Tuple[str, ...] = ("dummy",)
     tracker_name: str = "vap_tpu"
 
+    # deep profiling: write a jax.profiler (XProf/TensorBoard) device trace
+    # of steps [profile_start_step, profile_start_step + profile_num_steps)
+    # to profile_dir. Beyond the reference, which only has wall-clock timers
+    # (SURVEY §5: no torch.profiler integration). Default start skips the
+    # first step's compile so the trace shows steady-state device work.
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 2
+    profile_num_steps: int = 3
+
     # attention ("auto" = VAP_ATTN_PROVIDER env var, else platform default:
     # Pallas flash on TPU, xla elsewhere — ops/attention.py). Accepts a bare
     # provider ("sage") or a per-site spec ("sage joint:flash cross:xla") —
@@ -133,6 +142,8 @@ class TrainingArgs:
         return {}
 
     def validate(self):
+        if self.profile_dir and (self.profile_num_steps < 1 or self.profile_start_step < 1):
+            raise ValueError("profile_num_steps and profile_start_step must be >= 1")
         if self.training_type == "control":  # alias for the default control mode
             self.training_type = "control_lora"
         if self.training_type not in ("video_as_prompt_mot", "sft", "lora", "dpo",

@@ -444,6 +444,11 @@ class SFTTrainer:
 
             self.train_state.step += 1
             self.train_state.observed_data_samples += args.batch_size * batch_shards
+            if args.profile_dir and self.train_state.step == args.profile_start_step:
+                # device trace of steady-state steps (args.profile_* knobs);
+                # the reference has only wall-clock timers here (SURVEY §5)
+                jax.profiler.start_trace(args.profile_dir)
+                self._profiling = True
             # step key is a pure function of (seed, step) so resumed runs draw
             # the same noise/timesteps as uninterrupted ones — and do NOT
             # replay steps 1..N the way re-splitting from PRNGKey(seed) would
@@ -469,6 +474,18 @@ class SFTTrainer:
                         metrics["grad_norm"] = grad_norm
                         self._accum_grads = None
 
+            if getattr(self, "_profiling", False) and (
+                    self.train_state.step >= args.profile_start_step
+                    + args.profile_num_steps - 1):
+                # materialize a metric first: async dispatch means the traced
+                # steps may still be executing (block_until_ready is not
+                # reliable on every remote backend)
+                if "loss" in metrics:
+                    float(metrics["loss"])
+                jax.profiler.stop_trace()
+                self._profiling = False
+                logger.info(f"profiler trace written to {args.profile_dir}")
+
             if self.train_state.step % args.logging_steps == 0:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 host_metrics["train/observed_data_samples"] = self.train_state.observed_data_samples
@@ -489,6 +506,9 @@ class SFTTrainer:
                         dataloader_state=loader.state_dict().get("dataset"),
                     )
 
+        if getattr(self, "_profiling", False):  # train_steps ended mid-window
+            jax.profiler.stop_trace()
+            self._profiling = False
         self.checkpointer.wait()
         self.tracker.finish()
         return self.train_state
