@@ -9,7 +9,9 @@ CUDA backends. On TPU one Pallas flash kernel covers the need; providers:
                reference's FLASH_VARLEN, attention_dispatch.py:809-889);
                "flash" also routes to it automatically when the call site
                passes kv_lens, mirroring how the reference derives
-               cu_seqlens from the attention mask
+               cu_seqlens from the attention mask. Packed sequences
+               (cu_seqlens' true form) are the segment_ids argument —
+               fused fwd+bwd via one-hot extension dims
   * "sage"   — int8-QK flash attention (SageAttention analog; inference only —
                its VJP falls back to the bf16 kernel's backward)
   * "xla"    — plain jnp einsum softmax (XLA-fused; works on any backend)
@@ -109,10 +111,13 @@ def dense_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None)
 
 
 def jax_flash_attention(q: Array, k: Array, v: Array, scale: Optional[float] = None,
-                        kv_lens: Optional[Array] = None) -> Array:
+                        kv_lens: Optional[Array] = None,
+                        segment_ids: Optional[tuple] = None) -> Array:
     """jax.experimental.pallas library flash kernel with segment-id masking for
     ragged lengths (requires seq % 512 == 0 internally; we pad and mask).
-    kv_lens adds per-sample valid KV lengths via the same segment ids."""
+    kv_lens adds per-sample valid KV lengths via the same segment ids;
+    segment_ids ((q_seg, kv_seg, num_segments)) passes packed-sequence ids
+    straight through (pads get out-of-range sentinels)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         flash_attention as _lib_flash,
@@ -132,7 +137,13 @@ def jax_flash_attention(q: Array, k: Array, v: Array, scale: Optional[float] = N
 
     qp, kp, vp = padseq(q, pad_q), padseq(k, pad_kv), padseq(v, pad_kv)
     seg = None
-    if pad_q or pad_kv or kv_lens is not None:
+    if segment_ids is not None:
+        q_ids = jnp.pad(segment_ids[0].astype(jnp.int32), ((0, 0), (0, pad_q)),
+                        constant_values=-1)
+        kv_ids = jnp.pad(segment_ids[1].astype(jnp.int32), ((0, 0), (0, pad_kv)),
+                         constant_values=-2)
+        seg = SegmentIds(q=q_ids, kv=kv_ids)
+    elif pad_q or pad_kv or kv_lens is not None:
         q_ids = (jnp.arange(sq + pad_q) >= sq).astype(jnp.int32)[None].repeat(b, 0)
         if kv_lens is not None:
             kv_ids = (jnp.arange(skv + pad_kv)[None]
@@ -176,6 +187,22 @@ def dense_attention_masked(q: Array, k: Array, v: Array,
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(v.dtype)
 
 
+def dense_attention_segmented(q: Array, k: Array, v: Array,
+                              q_segment_ids: Array, kv_segment_ids: Array,
+                              scale: Optional[float] = None) -> Array:
+    """Dense reference for packed-sequence attention: query i attends key j
+    iff q_segment_ids[b, i] == kv_segment_ids[b, j]. f32 scores and AV.
+    Queries with no matching key (padding ids) return zeros."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    same = q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]   # [B, Sq, Skv]
+    s = s + jnp.where(same, 0.0, -1e30).astype(jnp.float32)[:, None]
+    p = jax.nn.softmax(s, axis=-1)
+    p = p * jnp.any(same, axis=-1).astype(jnp.float32)[:, None, :, None]
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(v.dtype)
+
+
 def scaled_dot_product_attention(
     q: Array,
     k: Array,
@@ -184,6 +211,7 @@ def scaled_dot_product_attention(
     provider: Optional[str] = None,
     site: str = "default",
     kv_lens: Optional[Array] = None,
+    segment_ids: Optional[tuple] = None,
 ) -> Array:
     """Full (non-causal) attention over [B, H, S, D] tensors.
 
@@ -197,21 +225,44 @@ def scaled_dot_product_attention(
     (attention_dispatch.py:533-551); here the lengths mask inside the fused
     kernels with no repacking. Queries are never masked (reference attn_mask
     semantics are key-only).
+
+    `segment_ids` ((q_seg [B,Sq], kv_seg [B,Skv], num_segments), optional)
+    gives PACKED-sequence masking — query i attends key j iff their ids
+    match (the reference FLASH_VARLEN's cu_seqlens form; ids must lie in
+    [0, num_segments), out-of-range = padding). Mutually exclusive with
+    kv_lens: packing subsumes ragged lengths.
     """
     provider = provider or get_attention_provider(site)
+    if segment_ids is not None and kv_lens is not None:
+        raise ValueError("segment_ids and kv_lens are mutually exclusive — "
+                         "give padding its own out-of-range segment id")
     if provider in ("flash", "flash_varlen"):
+        if segment_ids is not None:
+            from .flash_attention import flash_attention_segmented
+
+            return flash_attention_segmented(q, k, v, *segment_ids, scale)
         if kv_lens is not None:
             from .flash_attention import flash_attention_varlen
 
             return flash_attention_varlen(q, k, v, kv_lens, scale)
         return flash_attention(q, k, v, scale)
     elif provider == "sage":
+        if segment_ids is not None:
+            # int8 one-hots cannot carry the -1e30 mask products — packed
+            # segments ride the bf16 kernel instead (still fused)
+            from .flash_attention import flash_attention_segmented
+
+            return flash_attention_segmented(q, k, v, *segment_ids, scale)
         from .flash_attention import flash_attention_int8
 
         return flash_attention_int8(q, k, v, scale, kv_lens=kv_lens)
     elif provider == "jax_flash":
-        return jax_flash_attention(q, k, v, scale, kv_lens=kv_lens)
+        return jax_flash_attention(q, k, v, scale, kv_lens=kv_lens,
+                                   segment_ids=segment_ids)
     elif provider == "xla":
+        if segment_ids is not None:
+            return dense_attention_segmented(q, k, v, segment_ids[0],
+                                             segment_ids[1], scale)
         if kv_lens is not None:
             return dense_attention_masked(q, k, v, kv_lens, scale)
         return dense_attention(q, k, v, scale)
@@ -231,11 +282,20 @@ def scaled_dot_product_attention(
         ctx = get_attention_mesh()
         if ctx is None:
             # no mesh installed: degenerate to the local fused kernel
+            if segment_ids is not None:
+                from .flash_attention import flash_attention_segmented
+
+                return flash_attention_segmented(q, k, v, *segment_ids, scale)
             if kv_lens is not None:
                 from .flash_attention import flash_attention_varlen
 
                 return flash_attention_varlen(q, k, v, kv_lens, scale)
             return flash_attention(q, k, v, scale)
+        if segment_ids is not None:
+            raise NotImplementedError(
+                "packed segment_ids under sequence parallelism are not "
+                "supported — use kv_lens (supported by all three rotate "
+                "methods) or an unsharded provider")
         mesh, axis, rotate_method = ctx
         return sequence_parallel_attention(q, k, v, mesh, axis, scale,
                                            rotate_method=rotate_method,

@@ -49,6 +49,52 @@ def _varlen_valid(kv_lens: Array, kv_len_cap: int, length: int, heads: int = 1) 
     return jnp.arange(length)[None, :] < lens[:, None]
 
 
+SEG_BIG = 1e30  # one-hot mask-row magnitude: products land at -1e30 (= NEG_INF)
+
+
+def _segment_onehot_ext(q_seg, kv_seg, num_segments, heads, q_pad, k_pad,
+                        q_dtype, k_dtype):
+    """Extension blocks that make the MXU itself compute packed-segment masking.
+
+    Packed sequences (multiple independent samples concatenated along one
+    sequence row — the form the reference's FLASH_VARLEN provider expresses
+    with cu_seqlens, finetrainers/models/attention_dispatch.py:613-889) need
+    a q-DEPENDENT key mask, which the per-(b,h) bias column cannot express.
+    Instead the mask rides G = num_segments extra contraction dims of the
+    same extended operands that already carry scale/bias/rowsum:
+
+        qt rows   D+1 .. D+G:  BIG * onehot(q_seg)       (one row per segment)
+        k_ext cols D+1 .. D+G:  onehot(kv_seg) - 1        (0 same / -1 other)
+
+    so the QK^T matmul picks up  sum_g BIG*[q_seg=g] * ([kv_seg=g] - 1)
+    = 0 when segments match, -BIG when they differ — scores arrive
+    pre-masked with ZERO extra kernel work. At D=64 the one-hots occupy
+    sublane rows the dim_ext round-up already pads with zeros (dim_ext=72),
+    so up to 7 segments are literally free; each further 8 segments round
+    dim_ext up by 8.
+
+    ids outside [0, num_segments) (canonically -1) mark padding: such
+    queries match no one-hot row and attend everything (callers slice their
+    outputs away; the bound path gives them the global bound so they stay
+    finite), and such keys mismatch every in-range query and are masked.
+
+    Returns (q_oh [B*heads, q_pad, G], k_oh [B*heads, k_pad, G]).
+    """
+    g = jnp.arange(num_segments, dtype=jnp.int32)
+    qs = jnp.repeat(q_seg.astype(jnp.int32), heads, axis=0)
+    ks = jnp.repeat(kv_seg.astype(jnp.int32), heads, axis=0)
+
+    def pad_ids(ids, size):
+        pad = size - ids.shape[1]
+        return jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1) if pad else ids
+
+    qs = pad_ids(qs, q_pad)
+    ks = pad_ids(ks, k_pad)
+    q_oh = (qs[:, :, None] == g).astype(q_dtype) * jnp.asarray(SEG_BIG, q_dtype)
+    k_oh = (ks[:, :, None] == g).astype(k_dtype) - jnp.asarray(1.0, k_dtype)
+    return q_oh, k_oh
+
+
 def _pad_to(x: Array, axis: int, multiple: int) -> Array:
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -344,7 +390,7 @@ LOG2_E = 1.4426950408889634
 
 
 def _fwd_kernel_t(qt_ref, k_ref, vt_ref, o_ref, lse_ref, acc_sc, m_sc,
-                  *, dim):
+                  *, dim, floor_m=False):
     """Per-step work is two matmuls + three VPU passes over the score tile
     (subtract-broadcast, exp2, bf16 cast). Scale, key-padding mask, and the
     softmax row-sum all ride the MXU via the extended contraction rows:
@@ -373,6 +419,14 @@ def _fwd_kernel_t(qt_ref, k_ref, vt_ref, o_ref, lse_ref, acc_sc, m_sc,
     m_prev = m_sc[:]                               # [8, bq] (row-replicated)
     m_cur = jnp.max(st, axis=0, keepdims=True)     # [1, bq]
     m_new = jnp.maximum(m_prev, m_cur)             # [8, bq]
+    if floor_m:
+        # segment masking: a fully cross-segment tile leaves m at ~-1e30 and
+        # p == 1 for its masked columns; the floor flushes those p to zero so
+        # a query whose segment is EMPTY on the kv side emits exact zeros
+        # (l == 0 -> l_safe) instead of the mean of every v. Real log2-domain
+        # scores below -1e4 are unreachable for sane activations. Static arg:
+        # non-segmented jaxprs (and their compile-cache keys) are unchanged.
+        m_new = jnp.maximum(m_new, -1e4)
     p = jnp.exp2(st - m_new[:1]).astype(vt_ref.dtype)  # sublane broadcast sub
     alpha = jnp.exp2(m_prev - m_new)               # [8, bq]
 
@@ -423,7 +477,7 @@ def _fwd_kernel_t_bound(qt_ref, bnd_ref, k_ref, vt_ref, o_ref, lse_ref, acc_sc, 
 
 
 def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True,
-                               kv_lens=None):
+                               kv_lens=None, segment_ids=None):
     """Transposed-layout tiled forward. Same contract as
     _flash_attention_forward (returns out [B,H,Sq,D] and natural-log lse).
 
@@ -437,11 +491,19 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True,
     tight over the valid keys (a garbage suffix would otherwise inflate it
     until every valid exp2 underflows) while remaining a valid upper bound
     for the zeroed rows — which the bias column pins to -1e30 regardless.
+
+    segment_ids ((q_seg [B,Sq], kv_seg [B,Skv], num_segments)): packed-
+    sequence masking — query i attends key j iff q_seg[i] == kv_seg[j].
+    The mask rides extra one-hot contraction dims (_segment_onehot_ext);
+    the kernels are untouched. Mutually exclusive with kv_lens (packing
+    subsumes ragged lengths: give padding its own out-of-range id).
     """
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
-    # one extra contraction row for mask/rowsum; round sublanes up to 8
-    dim_ext = ((dim + 1 + 7) // 8) * 8
+    n_seg = segment_ids[2] if segment_ids is not None else 0
+    # extra contraction rows for mask/rowsum (+ segment one-hots); round
+    # sublanes up to 8
+    dim_ext = ((dim + 1 + n_seg + 7) // 8) * 8
 
     qp = _pad_to(q.reshape(batch * heads, q_len, dim), 1, block_q)
     kp = _pad_to(k.reshape(batch * heads, kv_len, dim), 1, block_k)
@@ -466,16 +528,25 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True,
         kv_bias_col = jnp.broadcast_to(kv_bias[None, :, None], (bh, k_pad, 1))
         ones_col = jnp.ones((bh, k_pad, 1), v.dtype)
 
+    if segment_ids is not None:
+        q_oh, k_oh = _segment_onehot_ext(segment_ids[0], segment_ids[1], n_seg,
+                                         heads, q_pad, k_pad, q.dtype, k.dtype)
+        q_ext_cols = [q_oh, jnp.zeros((bh, q_pad, dim_ext - dim - 1 - n_seg), q.dtype)]
+        k_ext_cols = [k_oh, jnp.zeros((bh, k_pad, dim_ext - dim - 1 - n_seg), k.dtype)]
+    else:
+        q_ext_cols = [jnp.zeros((bh, q_pad, dim_ext - dim - 1), q.dtype)]
+        k_ext_cols = [jnp.zeros((bh, k_pad, dim_ext - dim - 1), k.dtype)]
+
     # extended operands (one fused HBM pass each, ~ms at VAP sizes)
     qt = jnp.concatenate([
         (qp.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype),
         jnp.ones((bh, q_pad, 1), q.dtype),
-        jnp.zeros((bh, q_pad, dim_ext - dim - 1), q.dtype),
+        *q_ext_cols,
     ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, q_pad]
     k_ext = jnp.concatenate([
         kp,
         kv_bias_col,
-        jnp.zeros((bh, k_pad, dim_ext - dim - 1), k.dtype),
+        *k_ext_cols,
     ], axis=-1)  # [bh, k_pad, dim_ext]
     vt = jnp.concatenate([
         vp,
@@ -497,10 +568,37 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True,
             # kernel, and zeroed rows keep the bound valid for them)
             kf32 = kf32 * valid[:, :kv_len, None].astype(jnp.float32)
         qf32 = q.reshape(bh, q_len, dim).astype(jnp.float32) * (scale * LOG2_E)
-        kmax = jnp.max(jnp.abs(kf32), axis=1)
-        holder = jnp.einsum("bsd,bd->bs", jnp.abs(qf32), kmax)
-        knorm_max = jnp.max(jnp.linalg.norm(kf32, axis=-1), axis=-1)
-        cs = jnp.linalg.norm(qf32, axis=-1) * knorm_max[:, None]
+        if segment_ids is not None:
+            # per-SEGMENT key stats: each query's bound is computed over its
+            # own segment's keys, keeping the reference point as tight as an
+            # unpacked batch would get (a louder co-packed segment would
+            # otherwise inflate it until this segment's exp2 underflows).
+            # Out-of-range (padding) ids attend everything, so they get the
+            # GLOBAL stats — a valid upper bound that keeps them finite.
+            qs = jnp.repeat(segment_ids[0].astype(jnp.int32), heads, axis=0)
+            ks = jnp.repeat(segment_ids[1].astype(jnp.int32), heads, axis=0)
+            absk = jnp.abs(kf32)
+            knorm = jnp.linalg.norm(kf32, axis=-1)                   # [bh, kv]
+            kmax_g = jnp.stack(
+                [jnp.max(jnp.where((ks == g)[:, :, None], absk, 0.0), axis=1)
+                 for g in range(n_seg)], axis=1)                     # [bh, G, dim]
+            knorm_g = jnp.stack(
+                [jnp.max(jnp.where(ks == g, knorm, 0.0), axis=1)
+                 for g in range(n_seg)], axis=1)                     # [bh, G]
+            oh_q = (qs[:, :, None] == jnp.arange(n_seg)).astype(jnp.float32)
+            kmax_q = jnp.einsum("bqg,bgd->bqd", oh_q, kmax_g)        # [bh, S, dim]
+            knorm_q = jnp.einsum("bqg,bg->bq", oh_q, knorm_g)
+            in_range = (qs >= 0) & (qs < n_seg)
+            kmax_q = jnp.where(in_range[:, :, None], kmax_q,
+                               jnp.max(absk, axis=1)[:, None, :])
+            knorm_q = jnp.where(in_range, knorm_q, jnp.max(knorm, axis=1)[:, None])
+            holder = jnp.sum(jnp.abs(qf32) * kmax_q, axis=-1)
+            cs = jnp.linalg.norm(qf32, axis=-1) * knorm_q
+        else:
+            kmax = jnp.max(jnp.abs(kf32), axis=1)
+            holder = jnp.einsum("bsd,bd->bs", jnp.abs(qf32), kmax)
+            knorm_max = jnp.max(jnp.linalg.norm(kf32, axis=-1), axis=-1)
+            cs = jnp.linalg.norm(qf32, axis=-1) * knorm_max[:, None]
         bnd = jnp.minimum(holder, cs) - 60.0
         bnd = _pad_to(bnd[:, None], 2, block_q)  # [bh, 1, q_pad]
         out_t, lse = pl.pallas_call(
@@ -531,7 +629,8 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True,
         lse = lse[:, 0, :q_len].reshape(batch, heads, q_len)
         return out, lse
     out_t, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel_t, dim=dim),
+        functools.partial(_fwd_kernel_t, dim=dim,
+                          floor_m=segment_ids is not None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, dim_ext, block_q), lambda b, qi, ki: (b, 0, qi)),
@@ -974,15 +1073,19 @@ DEFAULT_BLOCK_K_BWD_T = 1024
 DEFAULT_BLOCK_K_BWD_T_F32 = 512
 
 
-def _flash_attention_backward_t(scale, block_q, block_k, res, g, kv_lens=None):
+def _flash_attention_backward_t(scale, block_q, block_k, res, g, kv_lens=None,
+                                segment_ids=None):
     q, k, v, out, lse = res
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
-    dim_ext = ((dim + 1 + 7) // 8) * 8
+    n_seg = segment_ids[2] if segment_ids is not None else 0
+    dim_ext = ((dim + 1 + n_seg + 7) // 8) * 8
     # fp32 inputs (training without an explicit bf16 cast) double the VMEM
     # footprint of every operand tile — the (2048, 512) blocks overflow the
-    # 16 MB scoped-vmem stack by ~2% there, so halve block_q for f32
-    if q.dtype == jnp.bfloat16:
+    # 16 MB scoped-vmem stack by ~2% there, so halve block_q for f32.
+    # dim_ext > 128 (segmented attention at D >= 128) roughly doubles the
+    # per-tile footprint the D=64 sweep assumed — halve block_q there too.
+    if q.dtype == jnp.bfloat16 and dim_ext <= 128:
         bq_default, bk_default = DEFAULT_BLOCK_Q_BWD_T, DEFAULT_BLOCK_K_BWD_T
     else:
         bq_default, bk_default = DEFAULT_BLOCK_Q_BWD_T // 2, DEFAULT_BLOCK_K_BWD_T_F32
@@ -1007,13 +1110,24 @@ def _flash_attention_backward_t(scale, block_q, block_k, res, g, kv_lens=None):
         lse2 = lse2.at[:, :, q_len:].set(jnp.float32(-NEG_INF))
     deltap = _pad_to(delta.reshape(bh, 1, q_len), 2, block_q)
 
+    if segment_ids is not None:
+        q_oh, k_oh = _segment_onehot_ext(segment_ids[0], segment_ids[1], n_seg,
+                                         heads, q_pad, k_pad, q.dtype, k.dtype)
+        q_ext_cols = [q_oh, jnp.zeros((bh, q_pad, dim_ext - dim - 1 - n_seg), q.dtype)]
+        k_ext_cols = [k_oh, jnp.zeros((bh, k_pad, dim_ext - dim - 1 - n_seg), k.dtype)]
+    else:
+        q_ext_cols = [jnp.zeros((bh, q_pad, dim_ext - dim - 1), q.dtype)]
+        k_ext_cols = [jnp.zeros((bh, k_pad, dim_ext - dim - 1), k.dtype)]
+
     # extended transposed operands (fwd-t layout: scale*log2e folded into q,
-    # mask column on k, ones row on v — extra rows cancel against zero rows
-    # of do^T in the dP^T matmul)
+    # mask column + segment one-hots on k, ones row on v — extra rows cancel
+    # against zero rows of do^T in the dP^T matmul). Segment-masked pairs get
+    # p = exp2(st - lse2) = 0 exactly, so their dq/dk/dv contributions vanish
+    # with no kernel changes.
     qt = jnp.concatenate([
         (qp.astype(jnp.float32) * (scale * LOG2_E)).astype(q.dtype),
         jnp.ones((bh, q_pad, 1), q.dtype),
-        jnp.zeros((bh, q_pad, dim_ext - dim - 1), q.dtype),
+        *q_ext_cols,
     ], axis=-1).transpose(0, 2, 1)  # [bh, dim_ext, q_pad]
     if kv_lens is not None:
         # varlen: per-(b,h) bias column — p = exp2(st - lse2) lands exactly 0
@@ -1027,7 +1141,7 @@ def _flash_attention_backward_t(scale, block_q, block_k, res, g, kv_lens=None):
     k_ext = jnp.concatenate([
         kp,
         kv_bias_col,
-        jnp.zeros((bh, k_pad, dim_ext - dim - 1), k.dtype),
+        *k_ext_cols,
     ], axis=-1)  # [bh, k_pad, dim_ext]
     vt = jnp.concatenate([
         vp,
@@ -1099,12 +1213,19 @@ def _flash_attention_backward_t(scale, block_q, block_k, res, g, kv_lens=None):
     return dq, dk, dv
 
 
-def _flash_attention_backward(scale, block_q, block_k, res, g, kv_lens=None):
+def _flash_attention_backward(scale, block_q, block_k, res, g, kv_lens=None,
+                              segment_ids=None):
     q, k, v, out, lse = res
     batch, heads, q_len, dim = q.shape
     kv_len = k.shape[2]
     varlen = kv_lens is not None
 
+    if segment_ids is not None:
+        # packed-segment masking only exists in the transposed layout (the
+        # row-major kernels' bias row is q-independent); at D >= 128 the
+        # one-hot rows cost one extra MXU depth-pass on the score matmuls
+        return _flash_attention_backward_t(scale, block_q, block_k, res, g,
+                                           segment_ids=segment_ids)
     if dim + 1 <= 128:
         return _flash_attention_backward_t(scale, block_q, block_k, res, g,
                                            kv_lens=kv_lens)
@@ -1204,12 +1325,27 @@ def _flash_attention_backward(scale, block_q, block_k, res, g, kv_lens=None):
 # public API
 # ---------------------------------------------------------------------------
 
-def _forward_dispatch(q, k, v, scale, block_q, block_k, kv_lens=None):
+def _forward_dispatch(q, k, v, scale, block_q, block_k, kv_lens=None,
+                      segment_ids=None):
     """Pick the forward layout. The transposed kernel wins whenever the ones
     row fits inside the MXU's native 128-deep contraction (D+1 <= 128, i.e.
     every D < 128 pays nothing for it); at D >= 128 the extra row would add a
-    full second depth-pass to QK^T, so the row-major kernel stays."""
+    full second depth-pass to QK^T, so the row-major kernel stays.
+
+    segment_ids (packed sequences) always take the transposed layout — the
+    mask is q-dependent and only the extension-dim trick expresses it. At
+    D >= 128 that costs one extra depth-pass on QK^T (and a halved block_q
+    for VMEM); at D < 128 it is free."""
     dim = q.shape[-1]
+    if segment_ids is not None:
+        n_seg = segment_ids[2]
+        if (block_q, block_k) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K):
+            block_q, block_k = ((DEFAULT_BLOCK_Q_T, 512)
+                                if dim + 1 + n_seg <= 128 else (2048, 512))
+        bq = max(min(block_q, _cdiv(q.shape[2], LANES) * LANES), LANES)
+        bk = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
+        return _flash_attention_forward_t(q, k, v, scale, bq, bk,
+                                          segment_ids=segment_ids)
     if dim + 1 <= 128:
         if (block_q, block_k) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K):
             # caller kept the row-kernel defaults -> use the tuned T blocks
@@ -1311,3 +1447,88 @@ def _fav_bwd(scale, block_q, block_k, res, g):
 
 
 flash_attention_varlen.defvjp(_fav_fwd, _fav_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed-sequence (segment ids) public API — the reference FLASH_VARLEN
+# provider's cu_seqlens form (attention_dispatch.py:613-889 concatenates
+# samples into one packed stream with cumulative boundaries). The TPU-native
+# form keeps dense [B, H, S, D] tensors and masks cross-segment pairs inside
+# the fused kernels via extra one-hot contraction dims (_segment_onehot_ext)
+# — free at D < 128, no unpack/repack host work, and unlike the reference's
+# varlen providers it has a fused backward.
+# ---------------------------------------------------------------------------
+
+
+def _check_segment_args(q, k, q_segment_ids, kv_segment_ids, num_segments):
+    if not isinstance(num_segments, int) or num_segments < 1:
+        raise ValueError(f"num_segments must be a static positive int, got {num_segments!r}")
+    if q_segment_ids.shape != (q.shape[0], q.shape[2]):
+        raise ValueError(f"q_segment_ids must be [B, Sq] = {(q.shape[0], q.shape[2])}, "
+                         f"got {q_segment_ids.shape}")
+    if kv_segment_ids.shape != (k.shape[0], k.shape[2]):
+        raise ValueError(f"kv_segment_ids must be [B, Skv] = {(k.shape[0], k.shape[2])}, "
+                         f"got {kv_segment_ids.shape}")
+    if not jnp.issubdtype(q_segment_ids.dtype, jnp.integer) or \
+            not jnp.issubdtype(kv_segment_ids.dtype, jnp.integer):
+        raise ValueError("segment ids must be integer arrays")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention_segmented(
+    q: Array,
+    k: Array,
+    v: Array,
+    q_segment_ids: Array,
+    kv_segment_ids: Array,
+    num_segments: int,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> Array:
+    """Fused attention over PACKED sequences.
+
+    q/k/v: [B, H, S, D]; q_segment_ids [B, Sq] / kv_segment_ids [B, Skv]
+    (int): query i attends key j iff their ids are equal. num_segments is the
+    STATIC number of distinct segment ids; ids must lie in
+    [0, num_segments). Ids outside that range (canonically -1) mark padding:
+    padding keys are masked from every in-range query, and padding queries'
+    outputs are unspecified (finite, meant to be sliced away — they attend
+    all keys).
+
+    Differentiable in q/k/v with a fused backward; cross-segment dk/dv/dq
+    contributions are exactly zero, so perturbing one segment's tensors
+    never changes another segment's outputs or gradients (bit-exact).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    _check_segment_args(q, k, q_segment_ids, kv_segment_ids, num_segments)
+    out, _ = _forward_dispatch(q, k, v, scale, block_q, block_k,
+                               segment_ids=(q_segment_ids, kv_segment_ids, num_segments))
+    return out
+
+
+def _fas_fwd(q, k, v, q_segment_ids, kv_segment_ids, num_segments, scale, block_q, block_k):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    _check_segment_args(q, k, q_segment_ids, kv_segment_ids, num_segments)
+    out, lse = _forward_dispatch(q, k, v, scale, block_q, block_k,
+                                 segment_ids=(q_segment_ids, kv_segment_ids, num_segments))
+    return out, (q, k, v, out, lse, q_segment_ids, kv_segment_ids)
+
+
+def _fas_bwd(num_segments, scale, block_q, block_k, res, g):
+    q, k, v, out, lse, q_seg, kv_seg = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    dq, dk, dv = _flash_attention_backward(
+        scale, block_q, block_k, (q, k, v, out, lse), g,
+        segment_ids=(q_seg, kv_seg, num_segments))
+    import numpy as np  # float0 cotangents for the integer ids
+
+    return (dq, dk, dv,
+            np.zeros(q_seg.shape, jax.dtypes.float0),
+            np.zeros(kv_seg.shape, jax.dtypes.float0))
+
+
+flash_attention_segmented.defvjp(_fas_fwd, _fas_bwd)
