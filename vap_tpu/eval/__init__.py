@@ -1,0 +1,11 @@
+from .clip_score import (  # noqa: F401
+    CLIPScoreConfig,
+    CLIPScorer,
+    clip_image_embed,
+    clip_score,
+    clip_text_embed,
+    convert_clip_model_state_dict,
+    init_clip_score,
+    preprocess_frames,
+    video_clip_score,
+)

@@ -1,0 +1,223 @@
+"""CLIP-score evaluation — the quality metric behind the reference's headline
+numbers (reference README.md:73-81 reports CLIP Score 24.13 on the VAP-Data
+benchmark via VBench-style eval; the reference repo itself ships no eval code,
+so this module is the in-framework equivalent used to check generation-quality
+parity).
+
+Definition: per (image, caption) pair,
+
+    score = 100 * max(cos(E_I, E_T), 0)
+
+with E_I / E_T the CLIPModel projection-head embeddings (Hessel et al. 2021,
+"CLIPScore"; same formula as torchmetrics CLIPScore and VBench's per-frame
+image-text similarity). A video's score is the mean over its frames against
+the single caption.
+
+Built from the existing functional encoders ([B, S] text with EOS pooling —
+clip_text.py; pre-LN ViT — clip_vision.py) plus the CLIPModel projection
+heads (bias-free) this module owns. Everything jits; frames batch over the
+MXU in one pass per video.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.common import layer_norm
+from ..models.text_encoders.clip_text import (
+    CLIPTextConfig,
+    clip_text_encode,
+    convert_clip_text_state_dict,
+    init_clip_text,
+)
+from ..models.text_encoders.clip_vision import (
+    CLIPVisionConfig,
+    clip_vision_encode,
+    convert_clip_vision_state_dict,
+    init_clip_vision,
+)
+
+Array = jnp.ndarray
+Params = Dict[str, Any]
+
+# OpenAI CLIP preprocessing constants (transformers CLIPImageProcessor defaults)
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPScoreConfig:
+    text: CLIPTextConfig
+    vision: CLIPVisionConfig
+    projection_dim: int = 768
+
+    @classmethod
+    def openai_vit_l14(cls, **overrides) -> "CLIPScoreConfig":
+        """openai/clip-vit-large-patch14 — the standard CLIPScore backbone."""
+        base = dict(
+            text=CLIPTextConfig(),
+            vision=CLIPVisionConfig(
+                hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+                num_attention_heads=16, image_size=224, patch_size=14,
+                hidden_act="quick_gelu"),
+            projection_dim=768,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def tiny(cls, **overrides) -> "CLIPScoreConfig":
+        base = dict(text=CLIPTextConfig.tiny(),
+                    vision=CLIPVisionConfig.tiny(hidden_act="quick_gelu"),
+                    projection_dim=8)
+        base.update(overrides)
+        return cls(**base)
+
+
+def init_clip_score(key, cfg: CLIPScoreConfig, dtype=jnp.float32) -> Params:
+    kt, kv, kp1, kp2 = jax.random.split(key, 4)
+    scale_t = cfg.text.hidden_size ** -0.5
+    scale_v = cfg.vision.hidden_size ** -0.5
+    return {
+        "text": init_clip_text(kt, cfg.text, dtype=dtype),
+        "vision": init_clip_vision(kv, cfg.vision, dtype=dtype),
+        "text_projection": scale_t * jax.random.normal(
+            kp1, (cfg.text.hidden_size, cfg.projection_dim), dtype),
+        "visual_projection": scale_v * jax.random.normal(
+            kp2, (cfg.vision.hidden_size, cfg.projection_dim), dtype),
+    }
+
+
+def convert_clip_model_state_dict(sd: Dict[str, np.ndarray], cfg: CLIPScoreConfig,
+                                  dtype=jnp.float32) -> Params:
+    """HF transformers CLIPModel state dict -> vap_tpu pytree. The text_model.*
+    and vision_model.* key prefixes match the standalone converters; the two
+    projection heads are bias-free Linears stored [out, in] in torch."""
+    return {
+        "text": convert_clip_text_state_dict(sd, cfg.text, dtype=dtype),
+        "vision": convert_clip_vision_state_dict(sd, cfg.vision, dtype=dtype),
+        "text_projection": jnp.asarray(np.asarray(sd["text_projection.weight"]).T, dtype),
+        "visual_projection": jnp.asarray(np.asarray(sd["visual_projection.weight"]).T, dtype),
+    }
+
+
+def clip_text_embed(params: Params, cfg: CLIPScoreConfig, input_ids: Array) -> Array:
+    """input_ids [B, S] -> L2-normalized text embeddings [B, projection_dim]
+    (CLIPModel.get_text_features + normalization)."""
+    _, pooled = clip_text_encode(params["text"], cfg.text, input_ids)
+    emb = pooled @ params["text_projection"]
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def clip_image_embed(params: Params, cfg: CLIPScoreConfig, pixel_values: Array) -> Array:
+    """pixel_values [B, H, W, 3] (CLIP-normalized, see preprocess_frames) ->
+    L2-normalized image embeddings [B, projection_dim]
+    (CLIPModel.get_image_features: final layer, post-LN class token, proj)."""
+    hidden = clip_vision_encode(params["vision"], cfg.vision, pixel_values,
+                                penultimate=False)
+    pooled = layer_norm(params["vision"]["post_ln"], hidden[:, 0],
+                        cfg.vision.layer_norm_eps)
+    emb = pooled @ params["visual_projection"]
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+
+
+def clip_score(params: Params, cfg: CLIPScoreConfig, pixel_values: Array,
+               input_ids: Array) -> Array:
+    """Pairwise CLIPScore: [B, H, W, 3] images vs [B, S] captions -> [B]
+    scores = 100 * max(cos, 0)."""
+    ie = clip_image_embed(params, cfg, pixel_values)
+    te = clip_text_embed(params, cfg, input_ids)
+    return 100.0 * jnp.maximum(jnp.sum(ie * te, axis=-1), 0.0)
+
+
+def video_clip_score(params: Params, cfg: CLIPScoreConfig, frames: Array,
+                     input_ids: Array) -> Array:
+    """frames [F, H, W, 3] (one video, CLIP-normalized) vs input_ids [1, S] or
+    [S] -> scalar mean per-frame score (VBench-style video CLIP score)."""
+    if input_ids.ndim == 1:
+        input_ids = input_ids[None]
+    ie = clip_image_embed(params, cfg, frames)            # [F, P]
+    te = clip_text_embed(params, cfg, input_ids)          # [1, P]
+    return jnp.mean(100.0 * jnp.maximum(ie @ te[0], 0.0))
+
+
+class CLIPScorer:
+    """Bundled params + config + tokenizer with a jitted per-video scoring
+    function. Used by the trainer to score validation samples
+    (``--clip_score_model_path``) and by ``scripts/clip_score.py``.
+
+    ``tokenizer`` is any callable with the HF surface used here:
+    ``tokenizer([caption], padding="max_length", truncation=True,
+    max_length=N, return_tensors="np") -> {"input_ids": [1, N]}``.
+    """
+
+    def __init__(self, params: Params, cfg: CLIPScoreConfig, tokenizer):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self._score = jax.jit(
+            lambda fr, ids: video_clip_score(self.params, self.cfg, fr, ids))
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "CLIPScorer":
+        """Load a local HF CLIPModel directory (config + weights + tokenizer)."""
+        from transformers import AutoTokenizer, CLIPModel
+
+        hf = CLIPModel.from_pretrained(model_path)
+        tc, vc = hf.config.text_config, hf.config.vision_config
+        cfg = CLIPScoreConfig(
+            text=CLIPTextConfig(
+                vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+                intermediate_size=tc.intermediate_size,
+                num_hidden_layers=tc.num_hidden_layers,
+                num_attention_heads=tc.num_attention_heads,
+                max_position_embeddings=tc.max_position_embeddings,
+                eos_token_id=tc.eos_token_id, hidden_act=tc.hidden_act),
+            vision=CLIPVisionConfig(
+                hidden_size=vc.hidden_size, intermediate_size=vc.intermediate_size,
+                num_hidden_layers=vc.num_hidden_layers,
+                num_attention_heads=vc.num_attention_heads,
+                image_size=vc.image_size, patch_size=vc.patch_size,
+                hidden_act=vc.hidden_act),
+            projection_dim=hf.config.projection_dim,
+        )
+        params = convert_clip_model_state_dict(
+            {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+        return cls(params, cfg, AutoTokenizer.from_pretrained(model_path))
+
+    def score_video(self, frames: np.ndarray, caption: str) -> float:
+        """frames: uint8 [0,255] or float [0,1] RGB [F, H, W, 3] -> scalar
+        CLIPScore (mean over frames vs the caption)."""
+        pix = jnp.asarray(preprocess_frames(
+            np.asarray(frames), self.cfg.vision.image_size))
+        ids = self.tokenizer(
+            [caption], padding="max_length", truncation=True,
+            max_length=self.cfg.text.max_position_embeddings,
+            return_tensors="np")["input_ids"].astype(np.int32)
+        return float(self._score(pix, jnp.asarray(ids)))
+
+
+def preprocess_frames(frames: np.ndarray, image_size: int = 224) -> np.ndarray:
+    """uint8/float RGB frames [F, H, W, 3] -> CLIP-normalized float32
+    [F, image_size, image_size, 3]: bicubic resize of the short side to
+    image_size, center crop, rescale to [0, 1], normalize by CLIP mean/std
+    (transformers CLIPImageProcessor semantics)."""
+    import cv2
+
+    f = frames.astype(np.float32)
+    if frames.dtype == np.uint8:
+        f = f / 255.0
+    out = np.empty((len(f), image_size, image_size, 3), np.float32)
+    for i, frame in enumerate(f):
+        h, w = frame.shape[:2]
+        scale = image_size / min(h, w)
+        nh, nw = max(int(round(h * scale)), image_size), max(int(round(w * scale)), image_size)
+        r = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_CUBIC)
+        top, left = (nh - image_size) // 2, (nw - image_size) // 2
+        out[i] = r[top:top + image_size, left:left + image_size]
+    return (out - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD

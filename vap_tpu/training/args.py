@@ -110,6 +110,12 @@ class TrainingArgs:
     # validation / checkpointing / tracking
     validation_dataset_file: Optional[str] = None
     validation_steps: int = 500
+    # Optional CLIP scoring of validation samples against their captions —
+    # the reference's headline quality metric (reference README.md:73-81,
+    # CLIP Score 24.13 via external VBench tooling; here in-framework, see
+    # vap_tpu/eval/clip_score.py). Path to a local HF CLIPModel directory
+    # (e.g. openai/clip-vit-large-patch14); None disables scoring.
+    clip_score_model_path: Optional[str] = None
     checkpointing_steps: int = 500
     checkpointing_limit: Optional[int] = 2
     resume_from_checkpoint: Optional[str] = None  # "latest" or step number

@@ -135,6 +135,16 @@ class SFTTrainer:
         self.train_state = TrainState()
         self.checkpointer = Checkpointer(
             os.path.join(args.output_dir, "checkpoints"), args.checkpointing_limit)
+        # CLIP scoring of validation samples (--clip_score_model_path); tests
+        # may inject a pre-built vap_tpu.eval.CLIPScorer here directly.
+        self.clip_scorer = None
+
+    def _get_clip_scorer(self):
+        if self.clip_scorer is None and self.args.clip_score_model_path:
+            from ..eval import CLIPScorer
+
+            self.clip_scorer = CLIPScorer.from_pretrained(self.args.clip_score_model_path)
+        return self.clip_scorer
 
     def _build_step(self, params):
         """Construct (train_params, frozen_params, opt_state, _step) for this
@@ -590,6 +600,8 @@ class SFTTrainer:
         for k in ("guidance_scale", "use_dynamic_cfg"):
             if k in gen:
                 gen_kwargs[k] = gen[k]
+        scorer = self._get_clip_scorer()
+        clip_scores = []
         for i, sample in enumerate(ds):
             if num_samples is not None and i >= num_samples:
                 break
@@ -598,11 +610,17 @@ class SFTTrainer:
                 # (reference validation varies noise across samples)
                 video = self.spec.validation(
                     merged, sample, seed=args.seed + i, **gen_kwargs)
+            frames = (np.asarray(video) + 1.0) / 2.0
             path = os.path.join(out_dir, f"sample_{i}.mp4")
-            export_to_video((np.asarray(video) + 1.0) / 2.0, path, fps=16)
+            export_to_video(frames, path, fps=16)
             artifacts[f"validation/sample_{i}"] = path
+            if scorer is not None:
+                clip_scores.append(scorer.score_video(frames, str(sample["caption"])))
             logger.info(f"validation sample written: {path}")
         self.tracker.log_artifacts(artifacts, step=self.train_state.step)
+        if clip_scores:
+            self.tracker.log({"validation/clip_score": float(np.mean(clip_scores))},
+                             step=self.train_state.step)
 
     def _validate_generic(self, merged, num_samples: Optional[int] = None):
         """Prompt-driven validation for the generic families: the validation
@@ -620,6 +638,8 @@ class SFTTrainer:
         out_dir = os.path.join(args.output_dir, "validation", f"{self.train_state.step:06d}")
         os.makedirs(out_dir, exist_ok=True)
         artifacts = {}
+        scorer = self._get_clip_scorer()
+        clip_scores = []
         image_family = self.family in ("flux", "cogview4")
         fb = args.image_resolution_buckets[0] if image_family \
             else args.video_resolution_buckets[0][1:]
@@ -639,11 +659,17 @@ class SFTTrainer:
             media = np.asarray(media)
             if media.ndim == 3:  # image -> 1-frame clip
                 media = media[None]
+            frames = (media + 1.0) / 2.0
             path = os.path.join(out_dir, f"sample_{i}.mp4")
-            export_to_video((media + 1.0) / 2.0, path, fps=16)
+            export_to_video(frames, path, fps=16)
             artifacts[f"validation/sample_{i}"] = path
+            if scorer is not None:
+                clip_scores.append(scorer.score_video(frames, str(sample["caption"])))
             logger.info(f"validation sample written: {path}")
         self.tracker.log_artifacts(artifacts, step=self.train_state.step)
+        if clip_scores:
+            self.tracker.log({"validation/clip_score": float(np.mean(clip_scores))},
+                             step=self.train_state.step)
 
     def dump_training_sample(self, sample: Dict[str, Any], step: int = 0):
         """Step-0 training-sample dump (reference trainer.py:524-580): write the
