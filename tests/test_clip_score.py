@@ -131,8 +131,16 @@ def test_clip_scorer_score_video():
     with jax.default_device(jax.devices("cpu")[0]):
         s = scorer.score_video(frames, "a test caption")
         s8 = scorer.score_video((frames * 255).astype(np.uint8), "a test caption")
+        # frame-bucket padding (3 -> FRAME_BUCKET) must not leak into the
+        # mean: the unpadded per-frame scores are the ground truth
+        ids = scorer.tokenizer(["a test caption"], return_tensors="np")[
+            "input_ids"].astype(np.int32)
+        pix = preprocess_frames(frames, scorer.cfg.vision.image_size)
+        expect = float(video_clip_score(
+            scorer.params, scorer.cfg, jnp.asarray(pix), jnp.asarray(ids)))
     assert 0.0 <= s <= 100.0
     assert np.isclose(s, s8, atol=0.2)  # uint8 round-trip ~= float input
+    assert np.isclose(s, expect, atol=1e-3)
 
 
 def test_trainer_validation_logs_clip_score(tmp_path, monkeypatch):

@@ -263,16 +263,24 @@ def test_trainer_resume_exact(tmp_path, monkeypatch):
         tr_b.run()
         tr_b.checkpointer.wait()
 
-        # (c) resume from (b)'s checkpoint, continue to 4
+        # (c) resume from (b)'s checkpoint, continue to 4 — with profiling:
+        # the profile window keys on process-local steps, so a resumed run
+        # whose restored global step (2) is already past profile_start_step
+        # must still write a trace (previously a silent no-op)
         args_c = TrainingArgs(train_steps=4, checkpointing_steps=100,
                               output_dir=str(tmp_path / "outb"),
-                              resume_from_checkpoint="latest", **common)
+                              resume_from_checkpoint="latest",
+                              profile_dir=str(tmp_path / "trace_resumed"),
+                              profile_start_step=1, profile_num_steps=1,
+                              **common)
         tr_c = SFTTrainer(args_c, make_spec())
         state = tr_c.run()
         assert state.step == 4
 
     for la, lc in zip(jax.tree.leaves(tr_a.train_params), jax.tree.leaves(tr_c.train_params)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))
+    trace_files = [f for _, _, fs in os.walk(tmp_path / "trace_resumed") for f in fs]
+    assert trace_files, "resumed run wrote no profiler trace"
 
 
 def test_trainer_with_dataset_config(tmp_path, monkeypatch):

@@ -156,12 +156,22 @@ class CLIPScorer:
     max_length=N, return_tensors="np") -> {"input_ids": [1, N]}``.
     """
 
+    # frame counts are padded up to a multiple of this before the jitted call
+    # so heterogeneous-length videos share a handful of compiled shapes
+    # instead of recompiling the full ViT forward per distinct length
+    FRAME_BUCKET = 16
+
     def __init__(self, params: Params, cfg: CLIPScoreConfig, tokenizer):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
-        self._score = jax.jit(
-            lambda fr, ids: video_clip_score(self.params, self.cfg, fr, ids))
+
+        def _frame_scores(fr, ids):
+            ie = clip_image_embed(self.params, self.cfg, fr)      # [F, P]
+            te = clip_text_embed(self.params, self.cfg, ids)      # [1, P]
+            return 100.0 * jnp.maximum(ie @ te[0], 0.0)           # [F]
+
+        self._frame_scores = jax.jit(_frame_scores)
 
     @classmethod
     def from_pretrained(cls, model_path: str) -> "CLIPScorer":
@@ -193,13 +203,17 @@ class CLIPScorer:
     def score_video(self, frames: np.ndarray, caption: str) -> float:
         """frames: uint8 [0,255] or float [0,1] RGB [F, H, W, 3] -> scalar
         CLIPScore (mean over frames vs the caption)."""
-        pix = jnp.asarray(preprocess_frames(
-            np.asarray(frames), self.cfg.vision.image_size))
+        pix = preprocess_frames(np.asarray(frames), self.cfg.vision.image_size)
+        f = len(pix)
+        pad = -f % self.FRAME_BUCKET
+        if pad:
+            pix = np.concatenate([pix, np.repeat(pix[-1:], pad, axis=0)])
         ids = self.tokenizer(
             [caption], padding="max_length", truncation=True,
             max_length=self.cfg.text.max_position_embeddings,
             return_tensors="np")["input_ids"].astype(np.int32)
-        return float(self._score(pix, jnp.asarray(ids)))
+        scores = np.asarray(self._frame_scores(jnp.asarray(pix), jnp.asarray(ids)))
+        return float(scores[:f].mean())
 
 
 def preprocess_frames(frames: np.ndarray, image_size: int = 224) -> np.ndarray:

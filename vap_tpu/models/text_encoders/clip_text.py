@@ -107,7 +107,15 @@ def clip_text_encode(params: Params, cfg: CLIPTextConfig,
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
     x = layer_norm(params["final_layer_norm"], x, cfg.layer_norm_eps)
-    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+    if cfg.eos_token_id == 2:
+        # Legacy hub configs (pre transformers#24773 — e.g. the openai
+        # clip-vit-* checkpoints) ship eos_token_id=2, which never appears in
+        # tokenized text; HF pools at the highest token id in each row (the
+        # real EOT, 49407, is the vocabulary maximum). Mirrored exactly or
+        # pooling would silently land on position 0 for those checkpoints.
+        eos_pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
     pooled = x[jnp.arange(b), eos_pos]
     return x, pooled
 

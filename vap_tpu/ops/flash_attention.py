@@ -579,12 +579,22 @@ def _flash_attention_forward_t(q, k, v, scale, block_q, block_k, use_bound=True,
             ks = jnp.repeat(segment_ids[1].astype(jnp.int32), heads, axis=0)
             absk = jnp.abs(kf32)
             knorm = jnp.linalg.norm(kf32, axis=-1)                   # [bh, kv]
-            kmax_g = jnp.stack(
-                [jnp.max(jnp.where((ks == g)[:, :, None], absk, 0.0), axis=1)
-                 for g in range(n_seg)], axis=1)                     # [bh, G, dim]
-            knorm_g = jnp.stack(
-                [jnp.max(jnp.where(ks == g, knorm, 0.0), axis=1)
-                 for g in range(n_seg)], axis=1)                     # [bh, G]
+            # one scatter-max pass over all (bh, kv) rows instead of a
+            # G-times-unrolled masked max: rows are bucketed into bh*G flat
+            # segments (invalid/padding key ids contribute 0, and the final
+            # maximum(., 0) reproduces the masked-max's zero floor for
+            # empty segments)
+            valid_k = (ks >= 0) & (ks < n_seg)
+            seg_flat = (jnp.clip(ks, 0, n_seg - 1)
+                        + jnp.arange(bh, dtype=jnp.int32)[:, None] * n_seg)
+            kmax_g = jnp.maximum(jax.ops.segment_max(
+                jnp.where(valid_k[:, :, None], absk, 0.0).reshape(bh * kv_len, dim),
+                seg_flat.reshape(-1), num_segments=bh * n_seg,
+            ).reshape(bh, n_seg, dim), 0.0)                          # [bh, G, dim]
+            knorm_g = jnp.maximum(jax.ops.segment_max(
+                jnp.where(valid_k, knorm, 0.0).reshape(-1),
+                seg_flat.reshape(-1), num_segments=bh * n_seg,
+            ).reshape(bh, n_seg), 0.0)                               # [bh, G]
             oh_q = (qs[:, :, None] == jnp.arange(n_seg)).astype(jnp.float32)
             kmax_q = jnp.einsum("bqg,bgd->bqd", oh_q, kmax_g)        # [bh, S, dim]
             knorm_q = jnp.einsum("bqg,bg->bq", oh_q, knorm_g)

@@ -431,6 +431,7 @@ class SFTTrainer:
             pre_iter = self._precomputed_pairs(
                 data_iter, epoch_len=len(loader.dataset) if hasattr(loader.dataset, "__len__") else None)
 
+        steps_this_run = 0  # process-local, unlike the resumable global step
         while self.train_state.step < args.train_steps:
             # fill a resolution bucket
             while not sampler.is_ready:
@@ -453,12 +454,18 @@ class SFTTrainer:
                 batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
 
             self.train_state.step += 1
-            self.train_state.observed_data_samples += args.batch_size * batch_shards
-            if args.profile_dir and self.train_state.step == args.profile_start_step:
+            steps_this_run += 1
+            if (args.profile_dir and steps_this_run == args.profile_start_step
+                    and not getattr(self, "_profiled", False)):
                 # device trace of steady-state steps (args.profile_* knobs);
-                # the reference has only wall-clock timers here (SURVEY §5)
+                # the reference has only wall-clock timers here (SURVEY §5).
+                # Keyed on the process-local step count, not the resumable
+                # global step: a resumed run past profile_start_step still
+                # skips its own first (compile) step and then traces.
                 jax.profiler.start_trace(args.profile_dir)
                 self._profiling = True
+                self._profiled = True
+            self.train_state.observed_data_samples += args.batch_size * batch_shards
             # step key is a pure function of (seed, step) so resumed runs draw
             # the same noise/timesteps as uninterrupted ones — and do NOT
             # replay steps 1..N the way re-splitting from PRNGKey(seed) would
@@ -485,7 +492,7 @@ class SFTTrainer:
                         self._accum_grads = None
 
             if getattr(self, "_profiling", False) and (
-                    self.train_state.step >= args.profile_start_step
+                    steps_this_run >= args.profile_start_step
                     + args.profile_num_steps - 1):
                 # materialize a metric first: async dispatch means the traced
                 # steps may still be executing (block_until_ready is not
@@ -519,6 +526,11 @@ class SFTTrainer:
         if getattr(self, "_profiling", False):  # train_steps ended mid-window
             jax.profiler.stop_trace()
             self._profiling = False
+        elif args.profile_dir and not getattr(self, "_profiled", False):
+            logger.warning(
+                f"--profile_dir set but no trace written: the run did only "
+                f"{steps_this_run} step(s), fewer than "
+                f"--profile_start_step {args.profile_start_step}")
         self.checkpointer.wait()
         self.tracker.finish()
         return self.train_state
@@ -610,17 +622,9 @@ class SFTTrainer:
                 # (reference validation varies noise across samples)
                 video = self.spec.validation(
                     merged, sample, seed=args.seed + i, **gen_kwargs)
-            frames = (np.asarray(video) + 1.0) / 2.0
-            path = os.path.join(out_dir, f"sample_{i}.mp4")
-            export_to_video(frames, path, fps=16)
-            artifacts[f"validation/sample_{i}"] = path
-            if scorer is not None:
-                clip_scores.append(scorer.score_video(frames, str(sample["caption"])))
-            logger.info(f"validation sample written: {path}")
-        self.tracker.log_artifacts(artifacts, step=self.train_state.step)
-        if clip_scores:
-            self.tracker.log({"validation/clip_score": float(np.mean(clip_scores))},
-                             step=self.train_state.step)
+            self._write_validation_sample(
+                np.asarray(video), sample, out_dir, i, artifacts, scorer, clip_scores)
+        self._log_validation(artifacts, clip_scores)
 
     def _validate_generic(self, merged, num_samples: Optional[int] = None):
         """Prompt-driven validation for the generic families: the validation
@@ -659,13 +663,23 @@ class SFTTrainer:
             media = np.asarray(media)
             if media.ndim == 3:  # image -> 1-frame clip
                 media = media[None]
-            frames = (media + 1.0) / 2.0
-            path = os.path.join(out_dir, f"sample_{i}.mp4")
-            export_to_video(frames, path, fps=16)
-            artifacts[f"validation/sample_{i}"] = path
-            if scorer is not None:
-                clip_scores.append(scorer.score_video(frames, str(sample["caption"])))
-            logger.info(f"validation sample written: {path}")
+            self._write_validation_sample(
+                media, sample, out_dir, i, artifacts, scorer, clip_scores)
+        self._log_validation(artifacts, clip_scores)
+
+    def _write_validation_sample(self, media, sample, out_dir, i, artifacts,
+                                 scorer, clip_scores):
+        """Export one [-1,1] [F,H,W,3] sample as mp4 and, with a CLIP scorer
+        configured, score it against its caption."""
+        frames = (media + 1.0) / 2.0
+        path = os.path.join(out_dir, f"sample_{i}.mp4")
+        export_to_video(frames, path, fps=16)
+        artifacts[f"validation/sample_{i}"] = path
+        if scorer is not None:
+            clip_scores.append(scorer.score_video(frames, str(sample["caption"])))
+        logger.info(f"validation sample written: {path}")
+
+    def _log_validation(self, artifacts, clip_scores):
         self.tracker.log_artifacts(artifacts, step=self.train_state.step)
         if clip_scores:
             self.tracker.log({"validation/clip_score": float(np.mean(clip_scores))},
