@@ -25,7 +25,18 @@ def main():
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--clip_score_model", default=None,
+                   help="local HF CLIPModel dir: score each generation against "
+                        "its caption and report the benchmark mean (reference "
+                        "README.md:73-81 metric, VAP = 24.13)")
     args = p.parse_args()
+
+    scorer = None
+    if args.clip_score_model:
+        from vap_tpu.eval import CLIPScorer
+
+        scorer = CLIPScorer.from_pretrained(args.clip_score_model)
+    clip_scores = []
 
     from wan_vap import build_pipeline
     from vap_tpu.data.dataset import VideoAsPromptValidationDataset
@@ -58,7 +69,15 @@ def main():
         side_by_side = np.concatenate([ref01, target, ours], axis=2)
         out_path = os.path.join(args.output_dir, f"{args.shard_index:02d}_{i:04d}.mp4")
         export_to_video(side_by_side, out_path, fps=16)
-        print(f"[{i}] saved {out_path}")
+        if scorer is not None:
+            clip_scores.append(scorer.score_video(ours, str(sample["caption"])))
+            print(f"[{i}] saved {out_path} clip_score={clip_scores[-1]:.3f}")
+        else:
+            print(f"[{i}] saved {out_path}")
+
+    if clip_scores:
+        print(f"mean CLIP score over {len(clip_scores)} videos: "
+              f"{float(np.mean(clip_scores)):.3f} (reference VAP: 24.13)")
 
 
 if __name__ == "__main__":
