@@ -35,6 +35,9 @@ def main() -> None:
     p.add_argument("--caption", help="single caption for --videos")
     p.add_argument("--model", default="openai/clip-vit-large-patch14",
                    help="local HF CLIPModel path")
+    p.add_argument("--aesthetic_model", default=None,
+                   help="LAION improved-aesthetic-predictor .pth: also report "
+                        "VBench-style aesthetic quality (reference table: 57.71)")
     p.add_argument("--max_frames", type=int, default=None,
                    help="cap frames per video (default: all)")
     p.add_argument("--output_json", help="write per-video scores here")
@@ -55,21 +58,29 @@ def main() -> None:
     from vap_tpu.data.video import load_video
     from vap_tpu.eval import CLIPScorer
 
-    scorer = CLIPScorer.from_pretrained(args.model)
+    scorer = CLIPScorer.from_pretrained(args.model, args.aesthetic_model)
 
     results = []
     for path, caption in rows:
         frames, _ = load_video(path, max_frames=args.max_frames)
-        s = scorer.score_video(frames, caption)
-        results.append({"video_path": path, "caption": caption, "clip_score": s})
-        print(f"{s:7.3f}  {path}")
+        m = scorer.score_video_metrics(frames, caption)
+        results.append({"video_path": path, "caption": caption, **m})
+        extra = (f"  aesthetic={m['aesthetic_quality']:.4f}"
+                 if "aesthetic_quality" in m else "")
+        print(f"{m['clip_score']:7.3f}{extra}  {path}")
 
-    mean = float(np.mean([r["clip_score"] for r in results]))
-    print(f"mean CLIP score over {len(results)} videos: {mean:.3f} "
+    summary = {"mean_clip_score": float(np.mean([r["clip_score"] for r in results]))}
+    print(f"mean CLIP score over {len(results)} videos: "
+          f"{summary['mean_clip_score']:.3f} "
           f"(reference VAP benchmark: 24.13, README.md:73-81)")
+    if args.aesthetic_model:
+        summary["mean_aesthetic_quality"] = float(
+            np.mean([r["aesthetic_quality"] for r in results]))
+        print(f"mean aesthetic quality: {summary['mean_aesthetic_quality']:.4f} "
+              f"(reference table x100: 57.71)")
     if args.output_json:
         with open(args.output_json, "w") as f:
-            json.dump({"mean_clip_score": mean, "videos": results}, f, indent=1)
+            json.dump({**summary, "videos": results}, f, indent=1)
 
 
 if __name__ == "__main__":

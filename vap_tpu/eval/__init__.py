@@ -1,3 +1,9 @@
+from .aesthetic import (  # noqa: F401
+    aesthetic_head,
+    convert_aesthetic_state_dict,
+    init_aesthetic,
+    video_aesthetic_score,
+)
 from .clip_score import (  # noqa: F401
     CLIPScoreConfig,
     CLIPScorer,

@@ -161,21 +161,32 @@ class CLIPScorer:
     # instead of recompiling the full ViT forward per distinct length
     FRAME_BUCKET = 16
 
-    def __init__(self, params: Params, cfg: CLIPScoreConfig, tokenizer):
+    def __init__(self, params: Params, cfg: CLIPScoreConfig, tokenizer,
+                 aesthetic_params=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
+        self.aesthetic_params = aesthetic_params
 
-        def _frame_scores(fr, ids):
+        def _frame_metrics(fr, ids):
             ie = clip_image_embed(self.params, self.cfg, fr)      # [F, P]
             te = clip_text_embed(self.params, self.cfg, ids)      # [1, P]
-            return 100.0 * jnp.maximum(ie @ te[0], 0.0)           # [F]
+            scores = 100.0 * jnp.maximum(ie @ te[0], 0.0)         # [F]
+            if self.aesthetic_params is None:
+                return scores, jnp.zeros_like(scores)
+            from .aesthetic import aesthetic_head
 
-        self._frame_scores = jax.jit(_frame_scores)
+            # the aesthetic head rides the same (already L2-normalized)
+            # image embeddings — one ViT pass serves both metrics
+            return scores, aesthetic_head(self.aesthetic_params, ie)
+
+        self._frame_metrics = jax.jit(_frame_metrics)
 
     @classmethod
-    def from_pretrained(cls, model_path: str) -> "CLIPScorer":
-        """Load a local HF CLIPModel directory (config + weights + tokenizer)."""
+    def from_pretrained(cls, model_path: str,
+                        aesthetic_path: str = None) -> "CLIPScorer":
+        """Load a local HF CLIPModel directory (config + weights + tokenizer);
+        optionally a LAION aesthetic-predictor .pth for aesthetic_quality."""
         from transformers import AutoTokenizer, CLIPModel
 
         hf = CLIPModel.from_pretrained(model_path)
@@ -198,11 +209,26 @@ class CLIPScorer:
         )
         params = convert_clip_model_state_dict(
             {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
-        return cls(params, cfg, AutoTokenizer.from_pretrained(model_path))
+        aest = None
+        if aesthetic_path:
+            import torch
+
+            from .aesthetic import convert_aesthetic_state_dict
+
+            sd = torch.load(aesthetic_path, map_location="cpu", weights_only=True)
+            aest = convert_aesthetic_state_dict(
+                {k: v.numpy() for k, v in sd.items()})
+        return cls(params, cfg, AutoTokenizer.from_pretrained(model_path), aest)
 
     def score_video(self, frames: np.ndarray, caption: str) -> float:
         """frames: uint8 [0,255] or float [0,1] RGB [F, H, W, 3] -> scalar
         CLIPScore (mean over frames vs the caption)."""
+        return self.score_video_metrics(frames, caption)["clip_score"]
+
+    def score_video_metrics(self, frames: np.ndarray, caption: str) -> Dict[str, float]:
+        """Full metrics for one video: {"clip_score"} plus, when the scorer
+        was built with aesthetic_params (vap_tpu.eval.aesthetic),
+        {"aesthetic_quality"} — the VBench-style [0, 1] mean-head-score/10."""
         pix = preprocess_frames(np.asarray(frames), self.cfg.vision.image_size)
         f = len(pix)
         pad = -f % self.FRAME_BUCKET
@@ -212,8 +238,11 @@ class CLIPScorer:
             [caption], padding="max_length", truncation=True,
             max_length=self.cfg.text.max_position_embeddings,
             return_tensors="np")["input_ids"].astype(np.int32)
-        scores = np.asarray(self._frame_scores(jnp.asarray(pix), jnp.asarray(ids)))
-        return float(scores[:f].mean())
+        scores, aest = self._frame_metrics(jnp.asarray(pix), jnp.asarray(ids))
+        out = {"clip_score": float(np.asarray(scores)[:f].mean())}
+        if self.aesthetic_params is not None:
+            out["aesthetic_quality"] = float(np.asarray(aest)[:f].mean() / 10.0)
+        return out
 
 
 def preprocess_frames(frames: np.ndarray, image_size: int = 224) -> np.ndarray:
