@@ -46,6 +46,12 @@ class Inference:
         else:
             from wan_vap import build_pipeline
         self.pipe = build_pipeline(args.model_path)
+        self.scorer = None
+        if getattr(args, "clip_score_model", None):
+            from vap_tpu.eval import CLIPScorer
+
+            self.scorer = CLIPScorer.from_pretrained(
+                args.clip_score_model, getattr(args, "aesthetic_model", None))
 
     def _gen_kwargs(self):
         args = self.args
@@ -74,6 +80,7 @@ class Inference:
                if self.mesh is not None else _null_context())
         gen_kwargs = self._gen_kwargs()
         done = 0
+        self.metrics = []
         with self._attention_provider(provider), ctx:
             for i, sample in enumerate(ds):
                 if args.max_samples is not None and done >= args.max_samples:
@@ -105,7 +112,20 @@ class Inference:
                 else:
                     export_to_video(clip, out, fps=args.fps)
                 done += 1
-                print(f"saved {out}")
+                if self.scorer is not None:
+                    m = self.scorer.score_video_metrics(clip, str(sample["caption"]))
+                    self.metrics.append(m)
+                    print(f"saved {out} " +
+                          " ".join(f"{k}={v:.3f}" for k, v in m.items()))
+                else:
+                    print(f"saved {out}")
+        if self.metrics:
+            # per-process means (each process scores its own dp shard, like
+            # the reference's per-rank artifact logging)
+            for k in self.metrics[0]:
+                vals = [m[k] for m in self.metrics]
+                print(f"shard {self.shard_index} mean {k}: "
+                      f"{float(np.mean(vals)):.4f} over {len(vals)} videos")
 
 
 class _null_context:
@@ -149,6 +169,11 @@ def main():
                    help="export [ref | generated] comparison videos")
     p.add_argument("--fps", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--clip_score_model", default=None,
+                   help="local HF CLIPModel dir: score generations against "
+                        "their captions (reference README.md:73-81 metric)")
+    p.add_argument("--aesthetic_model", default=None,
+                   help="LAION aesthetic-predictor .pth (with --clip_score_model)")
     args = p.parse_args()
     Inference(args).run()
 
