@@ -221,6 +221,59 @@ def test_trainer_validation_logs_clip_score(tmp_path, monkeypatch):
     assert score is not None and 0.0 <= score <= 100.0
 
 
+def test_clip_scorer_from_pretrained_legacy_eos(tmp_path, torch_reference):
+    """End-to-end from_pretrained on a saved tiny CLIPModel + real
+    CLIPTokenizer replicating the openai/clip-vit-* situation: the hub
+    text_config ships legacy eos_token_id=2 while the tokenizer's actual
+    <|endoftext|> is the highest vocab id — text pooling must follow the
+    legacy argmax branch and match HF's get_text_features."""
+    import json as _json
+
+    import torch
+    from transformers import CLIPTokenizer
+
+    chars = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    vocab = {"<|startoftext|>": 0, "!": 1, "!</w>": 2}
+    for ch in chars:
+        vocab[ch] = len(vocab)
+    for ch in chars:
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(_json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+
+    cfg = CLIPScoreConfig.tiny(text=CLIPTextConfig_tiny_for(len(vocab)))
+    hf = _hf_model(cfg)
+    # replicate the hub quirk: config eos (2) != tokenizer eos (vocab max)
+    assert hf.config.text_config.eos_token_id == 2
+    hf.save_pretrained(tmp_path)
+    tok.save_pretrained(tmp_path)
+
+    scorer = CLIPScorer.from_pretrained(str(tmp_path))
+    caption = "a cat jumps"
+    ids = scorer.tokenizer([caption], padding="max_length", truncation=True,
+                           max_length=cfg.text.max_position_embeddings,
+                           return_tensors="np")["input_ids"]
+    assert ids.max() == len(vocab) - 1  # real <|endoftext|> is in the row
+    with torch.no_grad():
+        te_ref = hf.get_text_features(torch.from_numpy(ids)).numpy()
+    te_ref /= np.linalg.norm(te_ref, axis=-1, keepdims=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        te = clip_text_embed(scorer.params, scorer.cfg, jnp.asarray(ids.astype(np.int32)))
+        frames = np.random.default_rng(7).uniform(0, 1, (2, 40, 40, 3)).astype(np.float32)
+        s = scorer.score_video(frames, caption)
+    np.testing.assert_allclose(np.asarray(te), te_ref, atol=1e-5, rtol=1e-4)
+    assert 0.0 <= s <= 100.0
+
+
+def CLIPTextConfig_tiny_for(vocab_size):
+    from vap_tpu.models.text_encoders.clip_text import CLIPTextConfig
+
+    return CLIPTextConfig.tiny(vocab_size=vocab_size, eos_token_id=2,
+                               max_position_embeddings=12)
+
+
 def test_preprocess_frames_shapes_and_range():
     cv2 = pytest.importorskip("cv2")  # noqa: F841
     rng = np.random.default_rng(2)
