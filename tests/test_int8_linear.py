@@ -71,6 +71,43 @@ def test_quantize_transformer_forward_cos():
     assert _cos(got, ref) > 0.999
 
 
+def test_quantize_wan_transformer_forward_cos():
+    """W8A8 is family-generic: the Wan MoT transformer uses the same
+    projection names (to_q/to_k/to_v/to_out, ffn net_0/net_2), so the same
+    quantize traversal covers it — the path that lets the 14B Wan DiT's
+    weights drop to int8 on-chip. Tiny forward must stay close to bf16."""
+    from vap_tpu.models.wan import WanMOTConfig, init_wan_mot
+    from vap_tpu.models.wan.transformer_mot import wan_mot_forward
+    from vap_tpu.ops.attention import attention_provider
+
+    cfg = WanMOTConfig.tiny()
+    params = init_wan_mot(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_transformer_linears(params)
+    # the traversal must actually have hit the projections
+    flat = jax.tree_util.tree_flatten_with_path(qparams)[0]
+    n_q = sum(1 for path, _ in flat
+              if any(getattr(k, "key", None) == "w_i8" for k in path))
+    assert n_q >= 8, f"only {n_q} quantized projections found"
+
+    key = jax.random.PRNGKey(1)
+    B, F, H, W = 1, 2, 8, 8
+    kw = dict(
+        hidden_states=jax.random.normal(key, (B, F, H, W, cfg.in_channels), jnp.float32),
+        timestep=jnp.array([500.0]),
+        encoder_hidden_states=jax.random.normal(key, (B, cfg.text_len, cfg.text_dim), jnp.float32),
+        encoder_hidden_states_image=jax.random.normal(key, (B, 257, cfg.image_dim), jnp.float32),
+        hidden_states_mot_ref=jax.random.normal(key, (B, F, H, W, cfg.in_channels), jnp.float32),
+        timestep_mot_ref=jnp.array([[1.0]]),
+        encoder_hidden_states_mot_ref=jax.random.normal(key, (B, cfg.text_len, cfg.text_dim), jnp.float32),
+        encoder_hidden_states_image_mot_ref=jax.random.normal(key, (B, 257, cfg.image_dim), jnp.float32),
+        num_mot_ref=1,
+    )
+    with jax.default_device(jax.devices("cpu")[0]), attention_provider("xla"):
+        ref, _ = wan_mot_forward(params, cfg, **kw)
+        got, _ = wan_mot_forward(qparams, cfg, **kw)
+    assert _cos(got, ref) > 0.999
+
+
 def test_bench_int8_fast_init_matches_quantize_traversal():
     """bench.py's quantized fast-init must produce exactly the tree that
     quantizing the bf16 fast-init produces: same structure, shapes, dtypes.
