@@ -29,13 +29,17 @@ def main():
                    help="local HF CLIPModel dir: score each generation against "
                         "its caption and report the benchmark mean (reference "
                         "README.md:73-81 metric, VAP = 24.13)")
+    p.add_argument("--aesthetic_model", default=None,
+                   help="LAION aesthetic-predictor .pth (with --clip_score_model): "
+                        "also report aesthetic quality (reference table: 57.71)")
     args = p.parse_args()
 
     scorer = None
     if args.clip_score_model:
         from vap_tpu.eval import CLIPScorer
 
-        scorer = CLIPScorer.from_pretrained(args.clip_score_model)
+        scorer = CLIPScorer.from_pretrained(args.clip_score_model,
+                                            args.aesthetic_model)
     clip_scores = []
 
     from wan_vap import build_pipeline
@@ -70,14 +74,18 @@ def main():
         out_path = os.path.join(args.output_dir, f"{args.shard_index:02d}_{i:04d}.mp4")
         export_to_video(side_by_side, out_path, fps=16)
         if scorer is not None:
-            clip_scores.append(scorer.score_video(ours, str(sample["caption"])))
-            print(f"[{i}] saved {out_path} clip_score={clip_scores[-1]:.3f}")
+            m = scorer.score_video_metrics(ours, str(sample["caption"]))
+            clip_scores.append(m)
+            print(f"[{i}] saved {out_path} " +
+                  " ".join(f"{k}={v:.3f}" for k, v in m.items()))
         else:
             print(f"[{i}] saved {out_path}")
 
     if clip_scores:
-        print(f"mean CLIP score over {len(clip_scores)} videos: "
-              f"{float(np.mean(clip_scores)):.3f} (reference VAP: 24.13)")
+        for k in clip_scores[0]:
+            print(f"mean {k} over {len(clip_scores)} videos: "
+                  f"{float(np.mean([m[k] for m in clip_scores])):.4f} "
+                  f"(reference: CLIP 24.13, aesthetic x100 57.71)")
 
 
 if __name__ == "__main__":

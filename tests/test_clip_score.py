@@ -232,6 +232,8 @@ def test_clip_scorer_from_pretrained_legacy_eos(tmp_path, torch_reference):
     import torch
     from transformers import CLIPTokenizer
 
+    pytest.importorskip("cv2")  # score_video preprocesses with cv2
+
     chars = [chr(c) for c in range(ord("a"), ord("z") + 1)]
     vocab = {"<|startoftext|>": 0, "!": 1, "!</w>": 2}
     for ch in chars:

@@ -135,6 +135,13 @@ def clip_score(params: Params, cfg: CLIPScoreConfig, pixel_values: Array,
     return 100.0 * jnp.maximum(jnp.sum(ie * te, axis=-1), 0.0)
 
 
+def frame_scores_vs_text(image_embeds: Array, text_embed: Array) -> Array:
+    """THE score formula: L2-normalized image embeds [F, P] vs one text
+    embed [P] -> per-frame scores [F] = 100 * max(cos, 0). Single source
+    shared by video_clip_score and CLIPScorer."""
+    return 100.0 * jnp.maximum(image_embeds @ text_embed, 0.0)
+
+
 def video_clip_score(params: Params, cfg: CLIPScoreConfig, frames: Array,
                      input_ids: Array) -> Array:
     """frames [F, H, W, 3] (one video, CLIP-normalized) vs input_ids [1, S] or
@@ -143,7 +150,7 @@ def video_clip_score(params: Params, cfg: CLIPScoreConfig, frames: Array,
         input_ids = input_ids[None]
     ie = clip_image_embed(params, cfg, frames)            # [F, P]
     te = clip_text_embed(params, cfg, input_ids)          # [1, P]
-    return jnp.mean(100.0 * jnp.maximum(ie @ te[0], 0.0))
+    return jnp.mean(frame_scores_vs_text(ie, te[0]))
 
 
 class CLIPScorer:
@@ -156,10 +163,17 @@ class CLIPScorer:
     max_length=N, return_tensors="np") -> {"input_ids": [1, N]}``.
     """
 
-    # frame counts are padded up to a multiple of this before the jitted call
-    # so heterogeneous-length videos share a handful of compiled shapes
-    # instead of recompiling the full ViT forward per distinct length
+    # frame counts are padded to a power of two up to this cap (then to a
+    # multiple of it) before the jitted call, so heterogeneous-length videos
+    # share a handful of compiled shapes instead of recompiling the ViT per
+    # length — without a flat bucket's 16x penalty on 1-frame images
     FRAME_BUCKET = 16
+
+    @classmethod
+    def _padded_frames(cls, f: int) -> int:
+        if f >= cls.FRAME_BUCKET:
+            return f + (-f % cls.FRAME_BUCKET)
+        return 1 << (f - 1).bit_length()  # next power of two: 1,2,4,8,16
 
     def __init__(self, params: Params, cfg: CLIPScoreConfig, tokenizer,
                  aesthetic_params=None):
@@ -171,7 +185,7 @@ class CLIPScorer:
         def _frame_metrics(fr, ids):
             ie = clip_image_embed(self.params, self.cfg, fr)      # [F, P]
             te = clip_text_embed(self.params, self.cfg, ids)      # [1, P]
-            scores = 100.0 * jnp.maximum(ie @ te[0], 0.0)         # [F]
+            scores = frame_scores_vs_text(ie, te[0])              # [F]
             if self.aesthetic_params is None:
                 return scores, jnp.zeros_like(scores)
             from .aesthetic import aesthetic_head
@@ -231,7 +245,7 @@ class CLIPScorer:
         {"aesthetic_quality"} — the VBench-style [0, 1] mean-head-score/10."""
         pix = preprocess_frames(np.asarray(frames), self.cfg.vision.image_size)
         f = len(pix)
-        pad = -f % self.FRAME_BUCKET
+        pad = self._padded_frames(f) - f
         if pad:
             pix = np.concatenate([pix, np.repeat(pix[-1:], pad, axis=0)])
         ids = self.tokenizer(

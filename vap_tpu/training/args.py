@@ -116,6 +116,9 @@ class TrainingArgs:
     # vap_tpu/eval/clip_score.py). Path to a local HF CLIPModel directory
     # (e.g. openai/clip-vit-large-patch14); None disables scoring.
     clip_score_model_path: Optional[str] = None
+    # LAION improved-aesthetic-predictor .pth (with clip_score_model_path):
+    # also logs validation/aesthetic_quality (vap_tpu/eval/aesthetic.py)
+    aesthetic_model_path: Optional[str] = None
     checkpointing_steps: int = 500
     checkpointing_limit: Optional[int] = 2
     resume_from_checkpoint: Optional[str] = None  # "latest" or step number

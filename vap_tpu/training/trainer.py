@@ -143,7 +143,9 @@ class SFTTrainer:
         if self.clip_scorer is None and self.args.clip_score_model_path:
             from ..eval import CLIPScorer
 
-            self.clip_scorer = CLIPScorer.from_pretrained(self.args.clip_score_model_path)
+            self.clip_scorer = CLIPScorer.from_pretrained(
+                self.args.clip_score_model_path,
+                self.args.aesthetic_model_path)
         return self.clip_scorer
 
     def _build_step(self, params):
@@ -670,20 +672,23 @@ class SFTTrainer:
     def _write_validation_sample(self, media, sample, out_dir, i, artifacts,
                                  scorer, clip_scores):
         """Export one [-1,1] [F,H,W,3] sample as mp4 and, with a CLIP scorer
-        configured, score it against its caption."""
+        configured, score it against its caption (plus aesthetic quality when
+        the scorer carries the LAION head)."""
         frames = (media + 1.0) / 2.0
         path = os.path.join(out_dir, f"sample_{i}.mp4")
         export_to_video(frames, path, fps=16)
         artifacts[f"validation/sample_{i}"] = path
         if scorer is not None:
-            clip_scores.append(scorer.score_video(frames, str(sample["caption"])))
+            clip_scores.append(
+                scorer.score_video_metrics(frames, str(sample["caption"])))
         logger.info(f"validation sample written: {path}")
 
     def _log_validation(self, artifacts, clip_scores):
         self.tracker.log_artifacts(artifacts, step=self.train_state.step)
         if clip_scores:
-            self.tracker.log({"validation/clip_score": float(np.mean(clip_scores))},
-                             step=self.train_state.step)
+            means = {f"validation/{k}": float(np.mean([m[k] for m in clip_scores]))
+                     for k in clip_scores[0]}
+            self.tracker.log(means, step=self.train_state.step)
 
     def dump_training_sample(self, sample: Dict[str, Any], step: int = 0):
         """Step-0 training-sample dump (reference trainer.py:524-580): write the
