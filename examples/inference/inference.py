@@ -57,7 +57,8 @@ class Inference:
         args = self.args
         kw = dict(height=args.height, width=args.width, num_frames=args.num_frames,
                   num_inference_steps=args.num_inference_steps,
-                  guidance_scale=args.guidance_scale, seed=args.seed)
+                  guidance_scale=args.guidance_scale, seed=args.seed,
+                  step_cache=getattr(args, "step_cache", None))
         if args.model_name == "cogvideox":
             kw["use_dynamic_cfg"] = args.use_dynamic_cfg
         elif args.negative_prompt is not None:
@@ -169,6 +170,7 @@ def main():
                    help="export [ref | generated] comparison videos")
     p.add_argument("--fps", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--step_cache", default=None, help="denoise step caching, e.g. uniform:2 (PAB/AdaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
     p.add_argument("--clip_score_model", default=None,
                    help="local HF CLIPModel dir: score generations against "
                         "their captions (reference README.md:73-81 metric)")

@@ -70,6 +70,7 @@ def main():
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--step_cache", default=None, help="denoise step caching, e.g. uniform:2 (PAB/AdaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
     p.add_argument("--frames_selection", default="evenly", choices=["first", "evenly", "random"])
     args = p.parse_args()
 
@@ -91,7 +92,7 @@ def main():
         image=image, prompt=args.prompt, ref_videos=[ref_video],
         prompt_mot_ref=[args.prompt_ref], height=args.height, width=args.width,
         num_frames=args.num_frames, num_inference_steps=args.num_inference_steps,
-        guidance_scale=args.guidance_scale, use_dynamic_cfg=True, seed=args.seed,
+        guidance_scale=args.guidance_scale, use_dynamic_cfg=True, seed=args.seed, step_cache=args.step_cache,
     )
     export_to_video((video[0] + 1.0) / 2.0, args.output, fps=16)
     print(f"saved {args.output}")

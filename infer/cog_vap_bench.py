@@ -25,6 +25,7 @@ def main():
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--step_cache", default=None, help="denoise step caching, e.g. uniform:2 (PAB/AdaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
@@ -69,7 +70,7 @@ def main():
             prompt_mot_ref=sample["caption_mot_ref"][:1],
             height=args.height, width=args.width, num_frames=args.num_frames,
             num_inference_steps=args.num_inference_steps,
-            guidance_scale=args.guidance_scale, use_dynamic_cfg=True, seed=args.seed,
+            guidance_scale=args.guidance_scale, use_dynamic_cfg=True, seed=args.seed, step_cache=args.step_cache,
         )
         ours = (video[0] + 1.0) / 2.0
         ref01 = (ref + 1.0) / 2.0

@@ -1,0 +1,180 @@
+"""Denoise step caching (PAB/AdaCache-family, vap_tpu/pipelines/step_cache.py):
+schedule parsing, all-compute == baseline equivalence, and — the point — that
+reuse steps actually skip the transformer forward (counted via an ordered
+io_callback inside the scanned lax.cond)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vap_tpu.models.cogvideox import CogVideoXMOTConfig, init_cogvideox_mot
+from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig
+from vap_tpu.models.text_encoders import T5Config, init_t5_encoder
+from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
+from vap_tpu.pipelines.step_cache import parse_step_cache_schedule
+from tests.test_pipeline_cogvideox import FakeTokenizer, _init_vae_params
+
+
+def test_parse_schedule():
+    assert parse_step_cache_schedule(None, 10) is None
+    assert parse_step_cache_schedule("none", 10) is None
+    m = parse_step_cache_schedule("uniform:2", 20)
+    assert m.dtype == bool and m.shape == (20,)
+    assert m[:5].all() and m[-5:].all()          # warmup/cooldown default 5
+    assert m[5] and not m[6] and m[7]            # every 2nd in between
+    m = parse_step_cache_schedule("uniform:3:1:0", 8)
+    np.testing.assert_array_equal(
+        m, [True, True, False, False, True, False, False, True])
+    assert parse_step_cache_schedule("uniform:1:1:0", 6).all()
+    with pytest.raises(ValueError):
+        parse_step_cache_schedule("pyramid:2", 10)
+    with pytest.raises(ValueError):
+        parse_step_cache_schedule("uniform:0", 10)
+    with pytest.raises(ValueError):
+        parse_step_cache_schedule("uniform:2:0", 10)  # warmup 0: step 0 uncached
+
+
+def _tiny_pipe():
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    return CogVideoXVAPPipeline_built(t_cfg, vae_cfg, txt_cfg, key)
+
+
+def CogVideoXVAPPipeline_built(t_cfg, vae_cfg, txt_cfg, key):
+    from vap_tpu.pipelines.cogvideox_i2v_mot import CogVideoXVAPPipeline
+
+    return CogVideoXVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
+        params={
+            "transformer": init_cogvideox_mot(key, t_cfg),
+            "vae": _init_vae_params(key, vae_cfg),
+            "text_encoder": init_t5_encoder(key, txt_cfg),
+        },
+        tokenizer=FakeTokenizer(), scheduler=CogVideoXDDIMScheduler(),
+        dtype=jnp.float32,
+    )
+
+
+def _generate(pipe, steps, step_cache, seed=11):
+    H = W = 32
+    F = 9
+    image = np.random.default_rng(2).uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    ref_video = np.random.default_rng(3).uniform(-1, 1, (F, H, W, 3)).astype(np.float32)
+    return pipe(
+        image=image, prompt="a cat", ref_videos=[ref_video],
+        prompt_mot_ref=["fx"], height=H, width=W, num_frames=F,
+        num_inference_steps=steps, guidance_scale=6.0, use_dynamic_cfg=True,
+        max_sequence_length=pipe.transformer_cfg.max_text_seq_length,
+        seed=seed, output_type="latent", step_cache=step_cache)
+
+
+def test_all_compute_schedule_matches_baseline(monkeypatch):
+    """uniform:1 computes every step: the cond-wrapped scan must reproduce
+    the baseline scan's trajectory."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    pipe = _tiny_pipe()
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = np.asarray(_generate(pipe, 3, None))
+        allc = np.asarray(_generate(pipe, 3, "uniform:1:1:0"))
+    np.testing.assert_allclose(allc, base, atol=1e-6, rtol=1e-6)
+
+
+def test_wan_step_cache(monkeypatch):
+    """Same mechanics on the Wan pipeline: uniform:1 == baseline; a sparse
+    schedule runs the transformer only on compute steps (io_callback count)."""
+    import vap_tpu.pipelines.wan_i2v_mot as wpl
+    from vap_tpu.models.text_encoders.clip_vision import CLIPVisionConfig, init_clip_vision
+    from vap_tpu.models.wan import WanMOTConfig, init_wan_mot
+    from vap_tpu.models.wan.vae import WanVAEConfig
+    from vap_tpu.ops.schedulers import FlowMatchEulerScheduler
+    from tests.test_pipeline_wan import FakeTokenizer as WanTok, _wan_vae_params
+
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    calls = []
+    real_forward = wpl.wan_mot_forward
+
+    def counting_forward(*a, **kw):
+        jax.experimental.io_callback(lambda: calls.append(1), None, ordered=True)
+        return real_forward(*a, **kw)
+
+    monkeypatch.setattr(wpl, "wan_mot_forward", counting_forward)
+
+    vae_cfg = WanVAEConfig.tiny()
+    t_cfg = WanMOTConfig.tiny(
+        in_channels=vae_cfg.z_dim + 4 + vae_cfg.z_dim,
+        out_channels=vae_cfg.z_dim, text_len=16)
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_dim, per_layer_relative_bias=True)
+    clip_cfg = CLIPVisionConfig.tiny(hidden_size=t_cfg.image_dim)
+    key = jax.random.PRNGKey(0)
+    pipe = wpl.WanVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg, clip_cfg=clip_cfg,
+        params={
+            "transformer": init_wan_mot(key, t_cfg),
+            "vae": _wan_vae_params(vae_cfg),
+            "text_encoder": init_t5_encoder(jax.random.fold_in(key, 1), txt_cfg),
+            "image_encoder": init_clip_vision(jax.random.fold_in(key, 2), clip_cfg),
+        },
+        tokenizer=WanTok(), scheduler=FlowMatchEulerScheduler(shift=3.0),
+        dtype=jnp.float32)
+
+    H = W = 32
+    F = 9
+    rng = np.random.default_rng(0)
+    image = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    ref_video = rng.uniform(-1, 1, (F, H, W, 3)).astype(np.float32)
+
+    def gen(steps, sc):
+        return np.asarray(pipe(
+            image=image, prompt="a dog", ref_videos=[ref_video],
+            prompt_mot_ref=["melt it"], height=H, width=W, num_frames=F,
+            num_inference_steps=steps, guidance_scale=5.0,
+            max_sequence_length=t_cfg.text_len, output_type="latent",
+            step_cache=sc))
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = gen(3, None)
+        calls.clear()
+        allc = gen(3, "uniform:1:1:0")
+        assert len(calls) == 3
+        np.testing.assert_allclose(allc, base, atol=1e-6, rtol=1e-6)
+        calls.clear()
+        sparse = gen(3, "uniform:9:1:0")  # computes only step 0... plus mask[0]
+        assert len(calls) == int(parse_step_cache_schedule("uniform:9:1:0", 3).sum())
+        assert np.isfinite(sparse).all()
+        assert not np.allclose(sparse, base, atol=1e-4)
+
+
+def test_reuse_steps_skip_the_forward(monkeypatch):
+    """With uniform:3:1:0 over 5 steps, the transformer must run exactly 3
+    times (mask T,T,F,F,T) — counted by an ordered io_callback wrapped
+    around the forward, which only fires when the lax.cond takes the
+    compute branch."""
+    import vap_tpu.pipelines.cogvideox_i2v_mot as pl
+
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    mask = parse_step_cache_schedule("uniform:3:1:0", 5)
+    np.testing.assert_array_equal(mask, [True, True, False, False, True])
+
+    calls = []
+    real_forward = pl.cogvideox_mot_forward
+
+    def counting_forward(*a, **kw):
+        jax.experimental.io_callback(lambda: calls.append(1), None, ordered=True)
+        return real_forward(*a, **kw)
+
+    monkeypatch.setattr(pl, "cogvideox_mot_forward", counting_forward)
+    pipe = _tiny_pipe()
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = np.asarray(_generate(pipe, 5, None))
+        n_base = len(calls)
+        calls.clear()
+        cached = np.asarray(_generate(pipe, 5, "uniform:3:1:0"))
+        n_cached = len(calls)
+    assert n_base == 5, n_base
+    assert n_cached == int(mask.sum()) == 3, n_cached
+    assert np.isfinite(cached).all()
+    # the approximation must actually differ from the full trajectory
+    assert not np.allclose(cached, base, atol=1e-4)

@@ -146,9 +146,10 @@ class CogVideoXVAPPipeline:
     # ------------------------------------------------------------------
     def _build_denoise_fn(self, num_inference_steps: int, num_mot_ref: int, use_dpm: bool,
                           height: int, width: int, num_latent_frames: int, ref_type: str,
-                          single_branch: bool = False, concat_refs: bool = False):
+                          single_branch: bool = False, concat_refs: bool = False,
+                          step_cached: bool = False):
         key = (num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames,
-               ref_type, single_branch, concat_refs)
+               ref_type, single_branch, concat_refs, step_cached)
         cache = self.__dict__.setdefault("_denoise_cache", {})
         if key in cache:
             return cache[key]
@@ -172,9 +173,11 @@ class CogVideoXVAPPipeline:
         @functools.partial(jax.jit, static_argnames=("do_cfg",))
         def denoise(params_t, latents, image_latents, ref_latents, ref_image_latents,
                     prompt_embeds, prompt_embeds_ref, timesteps, step_scalars, guidance, key,
-                    do_cfg=True):
+                    *step_cache_xs, do_cfg=True):
             """latents: [B, F, C, H, W] fp32; *_latents conditioned inputs in
-            model dtype; prompt_embeds(2B if cfg) etc."""
+            model dtype; prompt_embeds(2B if cfg) etc. When built with
+            step_cached=True, one extra positional arg: bool[T] compute mask
+            (see pipelines/step_cache.py)."""
             bsz = latents.shape[0]
             mult = 2 if do_cfg else 1
 
@@ -183,9 +186,8 @@ class CogVideoXVAPPipeline:
                 [jnp.concatenate([ref_latents] * mult, axis=0),
                  jnp.concatenate([ref_image_latents] * mult, axis=0)], axis=2)
 
-            def step_fn(carry, per_step):
-                latents, old_x0, key = carry
-                t = per_step["t"]
+            def raw_pred(latents, t):
+                """One CFG-batch transformer forward -> fp32 [mult*B, F, C, H, W]."""
                 latent_in = jnp.concatenate([latents.astype(self.dtype)] * mult, axis=0)
                 latent_in = jnp.concatenate([latent_in, image_in], axis=2)
 
@@ -224,11 +226,13 @@ class CogVideoXVAPPipeline:
                         image_rotary_emb_mot_ref=rope_ref,
                         num_mot_ref=num_mot_ref,
                     )
-                noise_pred = noise_pred.astype(jnp.float32)
+                return noise_pred.astype(jnp.float32)
+
+            def advance(noise_pred, latents, old_x0, key, per_step):
+                """CFG combine + scheduler step (always runs, every step)."""
                 if do_cfg:
                     uncond, cond = jnp.split(noise_pred, 2, axis=0)
                     noise_pred = uncond + per_step["guidance"] * (cond - uncond)
-
                 if use_dpm:
                     key, nkey = jax.random.split(key)
                     noise = jax.random.normal(nkey, latents.shape, jnp.float32)
@@ -237,11 +241,39 @@ class CogVideoXVAPPipeline:
                 else:
                     a_t, b_t, ap_t = per_step["coeffs"]
                     latents = scheduler.step(noise_pred, latents, a_t, b_t, ap_t)
-                return (latents, old_x0, key), None
+                return latents, old_x0, key
 
             per_step = {"t": timesteps, "guidance": guidance, "coeffs": step_scalars}
-            (latents, _, _), _ = jax.lax.scan(
-                step_fn, (latents.astype(jnp.float32), jnp.zeros_like(latents, jnp.float32), key), per_step)
+            latents = latents.astype(jnp.float32)
+            init = (latents, jnp.zeros_like(latents), key)
+
+            if not step_cached:
+                def step_fn(carry, per_step):
+                    latents, old_x0, key = carry
+                    noise_pred = raw_pred(latents, per_step["t"])
+                    return advance(noise_pred, latents, old_x0, key, per_step), None
+
+                (latents, _, _), _ = jax.lax.scan(step_fn, init, per_step)
+                return latents
+
+            # step-cached variant: skip the transformer on compute=False steps
+            # and reuse the carried raw (pre-CFG) prediction — lax.cond runs
+            # only the taken branch, so skipped steps cost no model FLOPs
+            per_step = dict(per_step, compute=step_cache_xs[0])
+            cached0 = jnp.zeros((mult * bsz,) + latents.shape[1:], jnp.float32)
+
+            def step_fn_cached(carry, per_step):
+                latents, old_x0, key, cached = carry
+                noise_pred = jax.lax.cond(
+                    per_step["compute"],
+                    lambda lat: raw_pred(lat, per_step["t"]),
+                    lambda lat: cached,
+                    latents)
+                latents, old_x0, key = advance(noise_pred, latents, old_x0, key, per_step)
+                return (latents, old_x0, key, noise_pred), None
+
+            (latents, _, _, _), _ = jax.lax.scan(
+                step_fn_cached, init + (cached0,), per_step)
             return latents
 
         cache[key] = denoise
@@ -275,6 +307,7 @@ class CogVideoXVAPPipeline:
         output_type: str = "np",
         ablation_single_branch: bool = False,
         baseline_single_condition: bool = False,
+        step_cache: Optional[str] = None,   # e.g. "uniform:2" — see pipelines/step_cache.py
     ):
         key = jax.random.PRNGKey(seed)
         do_cfg = guidance_scale > 1.0
@@ -369,14 +402,19 @@ class CogVideoXVAPPipeline:
         else:
             guidance = np.full_like(ts, guidance_scale)
 
+        from .step_cache import parse_step_cache_schedule
+
+        compute_mask = parse_step_cache_schedule(step_cache, num_inference_steps)
+        cache_xs = () if compute_mask is None else (jnp.asarray(compute_mask),)
         denoise = self._build_denoise_fn(
             num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type,
-            single_branch=single_branch, concat_refs=concat_refs)
+            single_branch=single_branch, concat_refs=concat_refs,
+            step_cached=compute_mask is not None)
         key, dkey = jax.random.split(key)
         latents = denoise(
             self.params["transformer"], latents, image_latents_m, ref_latents_m, ref_image_latents_m,
             embeds, embeds_ref, jnp.asarray(ts), step_scalars, jnp.asarray(guidance), dkey,
-            do_cfg=do_cfg,
+            *cache_xs, do_cfg=do_cfg,
         )
 
         if output_type == "latent":

@@ -126,8 +126,9 @@ class WanVAPPipeline:
         std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
         return jnp.asarray((img - mean) / std)[None]
 
-    def _build_denoise_fn(self, use_unipc: bool, num_mot_ref: int):
-        key = (use_unipc, num_mot_ref)
+    def _build_denoise_fn(self, use_unipc: bool, num_mot_ref: int,
+                          step_cached: bool = False):
+        key = (use_unipc, num_mot_ref, step_cached)
         cache = self.__dict__.setdefault("_denoise_cache", {})
         if key in cache:
             return cache[key]
@@ -136,23 +137,26 @@ class WanVAPPipeline:
 
         @functools.partial(jax.jit, static_argnames=("do_cfg",))
         def denoise(params_t, latents, condition, ref_input, embeds, embeds_ref,
-                    img_embeds, img_embeds_ref, timesteps, sigmas, guidance, do_cfg=True):
+                    img_embeds, img_embeds_ref, timesteps, sigmas, guidance,
+                    *step_cache_xs, do_cfg=True):
             """latents: [B, F, h, w, 16] fp32; condition [B, F, h, w, 20];
-            ref_input [B, R*F, h, w, 36]; embeds [2B or B, 512, Dt]."""
+            ref_input [B, R*F, h, w, 36]; embeds [2B or B, 512, Dt]. When
+            built with step_cached=True, one extra positional arg: bool[T]
+            compute mask (pipelines/step_cache.py)."""
             bsz = latents.shape[0]
             mult = 2 if do_cfg else 1
             cond_in = jnp.concatenate([condition.astype(self.dtype)] * mult, axis=0)
             ref_in = jnp.concatenate([ref_input.astype(self.dtype)] * mult, axis=0)
             t_ref = jnp.ones((mult * bsz, num_mot_ref), jnp.float32)
 
-            def step_fn(carry, per):
-                latents, m_prev, m_prev2, last_sample = carry
+            def raw_pred(latents, t):
+                """One CFG-batch transformer forward -> fp32 [mult*B, ...]."""
                 x_in = jnp.concatenate([latents.astype(self.dtype)] * mult, axis=0)
                 x_in = jnp.concatenate([x_in, cond_in], axis=-1)
                 pred, _ = wan_mot_forward(
                     params_t, cfg,
                     hidden_states=x_in,
-                    timestep=jnp.broadcast_to(per["t"], (mult * bsz,)),
+                    timestep=jnp.broadcast_to(t, (mult * bsz,)),
                     encoder_hidden_states=embeds,
                     encoder_hidden_states_image=img_embeds,
                     hidden_states_mot_ref=ref_in,
@@ -161,7 +165,9 @@ class WanVAPPipeline:
                     encoder_hidden_states_image_mot_ref=img_embeds_ref,
                     num_mot_ref=num_mot_ref,
                 )
-                pred = pred.astype(jnp.float32)
+                return pred.astype(jnp.float32)
+
+            def advance(pred, latents, m_prev, m_prev2, last_sample, per):
                 if do_cfg:
                     uncond, cond = jnp.split(pred, 2, axis=0)
                     pred = uncond + per["guidance"] * (cond - uncond)
@@ -170,7 +176,7 @@ class WanVAPPipeline:
                         pred, latents, (m_prev, m_prev2, last_sample), per["coeffs"])
                 else:
                     latents = scheduler.step(pred, latents, per["sigma"], per["sigma_next"])
-                return (latents, m_prev, m_prev2, last_sample), None
+                return latents, m_prev, m_prev2, last_sample
 
             z = jnp.zeros_like(latents)
             if use_unipc:
@@ -178,7 +184,34 @@ class WanVAPPipeline:
             else:
                 per = {"t": timesteps, "guidance": guidance,
                        "sigma": sigmas[:-1], "sigma_next": sigmas[1:]}
-            (latents, _, _, _), _ = jax.lax.scan(step_fn, (latents, z, z, z), per)
+
+            if not step_cached:
+                def step_fn(carry, per):
+                    latents, m_prev, m_prev2, last_sample = carry
+                    pred = raw_pred(latents, per["t"])
+                    return advance(pred, latents, m_prev, m_prev2, last_sample, per), None
+
+                (latents, _, _, _), _ = jax.lax.scan(step_fn, (latents, z, z, z), per)
+                return latents
+
+            # step-cached variant (PAB/AdaCache family, pipelines/step_cache.py):
+            # reuse the carried raw CFG-batch prediction on compute=False steps
+            per = dict(per, compute=step_cache_xs[0])
+            cached0 = jnp.zeros((mult * bsz,) + latents.shape[1:], jnp.float32)
+
+            def step_fn_cached(carry, per):
+                latents, m_prev, m_prev2, last_sample, cached = carry
+                pred = jax.lax.cond(
+                    per["compute"],
+                    lambda lat: raw_pred(lat, per["t"]),
+                    lambda lat: cached,
+                    latents)
+                latents, m_prev, m_prev2, last_sample = advance(
+                    pred, latents, m_prev, m_prev2, last_sample, per)
+                return (latents, m_prev, m_prev2, last_sample, pred), None
+
+            (latents, _, _, _, _), _ = jax.lax.scan(
+                step_fn_cached, (latents, z, z, z, cached0), per)
             return latents
 
         cache[key] = denoise
@@ -201,6 +234,7 @@ class WanVAPPipeline:
         max_sequence_length: int = 512,
         latents: Optional[Array] = None,
         output_type: str = "np",
+        step_cache: Optional[str] = None,   # e.g. "uniform:2" — see pipelines/step_cache.py
     ):
         key = jax.random.PRNGKey(seed)
         do_cfg = guidance_scale > 1.0
@@ -260,11 +294,17 @@ class WanVAPPipeline:
         else:
             sig_arg = jnp.asarray(self.scheduler.sigmas(num_inference_steps))
 
-        denoise = self._build_denoise_fn(use_unipc, r)
+        from .step_cache import parse_step_cache_schedule
+
+        compute_mask = parse_step_cache_schedule(step_cache, num_inference_steps)
+        cache_xs = () if compute_mask is None else (jnp.asarray(compute_mask),)
+        denoise = self._build_denoise_fn(use_unipc, r,
+                                         step_cached=compute_mask is not None)
         latents = denoise(
             self.params["transformer"], latents, condition, ref_input,
             embeds, embeds_ref, img_embeds, img_embeds_ref,
-            jnp.asarray(ts), sig_arg, jnp.asarray(guidance), do_cfg=do_cfg,
+            jnp.asarray(ts), sig_arg, jnp.asarray(guidance), *cache_xs,
+            do_cfg=do_cfg,
         )
 
         if output_type == "latent":
