@@ -82,6 +82,38 @@ def test_all_compute_schedule_matches_baseline(monkeypatch):
     np.testing.assert_allclose(allc, base, atol=1e-6, rtol=1e-6)
 
 
+def test_all_compute_matches_baseline_dpm(monkeypatch):
+    """Same equivalence under the stateful DPM scheduler (old_x0 carry +
+    per-step noise draws must be unaffected by the cond wrapper)."""
+    from vap_tpu.ops.schedulers import CogVideoXDPMScheduler
+
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    pipe = _tiny_pipe()
+    pipe.scheduler = CogVideoXDPMScheduler()
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = np.asarray(_generate(pipe, 3, None))
+        allc = np.asarray(_generate(pipe, 3, "uniform:1:1:0"))
+    np.testing.assert_allclose(allc, base, atol=1e-6, rtol=1e-6)
+
+
+def test_validation_json_forwards_step_cache(tmp_path):
+    """The trainer's validation JSON may carry step_cache; it must reach the
+    pipeline gen kwargs (trainer._load_validation_config + _validate)."""
+    import json
+
+    from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig as _V  # noqa: F401
+    from tests.test_validation_loop import _benchmark_csv, _tiny_trainer
+
+    _benchmark_csv(tmp_path)
+    vjson = tmp_path / "validation.json"
+    vjson.write_text(json.dumps({
+        "csv": "benchmark.csv", "num_inference_steps": 4,
+        "step_cache": "uniform:2:1:1", "num_samples": 1}))
+    trainer = _tiny_trainer(tmp_path, str(vjson))
+    _, gen, _ = trainer._load_validation_config()
+    assert gen["step_cache"] == "uniform:2:1:1"
+
+
 def test_wan_step_cache(monkeypatch):
     """Same mechanics on the Wan pipeline: uniform:1 == baseline; a sparse
     schedule runs the transformer only on compute steps (io_callback count)."""

@@ -573,7 +573,7 @@ class SFTTrainer:
                     csv = cand
                     break
             for k in ("num_frames", "height", "width", "num_inference_steps",
-                      "guidance_scale", "use_dynamic_cfg"):
+                      "guidance_scale", "use_dynamic_cfg", "step_cache"):
                 if k in vcfg:
                     gen[k] = vcfg[k]
             num_samples = vcfg.get("num_samples")
@@ -611,7 +611,9 @@ class SFTTrainer:
             height=gen.get("height", fb[1]), width=gen.get("width", fb[2]),
             num_frames=gen.get("num_frames", fb[0]),
             num_inference_steps=gen.get("num_inference_steps", 50))
-        for k in ("guidance_scale", "use_dynamic_cfg"):
+        # step_cache: opt-in validation-sampling accelerator from the
+        # validation JSON (pipelines/step_cache.py)
+        for k in ("guidance_scale", "use_dynamic_cfg", "step_cache"):
             if k in gen:
                 gen_kwargs[k] = gen[k]
         scorer = self._get_clip_scorer()
