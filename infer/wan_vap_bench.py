@@ -83,10 +83,12 @@ def main():
             print(f"[{i}] saved {out_path}")
 
     if clip_scores:
+        refs = {"clip_score": "reference CLIP 24.13",
+                "aesthetic_quality": "reference x100 57.71"}
         for k in clip_scores[0]:
             print(f"mean {k} over {len(clip_scores)} videos: "
                   f"{float(np.mean([m[k] for m in clip_scores])):.4f} "
-                  f"(reference: CLIP 24.13, aesthetic x100 57.71)")
+                  f"({refs.get(k, '')})")
 
 
 if __name__ == "__main__":

@@ -96,22 +96,93 @@ def test_all_compute_matches_baseline_dpm(monkeypatch):
     np.testing.assert_allclose(allc, base, atol=1e-6, rtol=1e-6)
 
 
-def test_validation_json_forwards_step_cache(tmp_path):
-    """The trainer's validation JSON may carry step_cache; it must reach the
-    pipeline gen kwargs (trainer._load_validation_config + _validate)."""
+def test_validation_json_forwards_step_cache(tmp_path, monkeypatch):
+    """The trainer's validation JSON may carry step_cache; it must survive
+    the whole path: _load_validation_config AND _validate's gen-kwarg
+    allowlist into spec.validation (a recorder stands in for the pipeline)."""
     import json
 
-    from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig as _V  # noqa: F401
     from tests.test_validation_loop import _benchmark_csv, _tiny_trainer
 
     _benchmark_csv(tmp_path)
     vjson = tmp_path / "validation.json"
     vjson.write_text(json.dumps({
-        "csv": "benchmark.csv", "num_inference_steps": 4,
+        "csv": "benchmark.csv", "num_inference_steps": 4, "num_frames": 9,
+        "height": 32, "width": 32,
         "step_cache": "uniform:2:1:1", "num_samples": 1}))
     trainer = _tiny_trainer(tmp_path, str(vjson))
     _, gen, _ = trainer._load_validation_config()
     assert gen["step_cache"] == "uniform:2:1:1"
+
+    seen = {}
+
+    def fake_validation(merged, sample, **kw):
+        seen.update(kw)
+        return np.zeros((2, 8, 8, 3), np.float32)
+
+    monkeypatch.setattr(trainer.spec, "validation", fake_validation)
+    with jax.default_device(jax.devices("cpu")[0]):
+        trainer._validate(jax.random.PRNGKey(0))
+    assert seen.get("step_cache") == "uniform:2:1:1"
+    assert seen.get("num_inference_steps") == 4
+
+
+def test_parse_schedule_rejects_zero_steps():
+    with pytest.raises(ValueError):
+        parse_step_cache_schedule("uniform:2", 0)
+
+
+def test_wan_step_cache_unipc(monkeypatch):
+    """UniPC is the one scheduler threading a multistep corrector
+    (m_prev/m_prev2/last_sample) and a coeffs dict through the cond-wrapped
+    scan — all-compute must equal baseline, sparse must stay finite."""
+    from vap_tpu.models.text_encoders.clip_vision import CLIPVisionConfig, init_clip_vision
+    from vap_tpu.models.wan import WanMOTConfig, init_wan_mot
+    from vap_tpu.models.wan.vae import WanVAEConfig
+    from vap_tpu.ops.schedulers import UniPCScheduler
+    from tests.test_pipeline_wan import FakeTokenizer as WanTok, _wan_vae_params
+    import vap_tpu.pipelines.wan_i2v_mot as wpl
+
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    vae_cfg = WanVAEConfig.tiny()
+    t_cfg = WanMOTConfig.tiny(
+        in_channels=vae_cfg.z_dim + 4 + vae_cfg.z_dim,
+        out_channels=vae_cfg.z_dim, text_len=16)
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_dim, per_layer_relative_bias=True)
+    clip_cfg = CLIPVisionConfig.tiny(hidden_size=t_cfg.image_dim)
+    key = jax.random.PRNGKey(0)
+    pipe = wpl.WanVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg, clip_cfg=clip_cfg,
+        params={
+            "transformer": init_wan_mot(key, t_cfg),
+            "vae": _wan_vae_params(vae_cfg),
+            "text_encoder": init_t5_encoder(jax.random.fold_in(key, 1), txt_cfg),
+            "image_encoder": init_clip_vision(jax.random.fold_in(key, 2), clip_cfg),
+        },
+        tokenizer=WanTok(), scheduler=UniPCScheduler(shift=3.0),
+        dtype=jnp.float32)
+
+    H = W = 32
+    F = 9
+    rng = np.random.default_rng(0)
+    image = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    ref_video = rng.uniform(-1, 1, (F, H, W, 3)).astype(np.float32)
+
+    def gen(sc):
+        return np.asarray(pipe(
+            image=image, prompt="a dog", ref_videos=[ref_video],
+            prompt_mot_ref=["melt it"], height=H, width=W, num_frames=F,
+            num_inference_steps=3, guidance_scale=5.0,
+            max_sequence_length=t_cfg.text_len, output_type="latent",
+            step_cache=sc))
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = gen(None)
+        allc = gen("uniform:1:1:0")
+        sparse = gen("uniform:9:1:0")
+    np.testing.assert_allclose(allc, base, atol=1e-6, rtol=1e-6)
+    assert np.isfinite(sparse).all()
+    assert not np.allclose(sparse, base, atol=1e-4)
 
 
 def test_wan_step_cache(monkeypatch):

@@ -393,10 +393,7 @@ class CogVideoXVAPPipeline:
         use_dpm = isinstance(self.scheduler, CogVideoXDPMScheduler)
         ts = self.scheduler.timesteps(num_inference_steps).astype(np.float32)
         coeffs = self.scheduler.step_coefficients(num_inference_steps)
-        if use_dpm:
-            step_scalars = tuple(jnp.asarray(c) for c in coeffs)
-        else:
-            step_scalars = tuple(jnp.asarray(c) for c in coeffs)
+        step_scalars = tuple(jnp.asarray(c) for c in coeffs)
         if use_dynamic_cfg:
             guidance = dynamic_cfg_schedule(ts, guidance_scale, num_inference_steps).astype(np.float32)
         else:

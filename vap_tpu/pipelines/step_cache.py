@@ -43,6 +43,8 @@ def parse_step_cache_schedule(spec: Optional[str], num_steps: int) -> Optional[n
     cooldown = int(parts[3]) if len(parts) > 3 else 5
     if n < 1 or warmup < 1 or cooldown < 0:
         raise ValueError(f"invalid step_cache spec {spec!r}: need N>=1, warmup>=1, cooldown>=0")
+    if num_steps < 1:
+        raise ValueError(f"step_cache needs num_inference_steps >= 1 (got {num_steps})")
     idx = np.arange(num_steps)
     mask = (idx < warmup) | (idx >= num_steps - cooldown) | ((idx - warmup) % n == 0)
     mask[0] = True
