@@ -139,3 +139,17 @@ def test_wsplit_decode_close_to_full(jax_cfg):
     # interior columns see enough context that the split is near-exact
     diff = np.abs(np.asarray(two) - np.asarray(ref)).mean()
     assert diff < 0.05, diff
+
+
+def test_sum2d_conv3d_matches_default(jax_cfg, monkeypatch):
+    """VAP_VAE_CONV3D=sum2d (exact kt-tap decomposition, a TPU conv-emitter
+    layout candidate — scripts/conv3d_bench.py) must reproduce the default
+    NDHWC conv through the full decode, cache streaming included."""
+    from vap_tpu.models.cogvideox.vae import init_cogvideox_vae, vae_decode_streamed
+
+    params = init_cogvideox_vae(jax.random.PRNGKey(0), jax_cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6, 6, jax_cfg.latent_channels), jnp.float32)
+    ref = np.asarray(vae_decode_streamed(params, jax_cfg, z))
+    monkeypatch.setenv("VAP_VAE_CONV3D", "sum2d")
+    got = np.asarray(vae_decode_streamed(params, jax_cfg, z))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

@@ -20,6 +20,7 @@ API: encode(params, video) -> latent moments [B, F', H', W', 2*Cz];
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -62,11 +63,32 @@ class CogVideoXVAEConfig:
 # ---------------------------------------------------------------------------
 
 def _conv3d(p: Params, x: Array, strides=(1, 1, 1), padding="VALID") -> Array:
-    """x: [B, F, H, W, C]; kernel: [kt, kh, kw, Cin, Cout]."""
-    y = jax.lax.conv_general_dilated(
-        x, p["kernel"].astype(x.dtype), window_strides=strides, padding=padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
+    """x: [B, F, H, W, C]; kernel: [kt, kh, kw, Cin, Cout].
+
+    VAP_VAE_CONV3D=sum2d selects the exact kt-tap decomposition (sum over
+    temporal taps of 2D convs batching B*F_out frames) — a candidate layout
+    for XLA's TPU conv emitter measured by scripts/conv3d_bench.py; the
+    default stays the single NDHWC 3-spatial-dim conv."""
+    k = p["kernel"].astype(x.dtype)
+    if (os.environ.get("VAP_VAE_CONV3D") == "sum2d" and k.shape[0] > 1
+            and strides == (1, 1, 1) and padding != "VALID"
+            and padding[0] == (0, 0)):
+        b, f_in, h, w, cin = x.shape
+        kt = k.shape[0]
+        f_out = f_in - kt + 1
+        y = None
+        for dt in range(kt):
+            xs = x[:, dt:dt + f_out].reshape(b * f_out, h, w, cin)
+            yd = jax.lax.conv_general_dilated(
+                xs, k[dt], window_strides=(1, 1), padding=padding[1:],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = yd if y is None else y + yd
+        y = y.reshape(b, f_out, h, w, -1)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=strides, padding=padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -395,7 +417,7 @@ def vae_decode_streamed(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
     for i in range(num_batches):
         start = fb * i + (0 if i == 0 else remaining)
         end = fb * (i + 1) + remaining
-        part, cache = _jitted_chunk_decode(cfg)(params, latents[:, start:end], cache)
+        part, cache = _jitted_chunk_decode(cfg, _conv3d_mode())(params, latents[:, start:end], cache)
         # serialize chunks: async dispatch would enqueue every chunk's
         # execution at once, and each enqueued execution holds its temp
         # arena (~10 GB at 480p) — a scalar host read forces completion
@@ -594,7 +616,7 @@ def vae_decode_tiled(
     only one tile's graph is live at a time (a single jit over all tiles keeps
     every tile's buffers resident and OOMs at 480p on a 16GB chip)."""
     if decode_fn is None:
-        decode_fn = _jitted_tile_decode(cfg)
+        decode_fn = _jitted_tile_decode(cfg, conv_mode=_conv3d_mode())
     b, f, h, w, c = latents.shape
     tlh = tile_sample_min_height // 8
     tlw = tile_sample_min_width // 8
@@ -638,7 +660,7 @@ def vae_encode_tiled(
 ) -> Array:
     """Spatially tiled encode with overlap blending in latent space."""
     if encode_fn is None:
-        encode_fn = _jitted_tile_encode(cfg)
+        encode_fn = _jitted_tile_encode(cfg, conv_mode=_conv3d_mode())
     b, f, h, w, c = video.shape
     overlap_h = int(tile_sample_min_height * (1 - TILE_OVERLAP_H))
     overlap_w = int(tile_sample_min_width * (1 - TILE_OVERLAP_W))
@@ -677,13 +699,21 @@ def vae_encode_tiled(
 import functools as _functools
 
 
+def _conv3d_mode() -> Optional[str]:
+    """Part of every jitted-decode cache key: VAP_VAE_CONV3D is read at
+    trace time inside _conv3d, so a changed env var must map to a fresh
+    trace, not a stale jit-cache hit."""
+    return os.environ.get("VAP_VAE_CONV3D")
+
+
 @_functools.lru_cache(maxsize=8)
-def _jitted_tile_decode(cfg: CogVideoXVAEConfig, frame_batch: Optional[int] = None):
+def _jitted_tile_decode(cfg: CogVideoXVAEConfig, frame_batch: Optional[int] = None,
+                        conv_mode: Optional[str] = None):
     return jax.jit(lambda p, z: vae_decode(p, cfg, z, frame_batch))
 
 
 @_functools.lru_cache(maxsize=8)
-def _jitted_chunk_decode(cfg: CogVideoXVAEConfig):
+def _jitted_chunk_decode(cfg: CogVideoXVAEConfig, conv_mode: Optional[str] = None):
     """One decoder frame-batch step; retraces once per (chunk shape, cache
     structure) — two graphs for the standard 13-frame stream. The incoming
     cache is donated: its buffers are dead after the step, and keeping them
@@ -696,5 +726,6 @@ def _jitted_chunk_decode(cfg: CogVideoXVAEConfig):
 
 
 @_functools.lru_cache(maxsize=8)
-def _jitted_tile_encode(cfg: CogVideoXVAEConfig, frame_batch: Optional[int] = None):
+def _jitted_tile_encode(cfg: CogVideoXVAEConfig, frame_batch: Optional[int] = None,
+                        conv_mode: Optional[str] = None):
     return jax.jit(lambda p, x: vae_encode(p, cfg, x, frame_batch))
