@@ -269,6 +269,54 @@ def test_clip_scorer_from_pretrained_legacy_eos(tmp_path, torch_reference):
     assert 0.0 <= s <= 100.0
 
 
+def test_clip_score_cli_end_to_end(tmp_path, torch_reference, monkeypatch, capsys):
+    """scripts/clip_score.py main() over a real tiny saved CLIPModel +
+    tokenizer and a real tiny mp4: per-video line, mean line, JSON output."""
+    import json as _json
+
+    import torch
+    from transformers import CLIPTokenizer
+
+    pytest.importorskip("cv2")
+    from vap_tpu.data.video import export_to_video
+
+    chars = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    vocab = {"<|startoftext|>": 0, "!": 1, "!</w>": 2}
+    for ch in chars:
+        vocab[ch] = len(vocab)
+    for ch in chars:
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(_json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    cfg = CLIPScoreConfig.tiny(text=CLIPTextConfig_tiny_for(len(vocab)))
+    _hf_model(cfg).save_pretrained(tmp_path)
+    tok.save_pretrained(tmp_path)
+
+    frames = (np.random.default_rng(9).uniform(0, 1, (5, 40, 40, 3)) * 255).astype(np.uint8)
+    vid = tmp_path / "v.mp4"
+    export_to_video(frames, str(vid), fps=8)
+    out_json = tmp_path / "scores.json"
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "clip_score_cli", "/root/repo/scripts/clip_score.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    monkeypatch.setattr("sys.argv", [
+        "clip_score.py", "--videos", str(vid), "--caption", "a cat jumps",
+        "--model", str(tmp_path), "--output_json", str(out_json)])
+    with jax.default_device(jax.devices("cpu")[0]), torch.no_grad():
+        cli.main()
+    printed = capsys.readouterr().out
+    assert "mean CLIP score over 1 videos" in printed
+    data = _json.loads(out_json.read_text())
+    assert 0.0 <= data["mean_clip_score"] <= 100.0
+    assert data["videos"][0]["video_path"] == str(vid)
+
+
 def CLIPTextConfig_tiny_for(vocab_size):
     from vap_tpu.models.text_encoders.clip_text import CLIPTextConfig
 

@@ -301,3 +301,25 @@ def test_load_safetensors_diffusers_component_dir(tmp_path):
               str(d / "diffusion_pytorch_model.safetensors"))
     sd = load_safetensors(str(d))
     assert "w" in sd and sd["w"].shape == (2, 2)
+
+
+def test_native_decode_unaligned_row_stride(tmp_path):
+    """Regression: sws_scale's SIMD paths overran tightly-packed output rows
+    whose stride (out_w*3) is not SIMD-aligned — 40px-wide videos smashed
+    the heap ('corrupted size vs. prev_size'). The decoder now scales into
+    a 64-byte-aligned temp and copies tight rows out."""
+    import numpy as np
+
+    from vap_tpu.data.video import export_to_video, load_video
+
+    frames = (np.random.default_rng(9).uniform(0, 1, (5, 40, 40, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / "v40.mp4")
+    export_to_video(frames, path, fps=8)
+    out, fps = load_video(path)
+    assert out.shape == (5, 40, 40, 3) and fps == 8.0
+    try:
+        from vap_tpu.native import decode_video
+    except Exception:
+        return
+    resized = decode_video(path, out_h=37, out_w=53)  # odd target dims too
+    assert resized.shape == (5, 37, 53, 3)

@@ -185,6 +185,31 @@ def test_wan_step_cache_unipc(monkeypatch):
     assert not np.allclose(sparse, base, atol=1e-4)
 
 
+def test_single_branch_step_cache(monkeypatch):
+    """The ablation trunk slices its prediction to the target frames; the
+    cached carry must hold the sliced shape and the all-compute schedule
+    must still match baseline."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    pipe = _tiny_pipe()
+
+    def gen(sc):
+        H = W = 32
+        F = 9
+        image = np.random.default_rng(2).uniform(-1, 1, (H, W, 3)).astype(np.float32)
+        ref_video = np.random.default_rng(3).uniform(-1, 1, (F, H, W, 3)).astype(np.float32)
+        return np.asarray(pipe(
+            image=image, prompt="a cat", ref_videos=[ref_video],
+            prompt_mot_ref=["fx"], height=H, width=W, num_frames=F,
+            num_inference_steps=2, guidance_scale=6.0,
+            max_sequence_length=pipe.transformer_cfg.max_text_seq_length,
+            output_type="latent", ablation_single_branch=True, step_cache=sc))
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = gen(None)
+        allc = gen("uniform:1:1:0")
+    np.testing.assert_allclose(allc, base, atol=1e-6, rtol=1e-6)
+
+
 def test_wan_step_cache(monkeypatch):
     """Same mechanics on the Wan pipeline: uniform:1 == baseline; a sparse
     schedule runs the transformer only on compute steps (io_callback count)."""

@@ -108,6 +108,18 @@ int vap_decode_video(const char* path, uint8_t* out, int out_h, int out_w,
   AVPacket* pkt = av_packet_alloc();
   const size_t frame_bytes = static_cast<size_t>(out_h) * out_w * 3;
 
+  // sws_scale's SIMD paths can write past the end of rows whose stride is
+  // not SIMD-aligned (out_w*3 = 120 bytes at out_w=40 smashed the heap of
+  // the caller's tightly-packed numpy buffer). Scale into an av_image_alloc
+  // buffer with 64-byte row alignment, then copy the tight rows out.
+  uint8_t* tmp_data[4] = {nullptr, nullptr, nullptr, nullptr};
+  int tmp_linesize[4] = {0, 0, 0, 0};
+  if (av_image_alloc(tmp_data, tmp_linesize, out_w, out_h, AV_PIX_FMT_RGB24, 64) < 0) {
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    return -5;
+  }
+
   int decoded = 0;   // source frame counter
   int written = 0;   // output slot
   bool done = false;
@@ -120,9 +132,12 @@ int vap_decode_video(const char* path, uint8_t* out, int out_h, int out_w,
         sws = sws_getContext(f->width, f->height, static_cast<AVPixelFormat>(f->format),
                              out_w, out_h, AV_PIX_FMT_RGB24, SWS_AREA, nullptr, nullptr, nullptr);
       }
-      uint8_t* dst_data[4] = {out + static_cast<size_t>(written) * frame_bytes, nullptr, nullptr, nullptr};
-      int dst_linesize[4] = {out_w * 3, 0, 0, 0};
-      sws_scale(sws, f->data, f->linesize, 0, f->height, dst_data, dst_linesize);
+      sws_scale(sws, f->data, f->linesize, 0, f->height, tmp_data, tmp_linesize);
+      uint8_t* dst = out + static_cast<size_t>(written) * frame_bytes;
+      for (int r = 0; r < out_h; ++r)
+        std::memcpy(dst + static_cast<size_t>(r) * out_w * 3,
+                    tmp_data[0] + static_cast<size_t>(r) * tmp_linesize[0],
+                    static_cast<size_t>(out_w) * 3);
       ++written;
     }
     ++decoded;
@@ -147,6 +162,7 @@ int vap_decode_video(const char* path, uint8_t* out, int out_h, int out_w,
   }
 
   if (sws) sws_freeContext(sws);
+  av_freep(&tmp_data[0]);
   av_frame_free(&frame);
   av_packet_free(&pkt);
   return written;
