@@ -291,13 +291,9 @@ def scaled_dot_product_attention(
 
                 return flash_attention_varlen(q, k, v, kv_lens, scale)
             return flash_attention(q, k, v, scale)
-        if segment_ids is not None:
-            raise NotImplementedError(
-                "packed segment_ids under sequence parallelism are not "
-                "supported — use kv_lens (supported by all three rotate "
-                "methods) or an unsharded provider")
         mesh, axis, rotate_method = ctx
         return sequence_parallel_attention(q, k, v, mesh, axis, scale,
                                            rotate_method=rotate_method,
-                                           kv_lens=kv_lens)
+                                           kv_lens=kv_lens,
+                                           segment_ids=segment_ids)
     raise ValueError(f"unknown attention provider {provider!r}")
