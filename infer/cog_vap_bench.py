@@ -87,12 +87,13 @@ def main():
             print(f"[{i}] saved {out_path}")
 
     if clip_scores:
-        refs = {"clip_score": "reference CLIP 24.13",
-                "aesthetic_quality": "reference x100 57.71"}
+        from vap_tpu.eval import METRIC_REFERENCES
+
         for k in clip_scores[0]:
+            ref = METRIC_REFERENCES.get(k)
             print(f"mean {k} over {len(clip_scores)} videos: "
-                  f"{float(np.mean([m[k] for m in clip_scores])):.4f} "
-                  f"({refs.get(k, '')})")
+                  f"{float(np.mean([m[k] for m in clip_scores])):.4f}"
+                  + (f" ({ref})" if ref else ""))
 
 
 if __name__ == "__main__":

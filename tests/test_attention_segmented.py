@@ -319,9 +319,12 @@ def test_dispatch_ring_with_segment_ids_uses_installed_mesh():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_seq_parallel_segment_grads_flow():
-    """Gradients flow through the rotating kv_seg ring path (ppermute
-    transpose with an integer-carry scan)."""
+@pytest.mark.parametrize("rotate", ["allgather", "ppermute", "ulysses"])
+def test_seq_parallel_segment_grads_match_dense(rotate):
+    """Segment gradients under every rotate method match the dense
+    segment-masked reference (valid rows only): covers differentiating
+    through the id all_gathers (allgather/ulysses) and the integer-carry
+    ppermute ring."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from vap_tpu.parallel.ring_attention import sequence_parallel_attention
 
@@ -329,17 +332,48 @@ def test_seq_parallel_segment_grads_flow():
     B, H, S, D = 1, 2, 32, 8
     q, k, v = _qkv(23, B, H, S, D)
     ids = _packed_ids(S, [12, 16])[None]
+    valid = (ids >= 0).astype(jnp.float32)[:, None, :, None]
     spec = NamedSharding(mesh, P(None, None, "seq", None))
     qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
 
-    def loss(q, k, v):
+    def loss_sp(q, k, v):
         out = sequence_parallel_attention(q, k, v, mesh, "seq",
-                                          rotate_method="ppermute",
+                                          rotate_method=rotate,
                                           segment_ids=(ids, ids, 2))
-        valid = (ids >= 0).astype(jnp.float32)[:, None, :, None]
         return ((out.astype(jnp.float32) * valid) ** 2).mean()
 
-    g = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
-    for gi in g:
-        assert np.isfinite(np.asarray(gi)).all()
-        assert float(jnp.abs(gi).max()) > 0.0
+    def loss_ref(q, k, v):
+        out = dense_attention_segmented(q, k, v, ids, ids)
+        return ((out.astype(jnp.float32) * valid) ** 2).mean()
+
+    g = jax.grad(loss_sp, argnums=(0, 1, 2))(qs, ks, vs)
+    with jax.default_device(jax.devices("cpu")[0]):
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gi, gr in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(gr),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_segmented_rectangular_grads_match_dense():
+    """Fused-kernel backward in the rectangular Sq != Skv regime (the shape
+    allgather seq-parallelism feeds it on TPU: local queries vs gathered
+    keys) — grads vs the dense segment reference."""
+    B, H, Sq, Skv, D = 1, 2, 128, 256, 64
+    q, k, v = _qkv(24, B, H, Sq, D, skv=Skv)
+    q_ids = _packed_ids(Sq, [60, 50])[None]
+    kv_ids = _packed_ids(Skv, [120, 100])[None]
+    validq = (q_ids >= 0).astype(jnp.float32)[:, None, :, None]
+
+    def loss_fused(q, k, v):
+        out = flash_attention_segmented(q, k, v, q_ids, kv_ids, 2)
+        return ((out.astype(jnp.float32) * validq) ** 2).mean()
+
+    def loss_ref(q, k, v):
+        out = dense_attention_segmented(q, k, v, q_ids, kv_ids)
+        return ((out.astype(jnp.float32) * validq) ** 2).mean()
+
+    g = _run(jax.grad(loss_fused, argnums=(0, 1, 2)), q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gi, gr in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(gr),
+                                   atol=ATOL, rtol=1e-2)

@@ -301,8 +301,11 @@ def test_clip_score_cli_end_to_end(tmp_path, torch_reference, monkeypatch, capsy
 
     import importlib.util
 
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "clip_score_cli", "/root/repo/scripts/clip_score.py")
+        "clip_score_cli", os.path.join(repo_root, "scripts", "clip_score.py"))
     cli = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(cli)
     monkeypatch.setattr("sys.argv", [

@@ -5,6 +5,7 @@ from .aesthetic import (  # noqa: F401
     video_aesthetic_score,
 )
 from .clip_score import (  # noqa: F401
+    METRIC_REFERENCES,
     CLIPScoreConfig,
     CLIPScorer,
     clip_image_embed,

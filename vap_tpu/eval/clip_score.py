@@ -49,6 +49,12 @@ Params = Dict[str, Any]
 CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
+# published reference-table values, for annotating score output (reference
+# README.md:73-81) — shared by the benchmark scripts so the literals cannot
+# drift between them
+METRIC_REFERENCES = {"clip_score": "reference CLIP 24.13",
+                     "aesthetic_quality": "reference x100 57.71"}
+
 
 @dataclasses.dataclass(frozen=True)
 class CLIPScoreConfig:

@@ -83,7 +83,7 @@ def _conv3d(p: Params, x: Array, strides=(1, 1, 1), padding="VALID") -> Array:
                 xs, k[dt], window_strides=(1, 1), padding=padding[1:],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = yd if y is None else y + yd
-        y = y.reshape(b, f_out, h, w, -1)
+        y = y.reshape(b, f_out, *y.shape[1:])
     else:
         y = jax.lax.conv_general_dilated(
             x, k, window_strides=strides, padding=padding,

@@ -117,7 +117,7 @@ int vap_decode_video(const char* path, uint8_t* out, int out_h, int out_w,
   if (av_image_alloc(tmp_data, tmp_linesize, out_w, out_h, AV_PIX_FMT_RGB24, 64) < 0) {
     av_frame_free(&frame);
     av_packet_free(&pkt);
-    return -5;
+    return -7;  // distinct from Demuxer::open's -5 (codec-context failure)
   }
 
   int decoded = 0;   // source frame counter
