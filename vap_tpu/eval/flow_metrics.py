@@ -90,10 +90,13 @@ def backward_warp(img: Array, flow: Array) -> Array:
     flat = img.reshape(b, h * w, c).astype(jnp.float32)
     for dy in (0.0, 1.0):
         for dx in (0.0, 1.0):
-            xi = jnp.clip(x0 + dx, 0, w - 1)
-            yi = jnp.clip(y0 + dy, 0, h - 1)
-            wgt = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
-            idx = (yi * w + xi).astype(jnp.int32).reshape(b, h * w, 1)
+            xi, yi = x0 + dx, y0 + dy
+            # weights from the UNclipped corner (a clipped corner at the
+            # border would double-count), indices from the clipped one
+            wgt = jnp.maximum(1.0 - jnp.abs(x - xi), 0.0) * \
+                jnp.maximum(1.0 - jnp.abs(y - yi), 0.0)
+            idx = (jnp.clip(yi, 0, h - 1) * w +
+                   jnp.clip(xi, 0, w - 1)).astype(jnp.int32).reshape(b, h * w, 1)
             val = jnp.take_along_axis(flat, jnp.broadcast_to(idx, (b, h * w, c)), axis=1)
             out = out + wgt[..., None] * val.reshape(b, h, w, c)
     return out
