@@ -36,15 +36,23 @@ def main():
     p.add_argument("--aesthetic_model", default=None,
                    help="LAION aesthetic-predictor .pth (with --clip_score_model): "
                         "also report aesthetic quality (reference table: 57.71)")
+    p.add_argument("--raft_model", default=None,
+                   help="princeton-vl raft-things.pth: also report motion "
+                        "smoothness + dynamic degree (reference table: 98.59 / "
+                        "77.08); with --clip_score_model the generation is also "
+                        "scored for alignment against its reference video "
+                        "(reference table: 70.44)")
+    p.add_argument("--raft_iters", type=int, default=None)
     args = p.parse_args()
 
-    scorer = None
-    if args.clip_score_model:
-        from vap_tpu.eval import CLIPScorer
+    suite = None
+    if args.clip_score_model or args.raft_model:
+        from vap_tpu.eval import VideoMetricsSuite
 
-        scorer = CLIPScorer.from_pretrained(args.clip_score_model,
-                                            args.aesthetic_model)
-    clip_scores = []
+        suite = VideoMetricsSuite.from_pretrained(
+            args.clip_score_model, args.aesthetic_model,
+            args.raft_model, args.raft_iters)
+    scores = []
 
     from cog_vap import build_pipeline
     from vap_tpu.data.dataset import VideoAsPromptValidationDataset
@@ -78,22 +86,22 @@ def main():
         side_by_side = np.concatenate([ref01, target, ours], axis=2)
         out_path = os.path.join(args.output_dir, f"{args.shard_index:02d}_{i:04d}.mp4")
         export_to_video(side_by_side, out_path, fps=16)
-        if scorer is not None:
-            m = scorer.score_video_metrics(ours, str(sample["caption"]))
-            clip_scores.append(m)
+        if suite is not None:
+            m = suite.score_video(ours, str(sample["caption"]), fps=16.0,
+                                  ref_frames=ref01)
+            m.pop("dynamic_pair_scores", None)
+            scores.append(m)
             print(f"[{i}] saved {out_path} " +
-                  " ".join(f"{k}={v:.3f}" for k, v in m.items()))
+                  " ".join(f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
+                           for k, v in m.items()))
         else:
             print(f"[{i}] saved {out_path}")
 
-    if clip_scores:
-        from vap_tpu.eval import METRIC_REFERENCES
+    if scores:
+        from vap_tpu.eval import VideoMetricsSuite
 
-        for k in clip_scores[0]:
-            ref = METRIC_REFERENCES.get(k)
-            print(f"mean {k} over {len(clip_scores)} videos: "
-                  f"{float(np.mean([m[k] for m in clip_scores])):.4f}"
-                  + (f" ({ref})" if ref else ""))
+        print(f"=== benchmark metrics over {len(scores)} videos ===")
+        print(VideoMetricsSuite.format_table(VideoMetricsSuite.summarize(scores)))
 
 
 if __name__ == "__main__":

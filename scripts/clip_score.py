@@ -1,18 +1,26 @@
-"""CLIP-score evaluation over generated videos.
+"""Quality-metric evaluation over generated videos — the full five-metric
+results table.
 
-The quality side of the north star ("CLIP-score parity", reference
-README.md:73-81: VAP = 24.13 on the VAP-Data benchmark). The reference repo
-ships no eval code — external VBench tooling produced its table — so this is
-the in-framework equivalent: per-frame CLIPScore (100 * max(cos, 0)) against
-the caption, averaged per video, then over the set.
+The reference's headline table (reference README.md:73-81) reports, for VAP:
+CLIP Score 24.13, Motion Smoothness 98.59, Dynamic Degree 77.08, Aesthetic
+Quality 57.71, Alignment Score 70.44 — produced externally by VBench plus a
+GPT alignment judge (the reference repo ships no eval code). This CLI is the
+in-framework equivalent: pass the model paths you have and it reports the
+metrics those enable; with all three models and a reference-video column it
+prints the whole table.
 
 Usage:
-  python scripts/clip_score.py --csv results.csv --model openai/clip-vit-large-patch14
-  # csv columns: video_path, caption   (extra columns ignored)
+  python scripts/clip_score.py --csv results.csv \\
+      --model /path/to/clip-vit-large-patch14 \\
+      --aesthetic_model /path/to/aesthetic.pth \\
+      --raft_model /path/to/raft-things.pth
+  # csv columns: video_path, caption[, ref_video_path]  (extras ignored;
+  # ref_video_path enables alignment_score)
   python scripts/clip_score.py --videos out/*.mp4 --caption "a cat ..." ...
 
-Weights load from a local HF CLIPModel directory (safetensors/bin); the
-tokenizer comes from the same path.
+Weights load from local paths: an HF CLIPModel directory (tokenizer from the
+same path), the LAION improved-aesthetic-predictor .pth, and the princeton-vl
+raft-things.pth (the RAFT checkpoint VBench uses).
 """
 
 from __future__ import annotations
@@ -25,59 +33,73 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--csv", help="CSV with video_path, caption columns")
+    p.add_argument("--csv", help="CSV with video_path, caption[, ref_video_path]")
     p.add_argument("--videos", nargs="*", default=[], help="video files (with --caption)")
     p.add_argument("--caption", help="single caption for --videos")
-    p.add_argument("--model", default="openai/clip-vit-large-patch14",
-                   help="local HF CLIPModel path")
+    p.add_argument("--model", default=None,
+                   help="local HF CLIPModel path: enables clip_score (and "
+                        "alignment_score when ref videos are given)")
     p.add_argument("--aesthetic_model", default=None,
-                   help="LAION improved-aesthetic-predictor .pth: also report "
-                        "VBench-style aesthetic quality (reference table: 57.71)")
+                   help="LAION improved-aesthetic-predictor .pth (with --model): "
+                        "also report VBench-style aesthetic quality")
+    p.add_argument("--raft_model", default=None,
+                   help="princeton-vl raft-things.pth: also report "
+                        "motion_smoothness and dynamic_degree")
+    p.add_argument("--raft_iters", type=int, default=None,
+                   help="RAFT refinement iterations (default: checkpoint config)")
+    p.add_argument("--fps", type=float, default=None,
+                   help="override the video fps used for dynamic-degree "
+                        "sampling (default: from each container)")
     p.add_argument("--max_frames", type=int, default=None,
                    help="cap frames per video (default: all)")
     p.add_argument("--output_json", help="write per-video scores here")
     args = p.parse_args()
+    if not args.model and not args.raft_model:
+        p.error("pass --model and/or --raft_model (nothing to score with)")
+    if args.aesthetic_model and not args.model:
+        p.error("--aesthetic_model needs --model (shares its ViT pass)")
 
     rows = []
     if args.csv:
         with open(args.csv) as f:
             for row in csv.DictReader(f):
-                rows.append((row["video_path"], row["caption"]))
+                rows.append((row["video_path"], row.get("caption"),
+                             row.get("ref_video_path") or None))
     for v in args.videos:
-        if not args.caption:
-            p.error("--videos requires --caption")
-        rows.append((v, args.caption))
+        if not args.caption and args.model:
+            p.error("--videos requires --caption when scoring with --model")
+        rows.append((v, args.caption, None))
     if not rows:
         p.error("nothing to score: pass --csv or --videos")
 
     from vap_tpu.data.video import load_video
-    from vap_tpu.eval import CLIPScorer
+    from vap_tpu.eval import VideoMetricsSuite
 
-    scorer = CLIPScorer.from_pretrained(args.model, args.aesthetic_model)
+    suite = VideoMetricsSuite.from_pretrained(
+        args.model, args.aesthetic_model, args.raft_model, args.raft_iters)
 
     results = []
-    for path, caption in rows:
-        frames, _ = load_video(path, max_frames=args.max_frames)
-        m = scorer.score_video_metrics(frames, caption)
+    for path, caption, ref_path in rows:
+        frames, fps = load_video(path, max_frames=args.max_frames)
+        ref_frames = None
+        if ref_path and suite.clip_scorer is not None:
+            ref_frames, _ = load_video(ref_path, max_frames=args.max_frames)
+        m = suite.score_video(frames, caption, fps=args.fps or fps or 16.0,
+                              ref_frames=ref_frames)
+        m.pop("dynamic_pair_scores", None)
         results.append({"video_path": path, "caption": caption, **m})
-        extra = (f"  aesthetic={m['aesthetic_quality']:.4f}"
-                 if "aesthetic_quality" in m else "")
-        print(f"{m['clip_score']:7.3f}{extra}  {path}")
+        shown = "  ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in m.items())
+        print(f"{shown}  {path}")
 
-    summary = {"mean_clip_score": float(np.mean([r["clip_score"] for r in results]))}
-    print(f"mean CLIP score over {len(results)} videos: "
-          f"{summary['mean_clip_score']:.3f} "
-          f"(reference VAP benchmark: 24.13, README.md:73-81)")
-    if args.aesthetic_model:
-        summary["mean_aesthetic_quality"] = float(
-            np.mean([r["aesthetic_quality"] for r in results]))
-        print(f"mean aesthetic quality: {summary['mean_aesthetic_quality']:.4f} "
-              f"(reference table x100: 57.71)")
+    summary = VideoMetricsSuite.summarize(results)
+    print(f"\n=== set-level metrics over {len(results)} videos "
+          f"(reference README.md:73-81 VAP row alongside) ===")
+    print(VideoMetricsSuite.format_table(summary))
     if args.output_json:
         with open(args.output_json, "w") as f:
             json.dump({**summary, "videos": results}, f, indent=1)

@@ -2,6 +2,8 @@
 CPU) for the projection-head embeddings and the pairwise score, plus
 preprocessing and video-score behavior."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -270,8 +272,10 @@ def test_clip_scorer_from_pretrained_legacy_eos(tmp_path, torch_reference):
 
 
 def test_clip_score_cli_end_to_end(tmp_path, torch_reference, monkeypatch, capsys):
-    """scripts/clip_score.py main() over a real tiny saved CLIPModel +
-    tokenizer and a real tiny mp4: per-video line, mean line, JSON output."""
+    """scripts/clip_score.py main() over real tiny saved checkpoints for ALL
+    THREE metric models (CLIPModel + tokenizer, LAION aesthetic .pth, RAFT
+    .pth) and real tiny mp4s with a ref-video CSV column: ONE command prints
+    the reference table's full five metrics (reference README.md:73-81)."""
     import json as _json
 
     import torch
@@ -294,14 +298,36 @@ def test_clip_score_cli_end_to_end(tmp_path, torch_reference, monkeypatch, capsy
     _hf_model(cfg).save_pretrained(tmp_path)
     tok.save_pretrained(tmp_path)
 
-    frames = (np.random.default_rng(9).uniform(0, 1, (5, 40, 40, 3)) * 255).astype(np.uint8)
-    vid = tmp_path / "v.mp4"
-    export_to_video(frames, str(vid), fps=8)
+    # tiny LAION-style aesthetic head on the tiny projection dim
+    torch.manual_seed(1)
+    aest = torch.nn.Sequential(torch.nn.Linear(cfg.projection_dim, 8),
+                               torch.nn.ReLU(), torch.nn.Linear(8, 1))
+    aest_pth = tmp_path / "aesthetic.pth"
+    torch.save({f"layers.{k}": v for k, v in aest.state_dict().items()}, aest_pth)
+
+    # tiny princeton-naming RAFT checkpoint (architecture inferred from shapes)
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_raft_ref import TorchRAFT
+
+    from vap_tpu.eval.raft import RAFTConfig
+
+    raft_pth = tmp_path / "raft.pth"
+    torch.save(TorchRAFT(RAFTConfig.tiny()).state_dict(), raft_pth)
+
+    rng = np.random.default_rng(9)
+    vid, ref = tmp_path / "v.mp4", tmp_path / "ref.mp4"
+    export_to_video((rng.uniform(0, 1, (5, 40, 40, 3)) * 255).astype(np.uint8),
+                    str(vid), fps=8)
+    export_to_video((rng.uniform(0, 1, (4, 40, 40, 3)) * 255).astype(np.uint8),
+                    str(ref), fps=8)
+    csv_path = tmp_path / "eval.csv"
+    csv_path.write_text("video_path,caption,ref_video_path\n"
+                        f"{vid},a cat jumps,{ref}\n")
     out_json = tmp_path / "scores.json"
 
     import importlib.util
-
-    import os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -309,15 +335,24 @@ def test_clip_score_cli_end_to_end(tmp_path, torch_reference, monkeypatch, capsy
     cli = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(cli)
     monkeypatch.setattr("sys.argv", [
-        "clip_score.py", "--videos", str(vid), "--caption", "a cat jumps",
-        "--model", str(tmp_path), "--output_json", str(out_json)])
+        "clip_score.py", "--csv", str(csv_path), "--model", str(tmp_path),
+        "--aesthetic_model", str(aest_pth), "--raft_model", str(raft_pth),
+        "--raft_iters", "2", "--output_json", str(out_json)])
     with jax.default_device(jax.devices("cpu")[0]), torch.no_grad():
         cli.main()
     printed = capsys.readouterr().out
-    assert "mean CLIP score over 1 videos" in printed
+    assert "set-level metrics over 1 videos" in printed
     data = _json.loads(out_json.read_text())
-    assert 0.0 <= data["mean_clip_score"] <= 100.0
+    assert set(data) >= {"clip_score", "aesthetic_quality", "motion_smoothness",
+                         "dynamic_degree", "alignment_score", "videos"}
+    assert 0.0 <= data["clip_score"] <= 100.0
+    assert 0.0 <= data["alignment_score"] <= 100.0
+    assert data["dynamic_degree"] in (0.0, 100.0)  # one video
+    assert 0.0 <= data["motion_smoothness"] <= 1.0
     assert data["videos"][0]["video_path"] == str(vid)
+    for name in ("motion_smoothness", "dynamic_degree", "alignment_score",
+                 "clip_score", "aesthetic_quality"):
+        assert name in printed
 
 
 def CLIPTextConfig_tiny_for(vocab_size):

@@ -4,6 +4,11 @@ from .aesthetic import (  # noqa: F401
     init_aesthetic,
     video_aesthetic_score,
 )
+from .flow_metrics import (  # noqa: F401
+    FlowMetrics,
+    dynamic_degree_set,
+)
+from .suite import VideoMetricsSuite  # noqa: F401
 from .clip_score import (  # noqa: F401
     METRIC_REFERENCES,
     CLIPScoreConfig,

@@ -53,7 +53,10 @@ CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 # README.md:73-81) — shared by the benchmark scripts so the literals cannot
 # drift between them
 METRIC_REFERENCES = {"clip_score": "reference CLIP 24.13",
-                     "aesthetic_quality": "reference x100 57.71"}
+                     "aesthetic_quality": "reference x100 57.71",
+                     "motion_smoothness": "reference x100 98.59",
+                     "dynamic_degree": "reference 77.08",
+                     "alignment_score": "reference 70.44"}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,6 +204,8 @@ class CLIPScorer:
             return scores, aesthetic_head(self.aesthetic_params, ie)
 
         self._frame_metrics = jax.jit(_frame_metrics)
+        self._image_embeds = jax.jit(
+            lambda fr: clip_image_embed(self.params, self.cfg, fr))
 
     @classmethod
     def from_pretrained(cls, model_path: str,
@@ -239,6 +244,35 @@ class CLIPScorer:
             aest = convert_aesthetic_state_dict(
                 {k: v.numpy() for k, v in sd.items()})
         return cls(params, cfg, AutoTokenizer.from_pretrained(model_path), aest)
+
+    def video_embeds(self, frames: np.ndarray) -> np.ndarray:
+        """frames uint8/[0,1] RGB [F, H, W, 3] -> L2-normalized CLIP image
+        embeddings [F, projection_dim] (frame-bucketed like the scorers)."""
+        pix = preprocess_frames(np.asarray(frames), self.cfg.vision.image_size)
+        f = len(pix)
+        pad = self._padded_frames(f) - f
+        if pad:
+            pix = np.concatenate([pix, np.repeat(pix[-1:], pad, axis=0)])
+        return np.asarray(self._image_embeds(jnp.asarray(pix)))[:f]
+
+    def alignment_score(self, gen_frames: np.ndarray,
+                        ref_frames: np.ndarray) -> float:
+        """Semantic-condition alignment between a generated video and its
+        reference (condition) video, [0, 100].
+
+        The reference table's Alignment Score (70.44, reference
+        README.md:73-81) is a GPT-judged "does the generated video carry the
+        reference's semantic effect" number with no in-repo code; offline,
+        this is the in-framework equivalent: per-frame CLIP image embeddings
+        of the generated video against the reference video's mean embedding,
+        score = 100 * mean_t max(cos, 0). Jitter-free semantics (one number
+        per video), same scale, same direction — absolute values differ from
+        the GPT judge.
+        """
+        g = self.video_embeds(gen_frames)                     # [F, P]
+        r = self.video_embeds(ref_frames).mean(axis=0)        # [P]
+        r = r / np.linalg.norm(r)
+        return float(100.0 * np.mean(np.clip(g @ r, 0.0, None)))
 
     def score_video(self, frames: np.ndarray, caption: str) -> float:
         """frames: uint8 [0,255] or float [0,1] RGB [F, H, W, 3] -> scalar

@@ -136,14 +136,16 @@ class FlowMetrics:
     @classmethod
     def from_pretrained(cls, checkpoint_path: str, iters: int = None) -> "FlowMetrics":
         """Load a princeton-vl/RAFT .pth checkpoint (raft-things.pth — the
-        one VBench uses; DataParallel prefix tolerated)."""
+        one VBench uses; DataParallel prefix tolerated). The architecture is
+        inferred from the weight shapes (RAFTConfig.from_state_dict)."""
         import torch
 
         from .raft import convert_raft_state_dict
 
         sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
         sd = {k: v.numpy() for k, v in sd.items()}
-        return cls(convert_raft_state_dict(sd), RAFTConfig.things(), iters=iters)
+        cfg = RAFTConfig.from_state_dict(sd)
+        return cls(convert_raft_state_dict(sd, cfg), cfg, iters=iters)
 
     def pair_flows(self, frames: np.ndarray) -> np.ndarray:
         """uint8/float RGB [F, H, W, 3] -> flow between consecutive frames

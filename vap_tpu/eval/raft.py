@@ -83,6 +83,43 @@ class RAFTConfig:
     def corr_planes(self) -> int:
         return self.corr_levels * (2 * self.corr_radius + 1) ** 2
 
+    @classmethod
+    def from_state_dict(cls, sd, **overrides) -> "RAFTConfig":
+        """Infer the architecture from a princeton-naming state dict (shapes
+        fully determine every width; corr levels/radius solve
+        levels * (2r+1)^2 = convc1 in-channels, radius-major so the
+        published (4, 4) wins for 324 planes). `iters` is not a checkpoint
+        property — override it or keep the default."""
+        if any(k.startswith("module.") for k in sd):
+            sd = {k[len("module."):]: v for k, v in sd.items()}
+        shp = lambda k: tuple(sd[k].shape)
+        planes = shp("update_block.encoder.convc1.weight")[1]
+        for radius in (4, 3, 2, 1):
+            side = (2 * radius + 1) ** 2
+            if planes % side == 0 and 1 <= planes // side <= 6:
+                levels = planes // side
+                break
+        else:
+            raise ValueError(f"cannot factor corr planes {planes}")
+        hidden = shp("update_block.gru.convz1.weight")[0]
+        base = dict(
+            fnet_dim=shp("fnet.conv2.weight")[0],
+            hidden_dim=hidden,
+            context_dim=shp("cnet.conv2.weight")[0] - hidden,
+            encoder_stem=shp("fnet.conv1.weight")[0],
+            encoder_channels=tuple(
+                shp(f"fnet.layer{i}.0.conv1.weight")[0] for i in (1, 2, 3)),
+            corr_levels=levels, corr_radius=radius,
+            motion_corr_c1=shp("update_block.encoder.convc1.weight")[0],
+            motion_corr_c2=shp("update_block.encoder.convc2.weight")[0],
+            motion_flow_c1=shp("update_block.encoder.convf1.weight")[0],
+            motion_flow_c2=shp("update_block.encoder.convf2.weight")[0],
+            motion_dim=shp("update_block.encoder.conv.weight")[0] + 2,
+            flow_head_hidden=shp("update_block.flow_head.conv1.weight")[0],
+        )
+        base.update(overrides)
+        return cls(**base)
+
 
 # ---------------------------------------------------------------------------
 # primitives
