@@ -15,6 +15,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "infer"))
 
 import numpy as np
 
@@ -40,18 +41,39 @@ class Inference:
         self.shard_index = jax.process_index() * args.dp_degree
         self.num_shards = max(jax.process_count(), 1) * args.dp_degree
 
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "infer"))
         if args.model_name == "cogvideox":
-            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "infer"))
             from cog_vap import build_pipeline
         else:
             from wan_vap import build_pipeline
-        self.pipe = build_pipeline(args.model_path)
-        self.scorer = None
-        if getattr(args, "clip_score_model", None):
-            from vap_tpu.eval import CLIPScorer
+        build_kwargs = dict(
+            revision=getattr(args, "revision", None),
+            variant=getattr(args, "variant", None),
+            cache_dir=getattr(args, "cache_dir", None),
+            transformer_id=getattr(args, "transformer_id", None),
+            vae_id=getattr(args, "vae_id", None),
+            text_encoder_id=getattr(args, "text_encoder_id", None),
+            tokenizer_id=getattr(args, "tokenizer_id", None),
+            transformer_dtype=getattr(args, "transformer_dtype", None),
+            vae_dtype=getattr(args, "vae_dtype", None),
+            text_encoder_dtype=getattr(args, "text_encoder_dtype", None),
+            lora_path=getattr(args, "lora_path", None),
+            lora_scale=getattr(args, "lora_scale", None),
+            enable_vae_tiling=getattr(args, "enable_tiling", False),
+            enable_vae_slicing=getattr(args, "enable_slicing", False),
+        )
+        if args.model_name == "wan":
+            build_kwargs["image_encoder_id"] = getattr(args, "image_encoder_id", None)
+        self.pipe = build_pipeline(args.model_path, **build_kwargs)
+        self.suite = None
+        if getattr(args, "clip_score_model", None) or getattr(args, "raft_model", None):
+            from vap_tpu.eval import VideoMetricsSuite
 
-            self.scorer = CLIPScorer.from_pretrained(
-                args.clip_score_model, getattr(args, "aesthetic_model", None))
+            self.suite = VideoMetricsSuite.from_pretrained(
+                getattr(args, "clip_score_model", None),
+                getattr(args, "aesthetic_model", None),
+                getattr(args, "raft_model", None),
+                getattr(args, "raft_iters", None))
 
     def _gen_kwargs(self):
         args = self.args
@@ -113,20 +135,26 @@ class Inference:
                 else:
                     export_to_video(clip, out, fps=args.fps)
                 done += 1
-                if self.scorer is not None:
-                    m = self.scorer.score_video_metrics(clip, str(sample["caption"]))
+                if self.suite is not None:
+                    m = self.suite.score_video(
+                        clip, str(sample["caption"]), fps=float(args.fps),
+                        ref_frames=(refs[0] + 1.0) / 2.0)
+                    m.pop("dynamic_pair_scores", None)
                     self.metrics.append(m)
                     print(f"saved {out} " +
-                          " ".join(f"{k}={v:.3f}" for k, v in m.items()))
+                          " ".join(f"{k}={v:.3f}" if isinstance(v, float)
+                                   else f"{k}={v}" for k, v in m.items()))
                 else:
                     print(f"saved {out}")
         if self.metrics:
-            # per-process means (each process scores its own dp shard, like
+            # per-process table (each process scores its own dp shard, like
             # the reference's per-rank artifact logging)
-            for k in self.metrics[0]:
-                vals = [m[k] for m in self.metrics]
-                print(f"shard {self.shard_index} mean {k}: "
-                      f"{float(np.mean(vals)):.4f} over {len(vals)} videos")
+            from vap_tpu.eval import VideoMetricsSuite
+
+            print(f"shard {self.shard_index} metrics over "
+                  f"{len(self.metrics)} videos:")
+            print(VideoMetricsSuite.format_table(
+                VideoMetricsSuite.summarize(self.metrics)))
 
 
 class _null_context:
@@ -173,9 +201,41 @@ def main():
     p.add_argument("--step_cache", default=None, help="denoise step caching, e.g. uniform:2 (PAB/AdaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
     p.add_argument("--clip_score_model", default=None,
                    help="local HF CLIPModel dir: score generations against "
-                        "their captions (reference README.md:73-81 metric)")
+                        "their captions (reference README.md:73-81 metric); "
+                        "also enables alignment scoring vs the reference video")
     p.add_argument("--aesthetic_model", default=None,
                    help="LAION aesthetic-predictor .pth (with --clip_score_model)")
+    p.add_argument("--raft_model", default=None,
+                   help="princeton-vl raft-things.pth: also score motion "
+                        "smoothness + dynamic degree")
+    p.add_argument("--raft_iters", type=int, default=None)
+
+    # per-component loading surface (reference inference.py:548-583)
+    from cog_vap import DTYPE_STRINGS
+
+    p.add_argument("--revision", default=None, help="hub revision when model ids resolve from the local HF cache")
+    p.add_argument("--variant", default=None, help="weight-file variant, e.g. fp16")
+    p.add_argument("--cache_dir", default=None, help="huggingface cache dir for hub-id resolution")
+    p.add_argument("--transformer_id", default=None, help="override the transformer component dir / cached hub id")
+    p.add_argument("--vae_id", default=None, help="override the VAE component dir / cached hub id")
+    p.add_argument("--text_encoder_id", default=None, help="override the text-encoder component dir / cached hub id")
+    p.add_argument("--image_encoder_id", default=None, help="override the image-encoder dir (wan only)")
+    p.add_argument("--tokenizer_id", default=None, help="override the tokenizer dir / cached hub id")
+    p.add_argument("--transformer_dtype", default=None, choices=DTYPE_STRINGS)
+    p.add_argument("--vae_dtype", default=None, choices=DTYPE_STRINGS)
+    p.add_argument("--text_encoder_dtype", default=None, choices=DTYPE_STRINGS)
+    p.add_argument("--lora_path", default=None,
+                   help="PEFT-layout LoRA safetensors fused into the "
+                        "transformer at load (training export or diffusers "
+                        "convention)")
+    p.add_argument("--lora_scale", type=float, default=None,
+                   help="LoRA fuse scale (default: lora_alpha/r from the "
+                        "file's metadata)")
+    p.add_argument("--enable_tiling", action="store_true",
+                   help="force tiled VAE decode (reference enable_tiling)")
+    p.add_argument("--enable_slicing", action="store_true",
+                   help="decode batch elements one at a time (reference "
+                        "enable_slicing)")
     args = p.parse_args()
     Inference(args).run()
 

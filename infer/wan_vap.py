@@ -13,9 +13,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: float = 3.0):
-    import jax.numpy as jnp
-
+def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: float = 3.0, *,
+                   revision: str = None, variant: str = None, cache_dir: str = None,
+                   transformer_id: str = None, vae_id: str = None,
+                   text_encoder_id: str = None, image_encoder_id: str = None,
+                   tokenizer_id: str = None,
+                   transformer_dtype: str = None, vae_dtype: str = None,
+                   text_encoder_dtype: str = None,
+                   lora_path: str = None, lora_scale: float = None,
+                   enable_vae_tiling: bool = False, enable_vae_slicing: bool = False):
+    """Assemble the Wan2.1 VAP pipeline from a checkpoint directory or a
+    cached hub id, with the reference inference CLI's per-component
+    id/dtype/LoRA/tiling surface (reference examples/inference/
+    inference.py:548-583). See infer/cog_vap.py build_pipeline."""
     from vap_tpu.models.text_encoders.clip_vision import CLIPVisionConfig, convert_clip_vision_state_dict
     from vap_tpu.models.text_encoders.t5 import T5Config, convert_t5_state_dict
     from vap_tpu.models.wan import WanMOTConfig, convert_wan_mot_state_dict
@@ -23,35 +33,52 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: flo
     from vap_tpu.models.wan.vae_weights import convert_wan_vae_state_dict
     from vap_tpu.ops.schedulers import FlowMatchEulerScheduler
     from vap_tpu.pipelines.wan_i2v_mot import WanVAPPipeline
-    from vap_tpu.training.checkpoint import load_safetensors
+    from vap_tpu.training.checkpoint import load_safetensors, merge_lora_into_state_dict
+    from vap_tpu.utils.hub import resolve_model_dir, variant_weight_files
 
-    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    from cog_vap import parse_dtype
+
+    dtype = parse_dtype(dtype_str)
     t_cfg = WanMOTConfig.wan_14b_i2v_vap()
     vae_cfg = WanVAEConfig()
     txt_cfg = T5Config.umt5_xxl()
     clip_cfg = CLIPVisionConfig()
 
-    def load_dir(sub):
-        d = os.path.join(model_path, sub)
+    root = resolve_model_dir(model_path, revision, cache_dir)
+
+    def load_dir(sub, override=None):
+        d = (resolve_model_dir(override, revision, cache_dir) if override
+             else os.path.join(root, sub))
         sd = {}
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".safetensors"):
-                sd.update(load_safetensors(os.path.join(d, f)))
+        for f in variant_weight_files(d, variant):
+            sd.update(load_safetensors(f))
         return sd
 
+    t_sd = load_dir("transformer", transformer_id)
+    if lora_path:
+        t_sd = merge_lora_into_state_dict(t_sd, lora_path, lora_scale)
     params = {
-        "transformer": convert_wan_mot_state_dict(load_dir("transformer"), t_cfg, dtype),
-        "vae": convert_wan_vae_state_dict(load_dir("vae"), vae_cfg, dtype),
-        "text_encoder": convert_t5_state_dict(load_dir("text_encoder"), txt_cfg, dtype),
-        "image_encoder": convert_clip_vision_state_dict(load_dir("image_encoder"), clip_cfg, dtype),
+        "transformer": convert_wan_mot_state_dict(
+            t_sd, t_cfg, parse_dtype(transformer_dtype) if transformer_dtype else dtype),
+        "vae": convert_wan_vae_state_dict(
+            load_dir("vae", vae_id), vae_cfg,
+            parse_dtype(vae_dtype) if vae_dtype else dtype),
+        "text_encoder": convert_t5_state_dict(
+            load_dir("text_encoder", text_encoder_id), txt_cfg,
+            parse_dtype(text_encoder_dtype) if text_encoder_dtype else dtype),
+        "image_encoder": convert_clip_vision_state_dict(
+            load_dir("image_encoder", image_encoder_id), clip_cfg, dtype),
     }
     from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(os.path.join(model_path, "tokenizer"))
+    tokenizer = AutoTokenizer.from_pretrained(
+        resolve_model_dir(tokenizer_id, revision, cache_dir) if tokenizer_id
+        else os.path.join(root, "tokenizer"))
     return WanVAPPipeline(
         transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg, clip_cfg=clip_cfg,
         params=params, tokenizer=tokenizer,
-        scheduler=FlowMatchEulerScheduler(shift=flow_shift), dtype=dtype)
+        scheduler=FlowMatchEulerScheduler(shift=flow_shift), dtype=dtype,
+        enable_vae_tiling=enable_vae_tiling, enable_vae_slicing=enable_vae_slicing)
 
 
 def main():

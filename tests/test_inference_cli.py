@@ -94,7 +94,7 @@ def test_inference_cli_end_to_end(tmp_path, monkeypatch):
     import cog_vap
 
     monkeypatch.setattr(cog_vap, "build_pipeline",
-                        lambda path, dtype_str="bfloat16": pipe)
+                        lambda path, dtype_str="bfloat16", **kw: pipe)
     csv = _make_benchmark(tmp_path)
 
     with jax.default_device(jax.devices("cpu")[0]):
@@ -118,3 +118,83 @@ def test_inference_cli_end_to_end(tmp_path, monkeypatch):
         cli.Inference(args).run()
         outs_kind = os.listdir(tmp_path / "out_kind")
         assert len(outs_kind) == 1, outs_kind
+
+
+def test_inference_cli_component_flags_reach_build_pipeline(tmp_path, monkeypatch):
+    """The per-component parity flags (reference inference.py:548-583) flow
+    from the CLI namespace into build_pipeline."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    cli = _load_cli()
+    pipe = _tiny_pipe()
+    import cog_vap
+
+    seen = {}
+
+    def fake_build(path, dtype_str="bfloat16", **kw):
+        seen.update(kw, model_path=path)
+        return pipe
+
+    monkeypatch.setattr(cog_vap, "build_pipeline", fake_build)
+    csv = _make_benchmark(tmp_path, n=1)
+    args = _args(
+        tmp_path, csv, max_samples=0,
+        revision="r1", variant="fp16", cache_dir="/tmp/hfcache",
+        transformer_id="/alt/transformer", vae_id="/alt/vae",
+        text_encoder_id="/alt/te", tokenizer_id="/alt/tok",
+        transformer_dtype="bf16", vae_dtype="fp32", text_encoder_dtype="bf16",
+        lora_path="/alt/lora.safetensors", lora_scale=0.5,
+        enable_tiling=True, enable_slicing=True)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cli.Inference(args).run()
+    assert seen["model_path"] == "/nonexistent"
+    assert seen["revision"] == "r1" and seen["variant"] == "fp16"
+    assert seen["cache_dir"] == "/tmp/hfcache"
+    assert seen["transformer_id"] == "/alt/transformer"
+    assert seen["vae_id"] == "/alt/vae"
+    assert seen["text_encoder_id"] == "/alt/te"
+    assert seen["tokenizer_id"] == "/alt/tok"
+    assert seen["transformer_dtype"] == "bf16" and seen["vae_dtype"] == "fp32"
+    assert seen["lora_path"] == "/alt/lora.safetensors"
+    assert seen["lora_scale"] == 0.5
+    assert seen["enable_vae_tiling"] is True
+    assert seen["enable_vae_slicing"] is True
+
+
+def test_inference_cli_parses_new_flags(monkeypatch, tmp_path):
+    """argparse surface: every parity flag exists and lands in the namespace."""
+    cli = _load_cli()
+    captured = {}
+    monkeypatch.setattr(cli, "Inference",
+                        lambda args: captured.update(vars(args)) or
+                        argparse.Namespace(run=lambda: None))
+    monkeypatch.setattr(sys, "argv", [
+        "inference.py", "--model_path", "/m", "--dataset_file", "/d.csv",
+        "--transformer_id", "/t", "--transformer_dtype", "fp32",
+        "--lora_path", "/l.safetensors", "--lora_scale", "0.25",
+        "--enable_tiling", "--enable_slicing", "--variant", "fp16",
+        "--raft_model", "/raft.pth"])
+    cli.main()
+    assert captured["transformer_id"] == "/t"
+    assert captured["transformer_dtype"] == "fp32"
+    assert captured["lora_path"] == "/l.safetensors"
+    assert captured["lora_scale"] == 0.25
+    assert captured["enable_tiling"] and captured["enable_slicing"]
+    assert captured["variant"] == "fp16"
+    assert captured["raft_model"] == "/raft.pth"
+
+
+def test_pipeline_decode_tiling_and_slicing_match_default():
+    """enable_vae_tiling / enable_vae_slicing produce the same pixels as the
+    default decode on a latent smaller than one tile."""
+    import dataclasses
+
+    pipe = _tiny_pipe()
+    z = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 8, 8, pipe.vae_cfg.latent_channels)).astype(np.float32))
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = np.asarray(pipe._decode(z))
+        tiled = np.asarray(dataclasses.replace(pipe, enable_vae_tiling=True)._decode(z))
+        sliced = np.asarray(dataclasses.replace(pipe, enable_vae_slicing=True)._decode(z))
+    assert base.shape == tiled.shape == sliced.shape
+    np.testing.assert_allclose(tiled, base, atol=2e-4)
+    np.testing.assert_allclose(sliced, base, atol=2e-4)

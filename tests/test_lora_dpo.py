@@ -119,3 +119,61 @@ def test_lora_export_flux_layout(tmp_path):
     assert "transformer.transformer_blocks.0.attn.to_q.lora_A.weight" in sd
     assert "transformer.single_transformer_blocks.1.attn.to_q.lora_B.weight" in sd
     assert sd["transformer.transformer_blocks.0.attn.to_q.lora_A.weight"].shape[0] == 2
+
+
+def test_merge_lora_into_state_dict_roundtrip(tmp_path):
+    """Inference-time LoRA fusion: export adapters (PEFT layout), fuse them
+    into the HF-layout state dict, convert back — equals apply_lora on the
+    JAX params. This is the path behind --lora_path on the inference CLI."""
+    from vap_tpu.models.cogvideox import convert_cogvideox_mot_state_dict
+    from vap_tpu.training.checkpoint import (
+        _flatten_to_reference_names, export_lora_safetensors,
+        merge_lora_into_state_dict)
+
+    cfg = CogVideoXMOTConfig.tiny()
+    params = init_cogvideox_mot(jax.random.PRNGKey(0), cfg)
+    lora = init_lora(jax.random.PRNGKey(1), params, rank=4, mot_only=True)
+    # non-zero B so the fusion actually changes weights
+    lora = jax.tree.map(lambda x: x + 0.05, lora)
+
+    path = export_lora_safetensors(
+        lora, cfg, str(tmp_path / "lora.safetensors"), rank=4, alpha=8.0)
+    sd = _flatten_to_reference_names(params, cfg)
+    merged_sd = merge_lora_into_state_dict(sd, path)  # scale = alpha/r = 2.0
+    back = convert_cogvideox_mot_state_dict(merged_sd, cfg, jnp.float32)
+    expect = apply_lora(params, lora, alpha=8.0, rank=4)
+
+    got_k = np.asarray(back["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"])
+    exp_k = np.asarray(expect["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"])
+    assert np.abs(exp_k - np.asarray(
+        params["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"])).max() > 1e-4
+    np.testing.assert_allclose(got_k, exp_k, atol=1e-5)
+    # untargeted kernels unchanged
+    np.testing.assert_allclose(
+        np.asarray(back["blocks"][0]["attn1"]["to_q"]["kernel"]),
+        np.asarray(params["blocks"][0]["attn1"]["to_q"]["kernel"]), atol=1e-6)
+    # explicit scale override
+    merged_half = merge_lora_into_state_dict(sd, path, scale=1.0)
+    back_half = convert_cogvideox_mot_state_dict(merged_half, cfg, jnp.float32)
+    half_k = np.asarray(back_half["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"])
+    base_k = np.asarray(params["blocks"][0]["attn1_mot_ref"]["to_q"]["kernel"])
+    np.testing.assert_allclose(half_k - base_k, (got_k - base_k) / 2.0,
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_merge_lora_into_state_dict_errors(tmp_path):
+    from safetensors.numpy import save_file
+
+    from vap_tpu.training.checkpoint import merge_lora_into_state_dict
+
+    empty = str(tmp_path / "empty.safetensors")
+    save_file({"x.weight": np.zeros((2, 2), np.float32)}, empty)
+    with pytest.raises(ValueError, match="no .*lora_A"):
+        merge_lora_into_state_dict({"x.weight": np.zeros((2, 2))}, empty)
+
+    bad = str(tmp_path / "bad.safetensors")
+    save_file({"transformer.missing.lora_A.weight": np.zeros((2, 3), np.float32),
+               "transformer.missing.lora_B.weight": np.zeros((3, 2), np.float32)},
+              bad)
+    with pytest.raises(KeyError, match="missing.weight"):
+        merge_lora_into_state_dict({"x.weight": np.zeros((2, 2))}, bad)

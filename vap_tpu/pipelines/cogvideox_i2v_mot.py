@@ -116,6 +116,26 @@ class CogVideoXVAPPipeline:
     vae_scale_factor_spatial: int = 8
     vae_scale_factor_temporal: int = 4
 
+    # decode-memory toggles (reference enable_tiling/enable_slicing,
+    # examples/inference/inference.py:546-547): tiling forces the
+    # reference-parity 3x3 overlap-blended grid decode instead of the
+    # default W-split heuristic; slicing decodes batch elements one at a time
+    enable_vae_tiling: bool = False
+    enable_vae_slicing: bool = False
+
+    def _decode(self, z: Array) -> Array:
+        if self.enable_vae_slicing and z.shape[0] > 1:
+            return jnp.concatenate(
+                [self._decode_one(z[i:i + 1]) for i in range(z.shape[0])], axis=0)
+        return self._decode_one(z)
+
+    def _decode_one(self, z: Array) -> Array:
+        if self.enable_vae_tiling:
+            from ..models.cogvideox.vae import vae_decode_tiled
+
+            return vae_decode_tiled(self.params["vae"], self.vae_cfg, z)
+        return _vae_decode_jit(self.params["vae"], self.vae_cfg, z)
+
     # ------------------------------------------------------------------
     # host-side preprocessing
     # ------------------------------------------------------------------
@@ -422,5 +442,5 @@ class CogVideoXVAPPipeline:
         # invert_scale_latents — reference decode_latents :491-496)
         latents = latents[:, additional_frames:]
         z = latents.transpose(0, 1, 3, 4, 2).astype(self.dtype) / self.vae_cfg.scaling_factor
-        video = _vae_decode_jit(self.params["vae"], self.vae_cfg, z)
+        video = self._decode(z)
         return np.asarray(video.astype(jnp.float32))

@@ -103,6 +103,26 @@ class WanVAPPipeline:
     vae_scale_factor_spatial: int = 8
     vae_scale_factor_temporal: int = 4
 
+    # decode-memory toggles (reference enable_tiling/enable_slicing,
+    # examples/inference/inference.py:546-547)
+    enable_vae_tiling: bool = False
+    enable_vae_slicing: bool = False
+
+    def _decode(self, z: Array) -> Array:
+        if self.enable_vae_slicing and z.shape[0] > 1:
+            return jnp.concatenate(
+                [self._decode_one(z[i:i + 1]) for i in range(z.shape[0])], axis=0)
+        return self._decode_one(z)
+
+    def _decode_one(self, z: Array) -> Array:
+        if self.enable_vae_tiling:
+            from ..models.wan.vae import denormalize_latents, wan_vae_decode_tiled
+
+            z = jax.jit(lambda c, z: denormalize_latents(c, z),
+                        static_argnums=0)(self.vae_cfg, z)
+            return wan_vae_decode_tiled(self.params["vae"], self.vae_cfg, z)
+        return _wan_vae_decode_jit(self.params["vae"], self.vae_cfg, z)
+
     def encode_prompt(self, prompt: str, max_length: int = 512) -> Array:
         toks = self.tokenizer([prompt], padding="max_length", max_length=max_length,
                               truncation=True, add_special_tokens=True, return_tensors="np")
@@ -309,5 +329,5 @@ class WanVAPPipeline:
 
         if output_type == "latent":
             return latents
-        video = _wan_vae_decode_jit(self.params["vae"], self.vae_cfg, latents.astype(self.dtype))
+        video = self._decode(latents.astype(self.dtype))
         return np.asarray(video.astype(jnp.float32))

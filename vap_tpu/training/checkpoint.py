@@ -293,6 +293,46 @@ def export_lora_safetensors(
     return path
 
 
+def merge_lora_into_state_dict(sd: Dict[str, np.ndarray], lora_path: str,
+                               scale: Optional[float] = None) -> Dict[str, np.ndarray]:
+    """Fuse PEFT-layout LoRA adapters into an HF-layout transformer state
+    dict (torch [out, in] orientation) BEFORE weight conversion — the JAX
+    analog of the reference's pipe.load_lora_weights(...) + fuse at inference
+    (reference examples/inference/inference.py loads adapters onto the torch
+    transformer). Accepts this repo's export_lora_safetensors output or any
+    diffusers-convention `transformer.<module>.lora_{A,B}.weight` file.
+
+    `scale` defaults to lora_alpha / r from the embedded lora_config
+    metadata (PEFT semantics), falling back to 1.0 when absent.
+    """
+    lora = load_safetensors(lora_path)
+    if scale is None:
+        meta = load_lora_metadata(lora_path)
+        if "lora_alpha" in meta and "r" in meta:
+            scale = float(meta["lora_alpha"]) / float(meta["r"])
+        else:
+            scale = 1.0
+    out = dict(sd)
+    merged = 0
+    for key, a in lora.items():
+        if not key.endswith(".lora_A.weight"):
+            continue
+        base = key[: -len(".lora_A.weight")]
+        b = lora[base + ".lora_B.weight"]
+        name = base[len("transformer."):] if base.startswith("transformer.") else base
+        wkey = name + ".weight"
+        if wkey not in out:
+            raise KeyError(f"LoRA targets missing base weight {wkey!r} "
+                           f"(from {lora_path})")
+        w = np.asarray(out[wkey])
+        delta = scale * (np.asarray(b, np.float32) @ np.asarray(a, np.float32))
+        out[wkey] = (w.astype(np.float32) + delta).astype(w.dtype)
+        merged += 1
+    if merged == 0:
+        raise ValueError(f"no '*.lora_A.weight' adapters found in {lora_path}")
+    return out
+
+
 def load_lora_metadata(path: str) -> Dict[str, Any]:
     """Read the embedded lora_config from a safetensors header."""
     import struct
