@@ -75,3 +75,52 @@ def test_precompute_roundtrip(tmp_path):
     mem = InMemoryPreprocessor(iter(samples), cond, lat, num_items=2)
     buf = mem.consume()
     assert len(buf) == 2
+
+
+def test_precompute_cross_rank_manifest(tmp_path):
+    """Reuse validation (reference PrecomputedDistributedDataPreprocessor
+    semantics): a corrupted or incomplete shard on ANY rank forces
+    re-precompute instead of silent reuse."""
+    import os
+
+    samples = [{"x": i} for i in range(3)]
+    cond = lambda s: {"embeds": np.full((1, 2), s["x"], np.float32)}
+    lat = lambda s: {"latents": np.full((1, 2), s["x"], np.float32)}
+    sig = {"buckets": [[9, 32, 32]]}
+
+    pres = [PrecomputedPreprocessor(str(tmp_path), rank=r, world_size=2,
+                                    signature=sig) for r in (0, 1)]
+    assert not pres[0].is_cached()
+    for p in pres:
+        p.precompute(iter(samples), cond, lat)
+    assert pres[0].is_cached() and pres[1].is_cached()
+
+    # corrupt rank 1: delete one latent shard -> every rank refuses reuse
+    victim = sorted(f for f in os.listdir(pres[1].dir) if f.startswith("lat_"))[0]
+    os.remove(os.path.join(pres[1].dir, victim))
+    assert not pres[0].is_cached()
+    assert not pres[1].is_cached()
+    # re-precompute on the damaged rank restores reuse for all
+    pres[1].precompute(iter(samples), cond, lat)
+    assert pres[0].is_cached()
+
+    # signature change (different buckets) -> not cached, and the fresh pass
+    # wipes stale files so replay can't mix configurations
+    changed = PrecomputedPreprocessor(str(tmp_path), rank=0, world_size=2,
+                                      signature={"buckets": [[5, 16, 16]]})
+    assert not changed.is_cached()
+    changed.precompute(iter(samples[:2]), cond, lat)
+    assert len(changed) == 2  # old count was 3; stale shards gone
+
+
+def test_precompute_incomplete_manifest_not_reused(tmp_path):
+    """Files present but no manifest (a killed precompute pass) != cached."""
+    samples = [{"x": 0}]
+    cond = lambda s: {"e": np.zeros((1,), np.float32)}
+    lat = lambda s: {"l": np.zeros((1,), np.float32)}
+    pre = PrecomputedPreprocessor(str(tmp_path), rank=0)
+    pre.precompute(iter(samples), cond, lat)
+    import os
+
+    os.remove(os.path.join(pre.dir, pre.MANIFEST))
+    assert not pre.is_cached()

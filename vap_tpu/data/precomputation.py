@@ -56,18 +56,69 @@ class PrecomputedPreprocessor:
     """Write precomputed (condition, latent) .npz shards per rank, then replay.
 
     `consume_once=True` precomputes the entire (finite) dataset on the first
-    pass and replays the cache forever after (precomputation.py:146-431)."""
+    pass and replays the cache forever after (precomputation.py:146-431).
 
-    def __init__(self, directory: str, rank: int = 0, reuse: bool = True):
+    Reuse is gated on a cross-rank completeness manifest, matching the
+    reference's rank-coordinated reuse validation
+    (PrecomputedDistributedDataPreprocessor, precomputation.py:146-431):
+    each rank records {count, signature, complete} in its manifest after a
+    full pass, and `is_cached()` accepts the cache only when EVERY rank's
+    manifest exists, its signature matches this run's, and the .npz files on
+    disk agree with the recorded count — a corrupted or partially-written
+    shard on any rank forces re-precompute instead of silent reuse."""
+
+    MANIFEST = "manifest.json"
+
+    def __init__(self, directory: str, rank: int = 0, world_size: int = 1,
+                 reuse: bool = True, signature: Optional[Dict[str, Any]] = None):
+        self.root = directory
+        self.rank = rank
+        self.world_size = max(1, world_size)
+        self.signature = signature
         self.dir = os.path.join(directory, f"rank_{rank}")
         os.makedirs(self.dir, exist_ok=True)
         self.reuse = reuse
 
+    def _rank_dir(self, rank: int) -> str:
+        return os.path.join(self.root, f"rank_{rank}")
+
+    def _npz_counts(self, rank: int) -> Dict[str, int]:
+        d = self._rank_dir(rank)
+        names = os.listdir(d) if os.path.isdir(d) else []
+        return {"cond": sum(1 for f in names
+                            if f.startswith("cond_") and f.endswith(".npz")),
+                "lat": sum(1 for f in names
+                           if f.startswith("lat_") and f.endswith(".npz"))}
+
+    def _rank_complete(self, rank: int) -> bool:
+        import json
+
+        path = os.path.join(self._rank_dir(rank), self.MANIFEST)
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            return False
+        if not m.get("complete"):
+            return False
+        if self.signature is not None and m.get("signature") != self.signature:
+            return False
+        counts = self._npz_counts(rank)
+        return counts["cond"] == counts["lat"] == m.get("count")
+
     def is_cached(self) -> bool:
-        return self.reuse and any(f.endswith(".npz") for f in os.listdir(self.dir))
+        return self.reuse and all(
+            self._rank_complete(r) for r in range(self.world_size))
 
     def precompute(self, data_iter: Iterator, prepare_conditions: Callable, prepare_latents: Callable,
                    max_items: Optional[int] = None):
+        import json
+
+        # stale shards must not leak into the replay (a signature change
+        # reaches here with old files still on disk)
+        for f in os.listdir(self.dir):
+            if f.endswith(".npz") or f == self.MANIFEST:
+                os.remove(os.path.join(self.dir, f))
         count = 0
         for sample in data_iter:
             cond = prepare_conditions(sample)
@@ -77,6 +128,12 @@ class PrecomputedPreprocessor:
             count += 1
             if max_items and count >= max_items:
                 break
+        manifest = {"complete": True, "count": count, "rank": self.rank,
+                    "world_size": self.world_size, "signature": self.signature}
+        tmp = os.path.join(self.dir, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.dir, self.MANIFEST))
         return count
 
     def __iter__(self):

@@ -341,7 +341,18 @@ class SFTTrainer:
         if args.precomputation_dir:
             from ..data.precomputation import PrecomputedPreprocessor
 
-            pre = PrecomputedPreprocessor(args.precomputation_dir, rank=jax.process_index())
+            # signature gates reuse: a cache produced under different data
+            # or bucket settings is recomputed, not silently replayed
+            signature = {
+                "data_root": str(args.data_root),
+                "dataset_file": str(getattr(args, "dataset_file", "") or ""),
+                "video_resolution_buckets":
+                    [list(b) for b in (args.video_resolution_buckets or [])],
+                "precomputation_once": bool(args.precomputation_once),
+            }
+            pre = PrecomputedPreprocessor(
+                args.precomputation_dir, rank=jax.process_index(),
+                world_size=jax.process_count(), signature=signature)
             if not pre.is_cached():
                 self._load_encoders()
                 # precomputation_once = cache one full epoch (the training
