@@ -306,3 +306,54 @@ def test_reuse_steps_skip_the_forward(monkeypatch):
     assert np.isfinite(cached).all()
     # the approximation must actually differ from the full trajectory
     assert not np.allclose(cached, base, atol=1e-4)
+
+
+def test_step_cache_quality_harness(monkeypatch):
+    """evaluate_schedules (vap_tpu/eval/step_cache_quality.py): the
+    quality-gate loop runs full + cached generations and scores them; an
+    all-compute schedule has exactly zero CLIP delta (identical trajectory)
+    and a skipping schedule reports its computed-step count."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    from test_clip_score import FakeTokenizer as ClipTok
+
+    from vap_tpu.eval import CLIPScoreConfig, CLIPScorer, init_clip_score
+    from vap_tpu.eval.step_cache_quality import (
+        evaluate_schedules, format_table, passes_gate)
+
+    pipe = _tiny_pipe()
+    ccfg = CLIPScoreConfig.tiny()
+    scorer = CLIPScorer(init_clip_score(jax.random.PRNGKey(5), ccfg), ccfg,
+                        ClipTok(ccfg.text.eos_token_id, ccfg.text.vocab_size))
+    H = W = 32
+    F = 9
+    rng = np.random.default_rng(7)
+    samples = [dict(
+        image=rng.uniform(-1, 1, (H, W, 3)).astype(np.float32),
+        prompt="a cat jumps",
+        ref_videos=[rng.uniform(-1, 1, (F, H, W, 3)).astype(np.float32)],
+        prompt_mot_ref=["fx"])]
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        rows = evaluate_schedules(
+            pipe, scorer, samples,
+            schedules=["uniform:1:1:0", "uniform:2:1:1"],
+            num_inference_steps=4, height=H, width=W, num_frames=F,
+            guidance_scale=6.0, use_dynamic_cfg=True, seed=11,
+            max_sequence_length=pipe.transformer_cfg.max_text_seq_length)
+
+    assert [r["schedule"] for r in rows] == [None, "uniform:1:1:0", "uniform:2:1:1"]
+    full, allc, skip = rows
+    assert full["computed_steps"] == 4 and full["clip_delta"] == 0.0
+    # all-compute schedule: same trajectory, same score, zero delta
+    assert allc["computed_steps"] == 4
+    assert abs(allc["clip_delta"]) < 1e-5 and allc["passes_gate"]
+    # skipping schedule: computes 3 of 4 (warmup 1, step 2 reused, cooldown 1)
+    assert skip["computed_steps"] == 3
+    assert np.isfinite(skip["clip_delta"])
+    table = format_table(rows)
+    assert "full" in table and "uniform:2:1:1" in table
+
+    # the promotion gate: small drops pass, big drops fail, gains always pass
+    assert passes_gate(0.0) and passes_gate(-1.0) and passes_gate(0.25)
+    assert not passes_gate(0.26)
+    assert passes_gate(1.0, max_clip_drop=2.0)
