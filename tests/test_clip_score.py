@@ -221,6 +221,27 @@ def test_trainer_validation_logs_clip_score(tmp_path, monkeypatch):
         trainer._validate(jax.random.PRNGKey(0))
     score = trainer.tracker.metrics.get("validation/clip_score")
     assert score is not None and 0.0 <= score <= 100.0
+    # flow metrics skip gracefully on 1-frame image samples
+    assert "validation/motion_smoothness" not in trainer.tracker.metrics
+
+    # --raft_model_path wiring: inject FlowMetrics, score a multi-frame clip
+    from vap_tpu.eval.flow_metrics import FlowMetrics
+    from vap_tpu.eval.raft import RAFTConfig, init_raft
+
+    rcfg = RAFTConfig.tiny()
+    trainer.flow_metrics = FlowMetrics(
+        init_raft(jax.random.PRNGKey(9), rcfg), rcfg, iters=2)
+    artifacts, scores = {}, []
+    media = np.random.default_rng(4).uniform(-1, 1, (5, 32, 32, 3)).astype(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        trainer._write_validation_sample(
+            media, {"caption": "a red square"}, str(tmp_path / "out"), 0,
+            artifacts, trainer.clip_scorer, scores)
+    trainer._log_validation(artifacts, scores)
+    m = trainer.tracker.metrics
+    assert m["validation/dynamic_degree"] in (0.0, 100.0)
+    assert 0.0 <= m["validation/motion_smoothness"] <= 1.0
+    assert "validation/clip_score" in m
 
 
 def test_clip_scorer_from_pretrained_legacy_eos(tmp_path, torch_reference):

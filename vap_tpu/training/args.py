@@ -119,6 +119,10 @@ class TrainingArgs:
     # LAION improved-aesthetic-predictor .pth (with clip_score_model_path):
     # also logs validation/aesthetic_quality (vap_tpu/eval/aesthetic.py)
     aesthetic_model_path: Optional[str] = None
+    # princeton-vl raft-things.pth (vap_tpu/eval/raft.py): also logs
+    # validation/motion_smoothness + validation/dynamic_degree — the
+    # remaining flow-based metrics of the reference's five-metric table
+    raft_model_path: Optional[str] = None
     checkpointing_steps: int = 500
     checkpointing_limit: Optional[int] = 2
     resume_from_checkpoint: Optional[str] = None  # "latest" or step number

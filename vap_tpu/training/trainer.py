@@ -138,6 +138,9 @@ class SFTTrainer:
         # CLIP scoring of validation samples (--clip_score_model_path); tests
         # may inject a pre-built vap_tpu.eval.CLIPScorer here directly.
         self.clip_scorer = None
+        # flow-based metrics of validation samples (--raft_model_path); tests
+        # may inject a pre-built vap_tpu.eval.FlowMetrics here directly.
+        self.flow_metrics = None
 
     def _get_clip_scorer(self):
         if self.clip_scorer is None and self.args.clip_score_model_path:
@@ -147,6 +150,14 @@ class SFTTrainer:
                 self.args.clip_score_model_path,
                 self.args.aesthetic_model_path)
         return self.clip_scorer
+
+    def _get_flow_metrics(self):
+        if self.flow_metrics is None and getattr(self.args, "raft_model_path", None):
+            from ..eval import FlowMetrics
+
+            self.flow_metrics = FlowMetrics.from_pretrained(
+                self.args.raft_model_path)
+        return self.flow_metrics
 
     def _build_step(self, params):
         """Construct (train_params, frozen_params, opt_state, _step) for this
@@ -691,16 +702,26 @@ class SFTTrainer:
         path = os.path.join(out_dir, f"sample_{i}.mp4")
         export_to_video(frames, path, fps=16)
         artifacts[f"validation/sample_{i}"] = path
+        metrics = {}
         if scorer is not None:
-            clip_scores.append(
-                scorer.score_video_metrics(frames, str(sample["caption"])))
+            metrics.update(scorer.score_video_metrics(frames, str(sample["caption"])))
+        flow = self._get_flow_metrics()
+        if flow is not None and frames.shape[0] >= 3:
+            dd = flow.dynamic_degree_video(frames, fps=16.0)
+            # 100*bool so the mean over samples IS the table's percentage
+            metrics["dynamic_degree"] = 100.0 * float(dd["dynamic"])
+            metrics["motion_smoothness"] = flow.motion_smoothness_video(frames)
+        if metrics:
+            clip_scores.append(metrics)
         logger.info(f"validation sample written: {path}")
 
     def _log_validation(self, artifacts, clip_scores):
         self.tracker.log_artifacts(artifacts, step=self.train_state.step)
         if clip_scores:
-            means = {f"validation/{k}": float(np.mean([m[k] for m in clip_scores]))
-                     for k in clip_scores[0]}
+            keys = sorted({k for m in clip_scores for k in m})
+            means = {f"validation/{k}": float(np.mean(
+                         [m[k] for m in clip_scores if k in m]))
+                     for k in keys}
             self.tracker.log(means, step=self.train_state.step)
 
     def dump_training_sample(self, sample: Dict[str, Any], step: int = 0):
