@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# wan LoRA finetune — 3dgs_dissolve
+# (mirrors the reference recipe examples/training/sft/wan/3dgs_dissolve/train.sh:
+# 1000 steps, LoRA rank 16/alpha 16, lr 1e-4 constant+100 warmup,
+# adamw b=(0.9,0.99) wd=1e-4, logit-normal flow weighting)
+set -euo pipefail
+cd "$(dirname "$0")/../../../../.."
+
+MODEL_PATH=${MODEL_PATH:-/data/wan2.1-i2v-14b-480p}
+DATA_ROOT=${DATA_ROOT:-/data/finetrainers-3dgs-dissolve}
+OUTPUT_DIR=${OUTPUT_DIR:-output/sft_wan_3dgs_dissolve}
+
+python train.py \
+  --model_name wan \
+  --training_type lora \
+  --pretrained_model_name_or_path "$MODEL_PATH" \
+  --data_root "$DATA_ROOT" \
+  --dataset_config examples/training/sft/wan/3dgs_dissolve/training.json \
+  --video_resolution_buckets 49x480x832 \
+  --rank 16 --lora_alpha 16 \
+  --target_modules "to_q to_k to_v to_out" \
+  --batch_size 1 --train_steps 1000 \
+  --flow_weighting_scheme logit_normal \
+  --optimizer adamw --lr 1e-4 --lr_scheduler constant_with_warmup --lr_warmup_steps 100 \
+  --beta1 0.9 --beta2 0.99 --weight_decay 1e-4 \
+  --gradient_checkpointing --mask_caption_ratio 0.0 \
+  --checkpointing_steps 500 --checkpointing_limit 2 \
+  --validation_dataset_file examples/training/sft/wan/3dgs_dissolve/validation.json \
+  --validation_steps 500 \
+  --output_dir "$OUTPUT_DIR" \
+  --resume_from_checkpoint latest
