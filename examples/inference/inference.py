@@ -41,7 +41,6 @@ class Inference:
         self.shard_index = jax.process_index() * args.dp_degree
         self.num_shards = max(jax.process_count(), 1) * args.dp_degree
 
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "infer"))
         if args.model_name == "cogvideox":
             from cog_vap import build_pipeline
         else:

@@ -66,7 +66,11 @@ def main() -> None:
     if args.csv:
         with open(args.csv) as f:
             for row in csv.DictReader(f):
-                rows.append((row["video_path"], row.get("caption"),
+                caption = row.get("caption")
+                if args.model and not caption:
+                    p.error(f"--model given but CSV row for "
+                            f"{row.get('video_path')!r} has no caption column/value")
+                rows.append((row["video_path"], caption,
                              row.get("ref_video_path") or None))
     for v in args.videos:
         if not args.caption and args.model:

@@ -116,3 +116,21 @@ def test_motion_smoothness_static_video_with_true_flow():
     fm._flow = lambda a, b: jnp.zeros(a.shape[:3] + (2,), jnp.float32)
     frames = np.stack([np.full((16, 16, 3), 87, np.uint8)] * 5)
     assert fm.motion_smoothness_video(frames) == 1.0
+
+
+def test_to_255_tolerates_unclamped_decode_overshoot():
+    """Unclamped VAE decodes emit floats slightly above 1.0; the range
+    heuristic must still read them as [0,1] video (a 1+eps threshold fed
+    RAFT near-black pixels and silently zeroed both metrics)."""
+    from vap_tpu.eval.flow_metrics import _to_255
+
+    overshoot = np.full((2, 4, 4, 3), 0.5, np.float32)
+    overshoot[0, 0, 0, 0] = 1.02
+    out = _to_255(overshoot)
+    assert abs(out[1, 0, 0, 0] - 127.5) < 1e-3  # scaled, not passed through
+    assert out.max() <= 255.0
+    # genuine [0,255] floats pass through (and clamp)
+    big = np.full((1, 4, 4, 3), 200.0, np.float32)
+    big[0, 0, 0, 0] = 260.0
+    out = _to_255(big)
+    assert abs(out[0, 1, 1, 1] - 200.0) < 1e-3 and out.max() == 255.0

@@ -54,3 +54,22 @@ def test_variant_weight_files_sharded(tmp_path):
     assert [os.path.basename(f) for f in got] == [
         "model-00001-of-00002.safetensors",
         "model-00002-of-00002.safetensors"]
+
+
+def test_variant_only_directory(tmp_path):
+    """No plain files: a single foreign variant loads (better than nothing),
+    but MULTIPLE variant tags must not silently merge."""
+    _touch(tmp_path, "model.fp16.safetensors")
+    got = variant_weight_files(str(tmp_path), None)
+    assert [os.path.basename(f) for f in got] == ["model.fp16.safetensors"]
+    _touch(tmp_path, "model.bf16.safetensors")
+    with pytest.raises(FileNotFoundError, match="multiple"):
+        variant_weight_files(str(tmp_path), None)
+    # explicit variant still resolves
+    got = variant_weight_files(str(tmp_path), "bf16")
+    assert [os.path.basename(f) for f in got] == ["model.bf16.safetensors"]
+
+
+def test_empty_directory_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="no .safetensors"):
+        variant_weight_files(str(tmp_path))

@@ -26,22 +26,39 @@ def _batch(mcfg, key):
     }
 
 
-def test_remat_modes_grad_parity():
+def _mode_grads(modes):
     mcfg = CogVideoXMOTConfig.tiny(in_channels=4, out_channels=2,
                                    num_layers=4, block_idx_with_mot_ref=(0, 1, 2, 3))
     params = init_cogvideox_mot(jax.random.PRNGKey(0), mcfg)
     batch = _batch(mcfg, jax.random.PRNGKey(1))
     key = jax.random.PRNGKey(7)
-
     grads = {}
-    for mode in (False, "full", "ops", "block_skip:2", "block_skip:3"):
+    for mode in modes:
         cfg = TrainStepConfig(model=mcfg, remat=mode)
-        g = jax.jit(jax.grad(lambda p: cogvideox_vap_loss(p, cfg, batch, key)[0]))(params)
-        grads[mode] = g
-    base = jax.tree.leaves(grads[False])
-    for mode in ("full", "ops", "block_skip:2", "block_skip:3"):
+        grads[mode] = jax.jit(
+            jax.grad(lambda p: cogvideox_vap_loss(p, cfg, batch, key)[0]))(params)
+    return grads
+
+
+def _assert_grads_equal(grads, base_mode, modes):
+    base = jax.tree.leaves(grads[base_mode])
+    for mode in modes:
         for a, b in zip(base, jax.tree.leaves(grads[mode])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_remat_full_grad_parity():
+    """Fast half: the default 'full' per-block remat matches no-remat grads."""
+    grads = _mode_grads((False, "full"))
+    _assert_grads_equal(grads, False, ("full",))
+
+
+@pytest.mark.slow
+def test_remat_selective_modes_grad_parity():
+    """Slow half (3 more compiled grad graphs): the selective modes — ops
+    (dots_saveable) and block_skip:N — also match no-remat grads."""
+    grads = _mode_grads((False, "ops", "block_skip:2", "block_skip:3"))
+    _assert_grads_equal(grads, False, ("ops", "block_skip:2", "block_skip:3"))
 
 
 def test_remat_mode_flag_mapping():

@@ -216,7 +216,7 @@ def test_inference_cli_sp_degree2(tmp_path, monkeypatch):
             return np.zeros((1, num_frames, height, width, 3), np.float32)
 
     fake_mod = types.ModuleType("cog_vap")
-    fake_mod.build_pipeline = lambda path: FakePipe()
+    fake_mod.build_pipeline = lambda path, **kw: FakePipe()
     monkeypatch.setitem(sys.modules, "cog_vap", fake_mod)
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(

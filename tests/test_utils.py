@@ -124,3 +124,16 @@ def test_precompute_incomplete_manifest_not_reused(tmp_path):
 
     os.remove(os.path.join(pre.dir, pre.MANIFEST))
     assert not pre.is_cached()
+
+
+def test_precompute_world_size_shrink_not_reused(tmp_path):
+    """A cache produced at world_size=4 must NOT be reused at world_size=2:
+    the missing ranks' shards would be silently dropped."""
+    samples = [{"x": i} for i in range(2)]
+    cond = lambda s: {"e": np.zeros((1,), np.float32)}
+    lat = lambda s: {"l": np.zeros((1,), np.float32)}
+    for r in range(4):
+        PrecomputedPreprocessor(str(tmp_path), rank=r, world_size=4).precompute(
+            iter(samples), cond, lat)
+    assert PrecomputedPreprocessor(str(tmp_path), rank=0, world_size=4).is_cached()
+    assert not PrecomputedPreprocessor(str(tmp_path), rank=0, world_size=2).is_cached()

@@ -101,6 +101,11 @@ class PrecomputedPreprocessor:
             return False
         if not m.get("complete"):
             return False
+        if m.get("world_size") != self.world_size:
+            # a cache produced under a different world size shards the
+            # dataset differently — reusing a subset of its rank dirs would
+            # silently drop (or duplicate) samples
+            return False
         if self.signature is not None and m.get("signature") != self.signature:
             return False
         counts = self._npz_counts(rank)

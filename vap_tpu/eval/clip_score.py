@@ -309,6 +309,9 @@ def preprocess_frames(frames: np.ndarray, image_size: int = 224) -> np.ndarray:
     f = frames.astype(np.float32)
     if frames.dtype == np.uint8:
         f = f / 255.0
+    # unclamped VAE decodes overshoot [0,1] slightly; clamp like the real
+    # image processor's uint8 roundtrip would
+    f = np.clip(f, 0.0, 1.0)
     out = np.empty((len(f), image_size, image_size, 3), np.float32)
     for i, frame in enumerate(f):
         h, w = frame.shape[:2]

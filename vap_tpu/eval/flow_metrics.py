@@ -114,11 +114,18 @@ def interpolate_midpoint(e0: Array, e1: Array, f01: Array, f10: Array) -> Array:
 
 def _to_255(frames: np.ndarray) -> np.ndarray:
     """uint8 [0,255] or float [0,1] RGB frames -> float32 [0,255] (the range
-    RAFT normalizes internally) — same input contract as CLIPScorer."""
+    RAFT normalizes internally) — same input contract as CLIPScorer.
+
+    The float range check tolerates mild overshoot (threshold 2.0, not
+    1+eps): unclamped VAE decodes routinely emit values like 1.02, and
+    misreading such a [0,1] video as [0,255] would feed RAFT near-black
+    pixels and silently zero both flow metrics. A genuine [0,255] video
+    with max < 2 is black to RAFT either way. Output is clamped to the
+    valid range."""
     frames = np.asarray(frames)
-    if frames.dtype != np.uint8 and float(frames.max(initial=0.0)) <= 1.0 + 1e-6:
+    if frames.dtype != np.uint8 and float(frames.max(initial=0.0)) <= 2.0:
         frames = frames * 255.0
-    return frames.astype(np.float32)
+    return np.clip(frames.astype(np.float32), 0.0, 255.0)
 
 
 class FlowMetrics:

@@ -67,13 +67,17 @@ def _wan_vae_encode_jit(params, cfg, video):
     return normalize_latents(cfg, mean)
 
 
+# module-level so repeat decodes hit the trace cache instead of retracing a
+# fresh lambda per call
+_denormalize_jit = functools.partial(jax.jit, static_argnums=0)(denormalize_latents)
+
+
 def _wan_vae_decode_jit(params, cfg, z):
     # NOT one outer jit: streamed per-chunk decode — a single graph over all
     # 13 latent-frame chunks lets XLA keep several chunks' 480p stage
     # tensors alive at once and exceeds a 16 GB chip; streaming bounds HBM
     # to one chunk's live set
-    z = jax.jit(lambda c, z: denormalize_latents(c, z), static_argnums=0)(cfg, z)
-    return wan_vae_decode_streamed(params, cfg, z)
+    return wan_vae_decode_streamed(params, cfg, _denormalize_jit(cfg, z))
 
 
 def make_i2v_mask(batch: int, num_frames: int, lat_h: int, lat_w: int, temporal_ratio: int = 4) -> np.ndarray:
@@ -116,10 +120,9 @@ class WanVAPPipeline:
 
     def _decode_one(self, z: Array) -> Array:
         if self.enable_vae_tiling:
-            from ..models.wan.vae import denormalize_latents, wan_vae_decode_tiled
+            from ..models.wan.vae import wan_vae_decode_tiled
 
-            z = jax.jit(lambda c, z: denormalize_latents(c, z),
-                        static_argnums=0)(self.vae_cfg, z)
+            z = _denormalize_jit(self.vae_cfg, z)
             return wan_vae_decode_tiled(self.params["vae"], self.vae_cfg, z)
         return _wan_vae_decode_jit(self.params["vae"], self.vae_cfg, z)
 

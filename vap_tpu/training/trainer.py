@@ -356,10 +356,11 @@ class SFTTrainer:
             # or bucket settings is recomputed, not silently replayed
             signature = {
                 "data_root": str(args.data_root),
-                "dataset_file": str(getattr(args, "dataset_file", "") or ""),
+                "dataset_config": str(args.dataset_config or ""),
                 "video_resolution_buckets":
                     [list(b) for b in (args.video_resolution_buckets or [])],
                 "precomputation_once": bool(args.precomputation_once),
+                "precomputation_items": int(args.precomputation_items),
             }
             pre = PrecomputedPreprocessor(
                 args.precomputation_dir, rank=jax.process_index(),

@@ -41,6 +41,8 @@ def variant_weight_files(directory: str, variant: Optional[str] = None,
     non-variant `model.safetensors` is used only when no variant file
     exists (diffusers from_pretrained variant semantics)."""
     names = sorted(f for f in os.listdir(directory) if f.endswith(suffix))
+    if not names:
+        raise FileNotFoundError(f"no {suffix} weight files under {directory}")
     if variant:
         # 'model.fp16.safetensors' / sharded 'model.fp16-00001-of-00002.safetensors'
         tagged = [f for f in names if f".{variant}{suffix}" in f
@@ -49,4 +51,14 @@ def variant_weight_files(directory: str, variant: Optional[str] = None,
             return [os.path.join(directory, f) for f in tagged]
     # untagged stems ('model', 'model-00001-of-00002') contain no dot
     untagged = [f for f in names if "." not in f[: -len(suffix)]]
-    return [os.path.join(directory, f) for f in (untagged or names)]
+    if untagged:
+        return [os.path.join(directory, f) for f in untagged]
+    # variant-only directory: falling back to ALL files would merge weights
+    # of different variants (last-write-wins) — only safe when a single
+    # variant tag is present
+    tags = {f[: -len(suffix)].split(".")[1].split("-")[0] for f in names}
+    if len(tags) > 1:
+        raise FileNotFoundError(
+            f"{directory} holds only variant-tagged weights for multiple "
+            f"variants {sorted(tags)}; pass variant= to pick one")
+    return [os.path.join(directory, f) for f in names]
