@@ -21,7 +21,7 @@ vs_baseline = baseline_sec / our_sec (higher is better; >=2.0 is the north
 star on v5p).
 
 Env knobs: VAP_BENCH_BLOCKS, VAP_BENCH_STEPS (timed steps), VAP_BENCH_FRAMES,
-VAP_BENCH_HEIGHT/WIDTH, VAP_BENCH_SKIP_VAE, VAP_BENCH_ATTN (sage|flash|xla|
+VAP_BENCH_HEIGHT/WIDTH, VAP_BENCH_SKIP_VAE, VAP_BENCH_PROFILE_DIR, VAP_BENCH_ATTN (sage|flash|xla|
 null — 'null' skips attention math for roofline attribution: measured
 step_null = 2.59 s at 18 blocks, i.e. the linears+elementwise cost; the
 remaining ~4.5 s matches the 122.9 TFLOP/s sage kernel at 559 TFLOP of
@@ -261,6 +261,17 @@ def main():
         latents = denoise_step(params, latents, jnp.float32(999.0), jnp.float32(6.0), a_t[0], b_t[0], ap_t[0])
         float(jnp.mean(latents))  # materialize (axon block_until_ready lies)
         compile_s = time.perf_counter() - t0
+
+        profile_dir = os.environ.get("VAP_BENCH_PROFILE_DIR")
+        if profile_dir:
+            # steady-state trace for tail attribution (docs/ROOFLINE.md
+            # "non-attention floor") — profiled steps are NOT the timed steps
+            jax.profiler.start_trace(profile_dir)
+            for i in range(2):
+                latents = denoise_step(params, latents, jnp.float32(950 - i), jnp.float32(6.0),
+                                       a_t[i % total_steps], b_t[i % total_steps], ap_t[i % total_steps])
+            float(jnp.mean(latents))
+            jax.profiler.stop_trace()
 
         t0 = time.perf_counter()
         for i in range(n_steps):
