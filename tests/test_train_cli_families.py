@@ -144,3 +144,64 @@ def test_cli_hunyuan_video(tmp_path, monkeypatch):
                                            max_position_embeddings=77))
     _run(tmp_path, monkeypatch, "hunyuan_video", structure,
          _video_dataset(str(tmp_path / "data")))
+
+
+def test_cli_cogvideox_plain_t2v(tmp_path, monkeypatch):
+    """Plain (no-MoT) cogvideox finetune on a generic video folder — the
+    crush_smol-style recipe path (training.sh passes a structure json with
+    block_idx_with_mot_ref=[]). T2V: in_channels == VAE latent channels."""
+    from vap_tpu.models.cogvideox import CogVideoXMOTConfig
+    from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig
+    from vap_tpu.models.text_encoders import T5Config
+
+    vae = CogVideoXVAEConfig.tiny()
+    t = CogVideoXMOTConfig.tiny(in_channels=vae.latent_channels,
+                                out_channels=vae.latent_channels,
+                                block_idx_with_mot_ref=())
+    structure = _structure_json(
+        tmp_path, transformer=t, vae=vae,
+        text_encoder=T5Config.tiny(d_model=t.text_embed_dim))
+    _run(tmp_path, monkeypatch, "cogvideox", structure,
+         _video_dataset(str(tmp_path / "data")))
+
+
+def test_cli_wan_plain_t2v_lora(tmp_path, monkeypatch):
+    """Plain Wan T2V LoRA on a generic video folder (wan_t2v recipe path):
+    no MoT blocks, no image cross-attention, LoRA over the base trunk. The
+    wan branch refuses random-init VAEs, so a real tiny VAE checkpoint is
+    shipped in the model dir."""
+    import sys
+
+    import torch
+    from safetensors.numpy import save_file
+
+    from vap_tpu.models.text_encoders import T5Config
+    from vap_tpu.models.wan import WanMOTConfig
+    from vap_tpu.models.wan.vae import WanVAEConfig
+
+    vae = WanVAEConfig.tiny()
+    t = WanMOTConfig.tiny(in_channels=vae.z_dim, out_channels=vae.z_dim,
+                          block_idx_with_mot_ref=(),
+                          image_dim=None, added_kv_proj_dim=None)
+    structure = _structure_json(
+        tmp_path, transformer=t, vae=vae,
+        text_encoder=T5Config.tiny(d_model=t.text_dim))
+
+    sys.path.insert(0, "/root/reference/diffusers/src")
+    from diffusers.models.autoencoders.autoencoder_kl_wan import AutoencoderKLWan
+
+    torch.manual_seed(0)
+    m = AutoencoderKLWan(base_dim=vae.base_dim, z_dim=vae.z_dim,
+                         dim_mult=list(vae.dim_mult),
+                         num_res_blocks=vae.num_res_blocks,
+                         latents_mean=list(vae.latents_mean),
+                         latents_std=list(vae.latents_std))
+    vae_dir = tmp_path / "model" / "vae"
+    os.makedirs(vae_dir)
+    save_file({k: v.numpy() for k, v in m.state_dict().items()},
+              str(vae_dir / "diffusion_pytorch_model.safetensors"))
+
+    _run(tmp_path, monkeypatch, "wan", structure,
+         _video_dataset(str(tmp_path / "data")),
+         extra=("--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
+                "--pretrained_model_name_or_path", str(tmp_path / "model")))

@@ -148,8 +148,11 @@ def _build_cogvideox(args, sec, dtype):
         structure_kw["ablation_single_encoder"] = True
     if args.ablation_residual_addition:
         structure_kw["ablation_residual_addition"] = True
-    t_cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(
-        reference_train_mode=args.reference_train_mode, **structure_kw)
+    # the CLI flag wins unless the structure json carries an explicit mode
+    # (a full-asdict json serializes the field as null)
+    if structure_kw.get("reference_train_mode") is None:
+        structure_kw["reference_train_mode"] = args.reference_train_mode
+    t_cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(**structure_kw)
     vae_cfg = CogVideoXVAEConfig(
         **_cfg_kwargs(CogVideoXVAEConfig, _component_config(base, "vae"), sec["vae"]))
     # HF T5 config field names (d_model/d_kv/d_ff/num_layers/num_heads/...)

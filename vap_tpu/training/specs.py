@@ -80,8 +80,9 @@ class CogVideoXSpec:
             return np.asarray(self._t5(self.params["text_encoder"], jnp.asarray(toks["input_ids"])))
 
         cond = {"encoder_hidden_states": encode(sample["caption"])}
-        ref_embeds = [encode(c) for c in sample["caption_mot_ref"]]
-        cond["encoder_hidden_states_mot_ref"] = np.concatenate(ref_embeds, axis=1)
+        if sample.get("caption_mot_ref"):
+            ref_embeds = [encode(c) for c in sample["caption_mot_ref"]]
+            cond["encoder_hidden_states_mot_ref"] = np.concatenate(ref_embeds, axis=1)
         if self.transformer_cfg.supported_effect_types and sample.get("effect_types"):
             type_to_id = {t: i for i, t in enumerate(self.transformer_cfg.supported_effect_types)}
             cond["effect_ids"] = np.asarray([type_to_id[t] for t in sample["effect_types"]])
@@ -98,21 +99,26 @@ class CogVideoXSpec:
         video = sample["video"]
         latents = enc(video)
         f_lat = latents.shape[1]
-        image_latent = enc(video[:1])
-        pad = np.zeros((1, f_lat - 1) + image_latent.shape[2:], np.float32)
-        image_latents = np.concatenate([image_latent, pad], axis=1)
+        # plain T2V finetune (in_channels == latent channels) carries no
+        # first-frame conditioning; I2V concatenates it channel-wise
+        i2v = self.transformer_cfg.in_channels > latents.shape[2]
+        out = {"latents": latents}
+        if i2v:
+            image_latent = enc(video[:1])
+            pad = np.zeros((1, f_lat - 1) + image_latent.shape[2:], np.float32)
+            out["image_latents"] = np.concatenate([image_latent, pad], axis=1)
+        if not sample.get("ref_videos"):
+            return out  # generic (non-VAP) sample -> plain-trunk loss path
 
         ref_lat, ref_img_lat = [], []
         for rv in sample["ref_videos"]:
             ref_lat.append(enc(rv))
             fi = enc(rv[:1])
+            pad = np.zeros((1, f_lat - 1) + fi.shape[2:], np.float32)
             ref_img_lat.append(np.concatenate([fi, pad], axis=1))
-        return {
-            "latents": latents,
-            "image_latents": image_latents,
-            "latents_mot_ref": np.concatenate(ref_lat, axis=1),
-            "image_latents_mot_ref": np.concatenate(ref_img_lat, axis=1),
-        }
+        out["latents_mot_ref"] = np.concatenate(ref_lat, axis=1)
+        out["image_latents_mot_ref"] = np.concatenate(ref_img_lat, axis=1)
+        return out
 
     def loss_fn(self, cfg: TrainStepConfig):
         return cogvideox_vap_loss
@@ -470,8 +476,9 @@ class WanSpec:
                                        jnp.asarray(toks["attention_mask"])))
 
         cond = {"encoder_hidden_states": encode(sample["caption"])}
-        cond["encoder_hidden_states_mot_ref"] = np.concatenate(
-            [encode(c) for c in sample["caption_mot_ref"]], axis=1)
+        if sample.get("caption_mot_ref"):
+            cond["encoder_hidden_states_mot_ref"] = np.concatenate(
+                [encode(c) for c in sample["caption_mot_ref"]], axis=1)
         if self.clip_cfg is not None and "image_encoder" in self.params:
             from ..models.text_encoders.clip_vision import clip_vision_encode
             from ..pipelines.wan_i2v_mot import WanVAPPipeline
@@ -482,9 +489,10 @@ class WanSpec:
             pipe_like.dtype = self.dtype
             cond["encoder_hidden_states_image"] = np.asarray(
                 pipe_like.encode_image(sample["video"][0]).astype(jnp.float32))
-            cond["encoder_hidden_states_image_mot_ref"] = np.concatenate(
-                [np.asarray(pipe_like.encode_image(rv[0]).astype(jnp.float32))
-                 for rv in sample["ref_videos"]], axis=1)
+            if sample.get("ref_videos"):
+                cond["encoder_hidden_states_image_mot_ref"] = np.concatenate(
+                    [np.asarray(pipe_like.encode_image(rv[0]).astype(jnp.float32))
+                     for rv in sample["ref_videos"]], axis=1)
         return cond
 
     def prepare_latents(self, sample: Dict[str, Any]) -> Dict[str, Any]:
@@ -498,12 +506,22 @@ class WanSpec:
         num_frames, h, w = video.shape[:3]
         latents = enc(video)
         f_lat, lh, lw = latents.shape[1:4]
-        mask = make_i2v_mask(1, num_frames, lh, lw)
-
-        # conditioning latent: first frame + zero padding, VAE-encoded
-        vc = np.concatenate([video[:1], np.zeros((num_frames - 1, h, w, 3), np.float32)], axis=0)
-        cond_latent = enc(vc)
-        condition = np.concatenate([mask.astype(np.float32), cond_latent], axis=-1)
+        out = {"latents": latents}
+        # plain T2V finetune (in_channels == latent channels) carries no
+        # mask+first-frame conditioning channels
+        i2v = self.transformer_cfg.in_channels > latents.shape[-1]
+        if i2v:
+            mask = make_i2v_mask(1, num_frames, lh, lw)
+            # conditioning latent: first frame + zero padding, VAE-encoded
+            vc = np.concatenate([video[:1], np.zeros((num_frames - 1, h, w, 3), np.float32)], axis=0)
+            cond_latent = enc(vc)
+            out["condition"] = np.concatenate([mask.astype(np.float32), cond_latent], axis=-1)
+        if not sample.get("ref_videos"):
+            return out  # generic (non-VAP) sample -> plain-trunk loss path
+        if not i2v:
+            raise ValueError(
+                "VAP (MoT) samples need the I2V conditioning channels; the "
+                f"transformer config has in_channels={self.transformer_cfg.in_channels}")
 
         ref_lat, ref_cond = [], []
         for rv in sample["ref_videos"]:
@@ -511,12 +529,9 @@ class WanSpec:
             rvc = np.concatenate([rv[:1], np.zeros((num_frames - 1, h, w, 3), np.float32)], axis=0)
             cl = enc(rvc)
             ref_cond.append(np.concatenate([mask.astype(np.float32), cl], axis=-1))
-        return {
-            "latents": latents,
-            "condition": condition,
-            "latents_mot_ref": np.concatenate(ref_lat, axis=1),
-            "condition_mot_ref": np.concatenate(ref_cond, axis=1),
-        }
+        out["latents_mot_ref"] = np.concatenate(ref_lat, axis=1)
+        out["condition_mot_ref"] = np.concatenate(ref_cond, axis=1)
+        return out
 
 
 def _wan_validation(spec: "WanSpec", merged_params, sample, **gen_kwargs):

@@ -169,8 +169,6 @@ def cogvideox_vap_loss(
     mcfg = cfg.model
     latents = batch["latents"].astype(jnp.float32)
     b, f_lat, c, lat_h, lat_w = latents.shape
-    latents_ref = batch["latents_mot_ref"].astype(jnp.float32)
-    num_mot_ref = latents_ref.shape[1] // f_lat
 
     alphas_cumprod = jnp.asarray(make_alphas_cumprod(rescale_betas_zero_snr=True))
 
@@ -178,6 +176,37 @@ def cogvideox_vap_loss(
     timesteps = jax.random.randint(k_t, (b,), 0, cfg.num_train_timesteps)
     noise = jax.random.normal(k_n, latents.shape, jnp.float32)
     noisy_latents = add_noise(alphas_cumprod, latents, noise, timesteps)
+
+    if "latents_mot_ref" not in batch:
+        # plain (non-VAP) finetune on a generic dataset — the reference's
+        # crush_smol-style sft/lora recipes train the base CogVideoX trunk
+        # (T2V, or I2V when the batch carries first-frame image_latents).
+        # Reference: finetrainers/models/cogvideox/base_specification.py
+        # forward (no MoT), examples/training/sft/cogvideox/crush_smol_lora.
+        hidden = noisy_latents
+        if "image_latents" in batch:
+            hidden = jnp.concatenate(
+                [noisy_latents, batch["image_latents"].astype(jnp.float32)], axis=2)
+        rope, _ = _rope_tables(mcfg, lat_h, lat_w, f_lat, 1, cfg.ref_type)
+        dtype = _compute_dtype(params)
+        velocity, _ = cogvideox_mot_forward(
+            params, mcfg,
+            hidden_states=hidden.astype(dtype),
+            encoder_hidden_states=batch["encoder_hidden_states"],
+            timestep=timesteps.astype(jnp.float32),
+            image_rotary_emb=rope,
+            hidden_states_mot_ref=None, encoder_hidden_states_mot_ref=None,
+            image_rotary_emb_mot_ref=None, num_mot_ref=0,
+            remat=cfg.remat, single_branch=True,
+        )
+        pred = get_velocity(alphas_cumprod, velocity.astype(jnp.float32),
+                            noisy_latents, timesteps)
+        weights = (1.0 / (1.0 - alphas_cumprod[timesteps])).reshape(b, 1, 1, 1, 1)
+        loss = jnp.mean(weights * jnp.square(pred - latents))
+        return loss, {"loss": loss, "loss_main": loss}
+
+    latents_ref = batch["latents_mot_ref"].astype(jnp.float32)
+    num_mot_ref = latents_ref.shape[1] // f_lat
 
     hidden = jnp.concatenate([noisy_latents, batch["image_latents"].astype(jnp.float32)], axis=2)
 
@@ -508,13 +537,11 @@ def wan_vap_loss(
       latents [.,16], condition [.,20] (mask+cond), latents_mot_ref [B,R*F,..16],
       condition_mot_ref [B,R*F,..20], encoder_hidden_states [B,512,Dt],
       encoder_hidden_states_mot_ref [B,R*512,Dt], image embeds analogs."""
-    from ..models.wan.transformer_mot import wan_mot_forward
+    from ..models.wan.transformer_mot import wan_forward, wan_mot_forward
 
     latents = batch["latents"].astype(jnp.float32)
     b = latents.shape[0]
     f_lat = latents.shape[1]
-    latents_ref = batch["latents_mot_ref"].astype(jnp.float32)
-    num_mot_ref = latents_ref.shape[1] // f_lat
 
     k_t, k_n = jax.random.split(key)
     # density-weighted sigma sampling over the FlowMatchEuler train grid
@@ -533,11 +560,33 @@ def wan_vap_loss(
     target = noise - latents                        # flow target
     loss_w = flow_loss_weights(sigmas, cfg.flow_weighting_scheme).reshape(b, 1, 1, 1, 1)
 
+    dtype = _compute_dtype(params)
+    if "latents_mot_ref" not in batch:
+        # plain (non-VAP) finetune on a generic dataset — the reference's
+        # wan crush_smol/3dgs recipes train the base WanTransformer3DModel;
+        # T2V has no conditioning channels, I2V concatenates mask+cond
+        # (finetrainers/models/wan/base_specification.py forward, no MoT)
+        hidden = noisy
+        if "condition" in batch:
+            hidden = jnp.concatenate(
+                [noisy, batch["condition"].astype(jnp.float32)], axis=-1)
+        velocity = wan_forward(
+            params, cfg.model,
+            hidden_states=hidden.astype(dtype),
+            timestep=timesteps,
+            encoder_hidden_states=batch["encoder_hidden_states"],
+            encoder_hidden_states_image=batch.get("encoder_hidden_states_image"),
+            remat=cfg.remat,
+        )
+        loss = jnp.mean(loss_w * jnp.square(velocity.astype(jnp.float32) - target))
+        return loss, {"loss": loss, "loss_main": loss}
+
+    latents_ref = batch["latents_mot_ref"].astype(jnp.float32)
+    num_mot_ref = latents_ref.shape[1] // f_lat
+
     hidden = jnp.concatenate([noisy, batch["condition"].astype(jnp.float32)], axis=-1)
     hidden_ref = jnp.concatenate(
         [latents_ref, batch["condition_mot_ref"].astype(jnp.float32)], axis=-1)
-
-    dtype = _compute_dtype(params)
     t_ref = jnp.ones((b, num_mot_ref), jnp.float32)  # fixed near-zero timestep
     velocity, _ = wan_mot_forward(
         params, cfg.model,

@@ -264,9 +264,13 @@ class SFTTrainer:
                 args.dataset_config, args, family=self.family,
                 shard_index=shard_index, num_shards=num_shards)
             return PrefetchingDataLoader(dataset, prefetch=4)
-        if self.family not in ("cogvideox", "wan"):
-            # generic families: auto-detected local layout (reference
-            # initialize_dataset, data/dataset.py:1542-1610)
+        vap_shaped = self.family in ("cogvideox", "wan") and (
+            self.dpo or self.args.training_type in ("video_as_prompt_mot", "dpo"))
+        if not vap_shaped:
+            # generic families AND plain (crush_smol-style) sft/lora finetunes
+            # of cogvideox/wan: auto-detected local layout (reference
+            # initialize_dataset, data/dataset.py:1542-1610; same rule as
+            # data/config.py build_dataset_from_entry)
             from ..data.generic import DatasetPreprocessingWrapper, initialize_dataset
 
             dataset_type = "image" if self.family in ("cogview4", "flux") else "video"
