@@ -4,8 +4,8 @@
 # 1000 steps, LoRA rank 16/alpha 16, lr 1e-4 constant+100 warmup,
 # adamw b=(0.9,0.99) wd=1e-4, logit-normal flow weighting).
 # Plain-trunk finetune (config_plain.json: no MoT blocks); sample
-# checkpoints post-training with the infer scripts — in-trainer
-# validation sampling for this family is VAP(ref)-shaped.)
+# validation samples run the plain trunk (prompt-driven generic
+# validation JSON; T2V rows need no image).)
 set -euo pipefail
 cd "$(dirname "$0")/../../../../.."
 
@@ -29,5 +29,7 @@ python train.py \
   --beta1 0.9 --beta2 0.99 --weight_decay 1e-4 \
   --gradient_checkpointing --mask_caption_ratio 0.0 \
   --checkpointing_steps 500 --checkpointing_limit 2 \
+  --validation_dataset_file examples/training/sft/wan/3dgs_dissolve/validation.json \
+  --validation_steps 500 \
   --output_dir "$OUTPUT_DIR" \
   --resume_from_checkpoint latest

@@ -148,3 +148,56 @@ def test_single_branch_modes(tiny_pipeline, monkeypatch, mode):
         )
     assert video.shape == (1, F, H, W, 3)
     assert np.isfinite(video).all()
+
+
+def test_plain_i2v_sampling_matches_baseline_single_condition(tiny_pipeline, monkeypatch):
+    """Sampling a plain (crush_smol-style) finetune: calling the pipeline with
+    NO reference videos runs the single trunk — and must equal the
+    baseline_single_condition path (which provably ignores its refs)."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    pipe = tiny_pipeline
+    pipe.scheduler = CogVideoXDDIMScheduler()
+    H = W = 32
+    F = 9
+    image = np.random.default_rng(2).uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    ref_video = np.random.default_rng(3).uniform(-1, 1, (F, H, W, 3)).astype(np.float32)
+    kwargs = dict(prompt="a cat", height=H, width=W, num_frames=F,
+                  num_inference_steps=2, guidance_scale=6.0, seed=5,
+                  max_sequence_length=pipe.transformer_cfg.max_text_seq_length,
+                  output_type="latent")
+    with jax.default_device(jax.devices("cpu")[0]):
+        plain = np.asarray(pipe(image=image, **kwargs))
+        baseline = np.asarray(pipe(
+            image=image, ref_videos=[ref_video], prompt_mot_ref=["fx"],
+            baseline_single_condition=True, **kwargs))
+    np.testing.assert_allclose(plain, baseline, atol=1e-5)
+
+
+def test_plain_t2v_sampling(monkeypatch):
+    """T2V plain sampling (image=None, in_channels == latent channels): the
+    full no-conditioning path decodes a finite video."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=vae_cfg.latent_channels,
+                                    out_channels=vae_cfg.latent_channels,
+                                    block_idx_with_mot_ref=())
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(11)
+    pipe = CogVideoXVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
+        params={
+            "transformer": init_cogvideox_mot(key, t_cfg),
+            "vae": _init_vae_params(key, vae_cfg),
+            "text_encoder": init_t5_encoder(key, txt_cfg),
+        },
+        tokenizer=FakeTokenizer(), scheduler=CogVideoXDDIMScheduler(),
+        dtype=jnp.float32,
+    )
+    H = W = 32
+    F = 9
+    with jax.default_device(jax.devices("cpu")[0]):
+        video = pipe(image=None, prompt="a cat", height=H, width=W,
+                     num_frames=F, num_inference_steps=1, guidance_scale=6.0,
+                     max_sequence_length=t_cfg.max_text_seq_length)
+    assert video.shape == (1, F, H, W, 3)
+    assert np.isfinite(video).all()

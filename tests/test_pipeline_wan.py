@@ -87,3 +87,67 @@ def test_wan_end_to_end(monkeypatch, scheduler):
         )
     assert video.shape == (1, F, H, W, 3)
     assert np.isfinite(video).all()
+
+
+def test_wan_plain_t2v_sampling(monkeypatch):
+    """Sampling a plain Wan T2V finetune (crush_smol/wan_t2v recipe path):
+    no reference stream, no image/conditioning channels — the pipeline
+    routes to wan_forward and decodes a finite video."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    vae_cfg = WanVAEConfig.tiny()
+    t_cfg = WanMOTConfig.tiny(
+        in_channels=vae_cfg.z_dim, out_channels=vae_cfg.z_dim, text_len=16,
+        block_idx_with_mot_ref=(), image_dim=None, added_kv_proj_dim=None)
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_dim, per_layer_relative_bias=True)
+    key = jax.random.PRNGKey(0)
+    pipe = WanVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg, clip_cfg=None,
+        params={
+            "transformer": init_wan_mot(key, t_cfg),
+            "vae": _wan_vae_params(vae_cfg),
+            "text_encoder": init_t5_encoder(jax.random.fold_in(key, 1), txt_cfg),
+        },
+        tokenizer=FakeTokenizer(), scheduler=FlowMatchEulerScheduler(shift=3.0),
+        dtype=jnp.float32,
+    )
+    H = W = 32
+    F = 9
+    with jax.default_device(jax.devices("cpu")[0]):
+        video = pipe(image=None, prompt="a dog", height=H, width=W,
+                     num_frames=F, num_inference_steps=2, guidance_scale=5.0,
+                     max_sequence_length=t_cfg.text_len)
+    assert video.shape == (1, F, H, W, 3)
+    assert np.isfinite(video).all()
+
+
+def test_wan_plain_i2v_sampling(monkeypatch):
+    """Plain I2V finetune sampling: image + mask/cond channels, single trunk
+    (no refs). Uses the same tiny i2v config as the e2e test."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    vae_cfg = WanVAEConfig.tiny()
+    t_cfg = WanMOTConfig.tiny(
+        in_channels=vae_cfg.z_dim + 4 + vae_cfg.z_dim,
+        out_channels=vae_cfg.z_dim, text_len=16, block_idx_with_mot_ref=())
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_dim, per_layer_relative_bias=True)
+    clip_cfg = CLIPVisionConfig.tiny(hidden_size=t_cfg.image_dim)
+    key = jax.random.PRNGKey(0)
+    pipe = WanVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg, clip_cfg=clip_cfg,
+        params={
+            "transformer": init_wan_mot(key, t_cfg),
+            "vae": _wan_vae_params(vae_cfg),
+            "text_encoder": init_t5_encoder(jax.random.fold_in(key, 1), txt_cfg),
+            "image_encoder": init_clip_vision(jax.random.fold_in(key, 2), clip_cfg),
+        },
+        tokenizer=FakeTokenizer(), scheduler=FlowMatchEulerScheduler(shift=3.0),
+        dtype=jnp.float32,
+    )
+    H = W = 32
+    F = 9
+    image = np.random.default_rng(0).uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        video = pipe(image=image, prompt="a dog", height=H, width=W,
+                     num_frames=F, num_inference_steps=1, guidance_scale=5.0,
+                     max_sequence_length=t_cfg.text_len)
+    assert video.shape == (1, F, H, W, 3)
+    assert np.isfinite(video).all()

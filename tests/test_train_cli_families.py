@@ -161,8 +161,17 @@ def test_cli_cogvideox_plain_t2v(tmp_path, monkeypatch):
     structure = _structure_json(
         tmp_path, transformer=t, vae=vae,
         text_encoder=T5Config.tiny(d_model=t.text_embed_dim))
+    # prompt-driven generic validation runs the PLAIN pipeline path mid-train
+    val = tmp_path / "validation.json"
+    val.write_text(json.dumps({"num_samples": 1, "data": [
+        {"caption": "a toy car", "height": 32, "width": 32,
+         "num_frames": 9, "num_inference_steps": 1}]}))
     _run(tmp_path, monkeypatch, "cogvideox", structure,
-         _video_dataset(str(tmp_path / "data")))
+         _video_dataset(str(tmp_path / "data")),
+         extra=("--validation_dataset_file", str(val),
+                "--validation_steps", "2"))
+    out_root = tmp_path / "out" / "validation"
+    assert any(out_root.rglob("*.mp4")), "no validation sample written"
 
 
 def test_cli_wan_plain_t2v_lora(tmp_path, monkeypatch):

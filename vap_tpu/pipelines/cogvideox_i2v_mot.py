@@ -167,9 +167,9 @@ class CogVideoXVAPPipeline:
     def _build_denoise_fn(self, num_inference_steps: int, num_mot_ref: int, use_dpm: bool,
                           height: int, width: int, num_latent_frames: int, ref_type: str,
                           single_branch: bool = False, concat_refs: bool = False,
-                          step_cached: bool = False):
+                          step_cached: bool = False, t2v: bool = False):
         key = (num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames,
-               ref_type, single_branch, concat_refs, step_cached)
+               ref_type, single_branch, concat_refs, step_cached, t2v)
         cache = self.__dict__.setdefault("_denoise_cache", {})
         if key in cache:
             return cache[key]
@@ -209,7 +209,8 @@ class CogVideoXVAPPipeline:
             def raw_pred(latents, t):
                 """One CFG-batch transformer forward -> fp32 [mult*B, F, C, H, W]."""
                 latent_in = jnp.concatenate([latents.astype(self.dtype)] * mult, axis=0)
-                latent_in = jnp.concatenate([latent_in, image_in], axis=2)
+                if not t2v:
+                    latent_in = jnp.concatenate([latent_in, image_in], axis=2)
 
                 if single_branch:
                     # ablation: one trunk over [target ‖ refs] with concat RoPE
@@ -331,26 +332,34 @@ class CogVideoXVAPPipeline:
     ):
         key = jax.random.PRNGKey(seed)
         do_cfg = guidance_scale > 1.0
-        single_branch = ablation_single_branch or baseline_single_condition
-        concat_refs = ablation_single_branch and not baseline_single_condition
+        # plain mode (no reference videos): sample a crush_smol-style
+        # generic finetune — single trunk, no MoT stream; with image=None the
+        # model is T2V (in_channels == latent channels, no image-latent concat)
+        plain = not ref_videos and prompt_embeds_mot_ref is None
+        t2v = plain and image is None
+        single_branch = ablation_single_branch or baseline_single_condition or plain
+        concat_refs = ablation_single_branch and not baseline_single_condition and not plain
 
         # 1. prompts
         if prompt_embeds is None:
             prompt_embeds, negative_prompt_embeds = self.encode_prompt(prompt, negative_prompt, max_sequence_length)
         embeds = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0) if do_cfg else prompt_embeds
 
-        if prompt_embeds_mot_ref is None:
-            pe_list, ne_list = [], []
-            for p in prompt_mot_ref:
-                pe, ne = self.encode_prompt(p, negative_prompt_mot_ref, max_sequence_length)
-                pe_list.append(pe)
-                ne_list.append(ne)
-            prompt_embeds_mot_ref = jnp.concatenate(pe_list, axis=1)
-            negative_prompt_embeds_mot_ref = jnp.concatenate(ne_list, axis=1)
-        embeds_ref = (
-            jnp.concatenate([negative_prompt_embeds_mot_ref, prompt_embeds_mot_ref], axis=0)
-            if do_cfg else prompt_embeds_mot_ref
-        )
+        if plain:
+            embeds_ref = jnp.zeros_like(embeds[:, :1])  # unused (DCE'd) dummy
+        else:
+            if prompt_embeds_mot_ref is None:
+                pe_list, ne_list = [], []
+                for p in prompt_mot_ref:
+                    pe, ne = self.encode_prompt(p, negative_prompt_mot_ref, max_sequence_length)
+                    pe_list.append(pe)
+                    ne_list.append(ne)
+                prompt_embeds_mot_ref = jnp.concatenate(pe_list, axis=1)
+                negative_prompt_embeds_mot_ref = jnp.concatenate(ne_list, axis=1)
+            embeds_ref = (
+                jnp.concatenate([negative_prompt_embeds_mot_ref, prompt_embeds_mot_ref], axis=0)
+                if do_cfg else prompt_embeds_mot_ref
+            )
 
         # 2. latents
         num_latent_frames = (num_frames - 1) // self.vae_scale_factor_temporal + 1
@@ -364,15 +373,20 @@ class CogVideoXVAPPipeline:
             num_latent_frames += additional_frames
         lat_h = height // self.vae_scale_factor_spatial
         lat_w = width // self.vae_scale_factor_spatial
-        latent_channels = self.transformer_cfg.in_channels // 2
+        latent_channels = (self.transformer_cfg.in_channels if t2v
+                           else self.transformer_cfg.in_channels // 2)
 
-        img = jnp.asarray(image, jnp.float32)[None, None]  # [1, 1, H, W, 3]
-        image_latents = self._vae_encode_mode(img, image_cond=True)  # [1, 1, h, w, Cz]
-        pad = jnp.zeros((1, num_latent_frames - 1, lat_h, lat_w, latent_channels), image_latents.dtype)
-        image_latents = jnp.concatenate([image_latents, pad], axis=1)
+        if t2v:
+            image_latents = jnp.zeros(
+                (1, num_latent_frames, lat_h, lat_w, latent_channels), jnp.float32)
+        else:
+            img = jnp.asarray(image, jnp.float32)[None, None]  # [1, 1, H, W, 3]
+            image_latents = self._vae_encode_mode(img, image_cond=True)  # [1, 1, h, w, Cz]
+            pad = jnp.zeros((1, num_latent_frames - 1, lat_h, lat_w, latent_channels), image_latents.dtype)
+            image_latents = jnp.concatenate([image_latents, pad], axis=1)
 
         ref_lat_list, ref_img_lat_list = [], []
-        for rv in ref_videos:
+        for rv in (ref_videos or []):
             rv_j = jnp.asarray(rv, jnp.float32)[None]  # [1, F, H, W, 3]
             rl = self._vae_encode_mode(rv_j)
             if pt is not None:
@@ -393,9 +407,15 @@ class CogVideoXVAPPipeline:
             fl = jnp.concatenate(
                 [fl, jnp.zeros((1, num_latent_frames - 1, lat_h, lat_w, latent_channels), fl.dtype)], axis=1)
             ref_img_lat_list.append(fl)
-        ref_latents = jnp.concatenate(ref_lat_list, axis=1)
-        ref_image_latents = jnp.concatenate(ref_img_lat_list, axis=1)
-        num_mot_ref = ref_latents.shape[1] // num_latent_frames
+        if plain:
+            # unused (DCE'd) dummies with consistent shapes
+            ref_latents = jnp.zeros_like(image_latents)
+            ref_image_latents = jnp.zeros_like(image_latents)
+            num_mot_ref = 1
+        else:
+            ref_latents = jnp.concatenate(ref_lat_list, axis=1)
+            ref_image_latents = jnp.concatenate(ref_img_lat_list, axis=1)
+            num_mot_ref = ref_latents.shape[1] // num_latent_frames
 
         key, nkey = jax.random.split(key)
         if latents is None:
@@ -426,7 +446,7 @@ class CogVideoXVAPPipeline:
         denoise = self._build_denoise_fn(
             num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type,
             single_branch=single_branch, concat_refs=concat_refs,
-            step_cached=compute_mask is not None)
+            step_cached=compute_mask is not None, t2v=t2v)
         key, dkey = jax.random.split(key)
         latents = denoise(
             self.params["transformer"], latents, image_latents_m, ref_latents_m, ref_image_latents_m,

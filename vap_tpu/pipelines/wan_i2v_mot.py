@@ -27,7 +27,7 @@ import numpy as np
 from ..models.text_encoders.clip_vision import CLIPVisionConfig, clip_vision_encode
 from ..models.text_encoders.t5 import T5Config, t5_encode
 from ..models.wan.config import WanMOTConfig
-from ..models.wan.transformer_mot import wan_mot_forward
+from ..models.wan.transformer_mot import wan_forward, wan_mot_forward
 from ..models.wan.vae import (
     WanVAEConfig,
     normalize_latents,
@@ -150,8 +150,9 @@ class WanVAPPipeline:
         return jnp.asarray((img - mean) / std)[None]
 
     def _build_denoise_fn(self, use_unipc: bool, num_mot_ref: int,
-                          step_cached: bool = False):
-        key = (use_unipc, num_mot_ref, step_cached)
+                          step_cached: bool = False, plain: bool = False,
+                          t2v: bool = False):
+        key = (use_unipc, num_mot_ref, step_cached, plain, t2v)
         cache = self.__dict__.setdefault("_denoise_cache", {})
         if key in cache:
             return cache[key]
@@ -165,29 +166,43 @@ class WanVAPPipeline:
             """latents: [B, F, h, w, 16] fp32; condition [B, F, h, w, 20];
             ref_input [B, R*F, h, w, 36]; embeds [2B or B, 512, Dt]. When
             built with step_cached=True, one extra positional arg: bool[T]
-            compute mask (pipelines/step_cache.py)."""
+            compute mask (pipelines/step_cache.py). plain=True runs the base
+            trunk (wan_forward, no MoT stream — sampling a crush_smol-style
+            generic finetune); t2v additionally drops the conditioning concat."""
             bsz = latents.shape[0]
             mult = 2 if do_cfg else 1
-            cond_in = jnp.concatenate([condition.astype(self.dtype)] * mult, axis=0)
-            ref_in = jnp.concatenate([ref_input.astype(self.dtype)] * mult, axis=0)
-            t_ref = jnp.ones((mult * bsz, num_mot_ref), jnp.float32)
+            if not t2v:
+                cond_in = jnp.concatenate([condition.astype(self.dtype)] * mult, axis=0)
+            if not plain:
+                ref_in = jnp.concatenate([ref_input.astype(self.dtype)] * mult, axis=0)
+                t_ref = jnp.ones((mult * bsz, num_mot_ref), jnp.float32)
 
             def raw_pred(latents, t):
                 """One CFG-batch transformer forward -> fp32 [mult*B, ...]."""
                 x_in = jnp.concatenate([latents.astype(self.dtype)] * mult, axis=0)
-                x_in = jnp.concatenate([x_in, cond_in], axis=-1)
-                pred, _ = wan_mot_forward(
-                    params_t, cfg,
-                    hidden_states=x_in,
-                    timestep=jnp.broadcast_to(t, (mult * bsz,)),
-                    encoder_hidden_states=embeds,
-                    encoder_hidden_states_image=img_embeds,
-                    hidden_states_mot_ref=ref_in,
-                    timestep_mot_ref=t_ref,
-                    encoder_hidden_states_mot_ref=embeds_ref,
-                    encoder_hidden_states_image_mot_ref=img_embeds_ref,
-                    num_mot_ref=num_mot_ref,
-                )
+                if not t2v:
+                    x_in = jnp.concatenate([x_in, cond_in], axis=-1)
+                if plain:
+                    pred = wan_forward(
+                        params_t, cfg,
+                        hidden_states=x_in,
+                        timestep=jnp.broadcast_to(t, (mult * bsz,)),
+                        encoder_hidden_states=embeds,
+                        encoder_hidden_states_image=img_embeds,
+                    )
+                else:
+                    pred, _ = wan_mot_forward(
+                        params_t, cfg,
+                        hidden_states=x_in,
+                        timestep=jnp.broadcast_to(t, (mult * bsz,)),
+                        encoder_hidden_states=embeds,
+                        encoder_hidden_states_image=img_embeds,
+                        hidden_states_mot_ref=ref_in,
+                        timestep_mot_ref=t_ref,
+                        encoder_hidden_states_mot_ref=embeds_ref,
+                        encoder_hidden_states_image_mot_ref=img_embeds_ref,
+                        num_mot_ref=num_mot_ref,
+                    )
                 return pred.astype(jnp.float32)
 
             def advance(pred, latents, m_prev, m_prev2, last_sample, per):
@@ -261,22 +276,37 @@ class WanVAPPipeline:
     ):
         key = jax.random.PRNGKey(seed)
         do_cfg = guidance_scale > 1.0
-        r = len(ref_videos)
         tcfg = self.transformer_cfg
+        # plain mode (no reference videos): sample a crush_smol-style generic
+        # finetune on the base trunk; T2V checkpoints (in_channels == z_dim)
+        # additionally take no image/conditioning channels
+        plain = not ref_videos
+        t2v = plain and tcfg.in_channels == self.vae_cfg.z_dim
+        mult = 2 if do_cfg else 1
 
         # 1. prompts (UMT5) + CLIP image embeds
         pe = self.encode_prompt(prompt, max_sequence_length)
         ne = self.encode_prompt(negative_prompt, max_sequence_length)
-        pe_ref = jnp.concatenate([self.encode_prompt(p, max_sequence_length) for p in prompt_mot_ref], axis=1)
-        ne_ref = jnp.concatenate([self.encode_prompt(negative_prompt_mot_ref, max_sequence_length)] * r, axis=1)
         embeds = jnp.concatenate([ne, pe], axis=0) if do_cfg else pe
-        embeds_ref = jnp.concatenate([ne_ref, pe_ref], axis=0) if do_cfg else pe_ref
+        if plain:
+            r = 1
+            embeds_ref = jnp.zeros_like(embeds[:, :1])  # unused (DCE'd) dummy
+        else:
+            r = len(ref_videos)
+            pe_ref = jnp.concatenate([self.encode_prompt(p, max_sequence_length) for p in prompt_mot_ref], axis=1)
+            ne_ref = jnp.concatenate([self.encode_prompt(negative_prompt_mot_ref, max_sequence_length)] * r, axis=1)
+            embeds_ref = jnp.concatenate([ne_ref, pe_ref], axis=0) if do_cfg else pe_ref
 
-        img_embeds = self.encode_image(image)
-        img_embeds_ref = jnp.concatenate([self.encode_image(rv[0]) for rv in ref_videos], axis=1)
-        mult = 2 if do_cfg else 1
-        img_embeds = jnp.concatenate([img_embeds] * mult, axis=0)
-        img_embeds_ref = jnp.concatenate([img_embeds_ref] * mult, axis=0)
+        if t2v or tcfg.image_dim is None:
+            img_embeds = None
+            img_embeds_ref = None
+        else:
+            img_embeds = jnp.concatenate([self.encode_image(image)] * mult, axis=0)
+            if plain:
+                img_embeds_ref = None
+            else:
+                img_embeds_ref = jnp.concatenate(
+                    [jnp.concatenate([self.encode_image(rv[0]) for rv in ref_videos], axis=1)] * mult, axis=0)
 
         # 2. latents + 36ch conditioning
         f_lat = (num_frames - 1) // self.vae_scale_factor_temporal + 1
@@ -284,24 +314,30 @@ class WanVAPPipeline:
         lat_w = width // self.vae_scale_factor_spatial
         zc = self.vae_cfg.z_dim
 
-        img5 = jnp.asarray(image, jnp.float32)[None, None]  # [1,1,H,W,3]
-        video_cond = jnp.concatenate(
-            [img5, jnp.zeros((1, num_frames - 1, height, width, 3), jnp.float32)], axis=1)
-        cond_latent = _wan_vae_encode_jit(self.params["vae"], self.vae_cfg, video_cond.astype(self.dtype))
-        mask = jnp.asarray(make_i2v_mask(1, num_frames, lat_h, lat_w, self.vae_scale_factor_temporal))
-        condition = jnp.concatenate([mask.astype(cond_latent.dtype), cond_latent], axis=-1)  # [1,F,h,w,20]
+        if t2v:
+            condition = jnp.zeros((1, f_lat, lat_h, lat_w, 1), jnp.float32)  # unused dummy
+        else:
+            img5 = jnp.asarray(image, jnp.float32)[None, None]  # [1,1,H,W,3]
+            video_cond = jnp.concatenate(
+                [img5, jnp.zeros((1, num_frames - 1, height, width, 3), jnp.float32)], axis=1)
+            cond_latent = _wan_vae_encode_jit(self.params["vae"], self.vae_cfg, video_cond.astype(self.dtype))
+            mask = jnp.asarray(make_i2v_mask(1, num_frames, lat_h, lat_w, self.vae_scale_factor_temporal))
+            condition = jnp.concatenate([mask.astype(cond_latent.dtype), cond_latent], axis=-1)  # [1,F,h,w,20]
 
-        ref_lat_list, ref_cond_list = [], []
-        for rv in ref_videos:
-            rv_j = jnp.asarray(rv, jnp.float32)[None]
-            ref_lat_list.append(_wan_vae_encode_jit(self.params["vae"], self.vae_cfg, rv_j.astype(self.dtype)))
-            first = rv_j[:, :1]
-            vc = jnp.concatenate([first, jnp.zeros((1, num_frames - 1, height, width, 3), jnp.float32)], axis=1)
-            cl = _wan_vae_encode_jit(self.params["vae"], self.vae_cfg, vc.astype(self.dtype))
-            ref_cond_list.append(jnp.concatenate([mask.astype(cl.dtype), cl], axis=-1))
-        ref_latents = jnp.concatenate(ref_lat_list, axis=1)      # [1, R*F, h, w, 16]
-        ref_condition = jnp.concatenate(ref_cond_list, axis=1)   # [1, R*F, h, w, 20]
-        ref_input = jnp.concatenate([ref_latents, ref_condition], axis=-1)  # 36ch
+        if plain:
+            ref_input = jnp.zeros((1, f_lat, lat_h, lat_w, 1), jnp.float32)  # unused dummy
+        else:
+            ref_lat_list, ref_cond_list = [], []
+            for rv in ref_videos:
+                rv_j = jnp.asarray(rv, jnp.float32)[None]
+                ref_lat_list.append(_wan_vae_encode_jit(self.params["vae"], self.vae_cfg, rv_j.astype(self.dtype)))
+                first = rv_j[:, :1]
+                vc = jnp.concatenate([first, jnp.zeros((1, num_frames - 1, height, width, 3), jnp.float32)], axis=1)
+                cl = _wan_vae_encode_jit(self.params["vae"], self.vae_cfg, vc.astype(self.dtype))
+                ref_cond_list.append(jnp.concatenate([mask.astype(cl.dtype), cl], axis=-1))
+            ref_latents = jnp.concatenate(ref_lat_list, axis=1)      # [1, R*F, h, w, 16]
+            ref_condition = jnp.concatenate(ref_cond_list, axis=1)   # [1, R*F, h, w, 20]
+            ref_input = jnp.concatenate([ref_latents, ref_condition], axis=-1)  # 36ch
 
         key, nkey = jax.random.split(key)
         if latents is None:
@@ -322,7 +358,8 @@ class WanVAPPipeline:
         compute_mask = parse_step_cache_schedule(step_cache, num_inference_steps)
         cache_xs = () if compute_mask is None else (jnp.asarray(compute_mask),)
         denoise = self._build_denoise_fn(use_unipc, r,
-                                         step_cached=compute_mask is not None)
+                                         step_cached=compute_mask is not None,
+                                         plain=plain, t2v=t2v)
         latents = denoise(
             self.params["transformer"], latents, condition, ref_input,
             embeds, embeds_ref, img_embeds, img_embeds_ref,

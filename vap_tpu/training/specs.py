@@ -141,10 +141,30 @@ def get_model_spec_cls(model_name: str, training_type: str):
     return SUPPORTED_MODEL_SPECS[key]
 
 
+def _validation_image(sample: Dict[str, Any], height: int, width: int):
+    """Resolve a validation row's conditioning image: an in-memory array
+    ("image"), a file path ("image_path", the reference validation-JSON
+    field), or None (plain T2V sampling)."""
+    if sample.get("image") is not None:
+        return sample["image"]
+    path = sample.get("image_path")
+    if not path:
+        return None
+    import cv2
+
+    from ..data.video import normalize_video, resize_video
+
+    img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+    return normalize_video(resize_video(
+        img[None].astype(np.float32) / 255.0, height, width))[0]
+
+
 def _cogvideox_validation(spec: "CogVideoXSpec", merged_params: Dict[str, Any],
                           sample: Dict[str, Any], **gen_kwargs):
-    """Run a full VAP generation with live training weights (reference
-    spec.validation, cogvideox spec :821-899). Returns video [F, H, W, 3]."""
+    """Run a full generation with live training weights (reference
+    spec.validation, cogvideox spec :821-899). Samples without ref videos
+    run the plain trunk (crush_smol-style finetunes); image may come from
+    "image", "image_path", or be absent (T2V). Returns video [F, H, W, 3]."""
     from ..pipelines.cogvideox_i2v_mot import CogVideoXVAPPipeline
 
     pipe = CogVideoXVAPPipeline(
@@ -155,9 +175,12 @@ def _cogvideox_validation(spec: "CogVideoXSpec", merged_params: Dict[str, Any],
     defaults = dict(num_inference_steps=50, guidance_scale=6.0, use_dynamic_cfg=True,
                     max_sequence_length=spec.transformer_cfg.max_text_seq_length)
     defaults.update(gen_kwargs)
+    image = _validation_image(sample, defaults.get("height", 480),
+                              defaults.get("width", 720))
     video = pipe(
-        image=sample["image"], prompt=sample["caption"],
-        ref_videos=sample["ref_videos"], prompt_mot_ref=sample["caption_mot_ref"],
+        image=image, prompt=sample["caption"],
+        ref_videos=sample.get("ref_videos"),
+        prompt_mot_ref=sample.get("caption_mot_ref"),
         **defaults,
     )
     return video[0]
@@ -548,9 +571,12 @@ def _wan_validation(spec: "WanSpec", merged_params, sample, **gen_kwargs):
                     max_sequence_length=spec.transformer_cfg.text_len)
     gen_kwargs.pop("use_dynamic_cfg", None)  # CogVideoX-only knob
     defaults.update(gen_kwargs)
+    image = _validation_image(sample, defaults.get("height", 480),
+                              defaults.get("width", 832))
     video = pipe(
-        image=sample["image"], prompt=sample["caption"],
-        ref_videos=sample["ref_videos"], prompt_mot_ref=sample["caption_mot_ref"],
+        image=image, prompt=sample["caption"],
+        ref_videos=sample.get("ref_videos"),
+        prompt_mot_ref=sample.get("caption_mot_ref"),
         **defaults,
     )
     return video[0]

@@ -619,6 +619,17 @@ class SFTTrainer:
         merged = self._merged_params()
         if self.family not in ("cogvideox", "wan"):
             return self._validate_generic(merged, num_samples)
+        if args.validation_dataset_file.endswith(".json"):
+            import json
+
+            with open(args.validation_dataset_file) as f:
+                vcfg = json.load(f)
+            if isinstance(vcfg, dict) and "data" in vcfg and not (
+                    vcfg.get("csv") or vcfg.get("val_data")):
+                # generic prompt-driven validation (plain crush_smol-style
+                # finetunes of cogvideox/wan) — the VAP CSV machinery does
+                # not apply; samples go through the spec's plain pipeline path
+                return self._validate_generic(merged, num_samples)
         csv_path, gen, cfg_num_samples = self._load_validation_config()
         num_samples = num_samples if num_samples is not None else cfg_num_samples
         if num_samples is None:
