@@ -99,10 +99,14 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", required=True)
-    p.add_argument("--ref_video", required=True)
-    p.add_argument("--ref_image", required=True, help="target reference image")
+    p.add_argument("--ref_video", default=None,
+                   help="semantic reference video (omit to sample a plain "
+                        "crush_smol-style finetune on the base trunk)")
+    p.add_argument("--ref_image", default=None,
+                   help="target reference image (omit for T2V checkpoints)")
     p.add_argument("--prompt", required=True)
-    p.add_argument("--prompt_ref", required=True)
+    p.add_argument("--prompt_ref", default=None,
+                   help="reference-branch prompt (required with --ref_video)")
     p.add_argument("--output", default="output.mp4")
     p.add_argument("--num_frames", type=int, default=49)
     p.add_argument("--height", type=int, default=480)
@@ -114,23 +118,31 @@ def main():
     p.add_argument("--frames_selection", default="evenly", choices=["first", "evenly", "random"])
     args = p.parse_args()
 
+    if args.ref_video and not args.prompt_ref:
+        p.error("--ref_video requires --prompt_ref")
+
     from vap_tpu.data.video import export_to_video, load_video, normalize_video, resize_video
     from vap_tpu.pipelines.cogvideox_i2v_mot import select_frames
 
-    import cv2
+    image = None
+    if args.ref_image:
+        import cv2
 
-    image = cv2.cvtColor(cv2.imread(args.ref_image), cv2.COLOR_BGR2RGB)
-    image = normalize_video(resize_video(image[None].astype(np.float32) / 255.0, args.height, args.width))[0]
+        image = cv2.cvtColor(cv2.imread(args.ref_image), cv2.COLOR_BGR2RGB)
+        image = normalize_video(resize_video(image[None].astype(np.float32) / 255.0, args.height, args.width))[0]
 
-    frames, _ = load_video(args.ref_video)
-    frames = select_frames(list(frames), args.num_frames, args.frames_selection)
-    ref_video = normalize_video(resize_video(
-        np.stack(frames).astype(np.float32) / 255.0, args.height, args.width))
+    ref_videos, prompt_mot_ref = None, None
+    if args.ref_video:
+        frames, _ = load_video(args.ref_video)
+        frames = select_frames(list(frames), args.num_frames, args.frames_selection)
+        ref_videos = [normalize_video(resize_video(
+            np.stack(frames).astype(np.float32) / 255.0, args.height, args.width))]
+        prompt_mot_ref = [args.prompt_ref]
 
     pipe = build_pipeline(args.model_path)
     video = pipe(
-        image=image, prompt=args.prompt, ref_videos=[ref_video],
-        prompt_mot_ref=[args.prompt_ref], height=args.height, width=args.width,
+        image=image, prompt=args.prompt, ref_videos=ref_videos,
+        prompt_mot_ref=prompt_mot_ref, height=args.height, width=args.width,
         num_frames=args.num_frames, num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, use_dynamic_cfg=True, seed=args.seed, step_cache=args.step_cache,
     )

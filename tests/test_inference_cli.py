@@ -198,3 +198,40 @@ def test_pipeline_decode_tiling_and_slicing_match_default():
     assert base.shape == tiled.shape == sliced.shape
     np.testing.assert_allclose(tiled, base, atol=2e-4)
     np.testing.assert_allclose(sliced, base, atol=2e-4)
+
+
+@pytest.mark.parametrize("script", ["cog_vap", "wan_vap"])
+def test_infer_script_plain_mode(tmp_path, monkeypatch, script):
+    """infer/{cog,wan}_vap.py without --ref_video/--ref_image sample a plain
+    (non-VAP) finetune: the pipeline receives image=None and ref_videos=None,
+    matching the ref-free training path (tests/test_plain_finetune.py)."""
+    mod = importlib.import_module(script)
+    seen = {}
+
+    class FakePipe:
+        def __call__(self, image=None, prompt=None, ref_videos=None,
+                     prompt_mot_ref=None, num_frames=9, height=16, width=16, **kw):
+            seen.update(image=image, ref_videos=ref_videos,
+                        prompt_mot_ref=prompt_mot_ref, prompt=prompt)
+            return np.zeros((1, num_frames, height, width, 3), np.float32)
+
+    monkeypatch.setattr(mod, "build_pipeline", lambda path, **kw: FakePipe())
+    out = str(tmp_path / "plain.mp4")
+    monkeypatch.setattr(sys, "argv", [
+        f"{script}.py", "--model_path", "/ckpt", "--prompt", "a cat",
+        "--output", out, "--num_frames", "9", "--height", "16", "--width", "16"])
+    mod.main()
+    assert seen["image"] is None and seen["ref_videos"] is None
+    assert seen["prompt_mot_ref"] is None and seen["prompt"] == "a cat"
+    assert os.path.exists(out)
+
+
+@pytest.mark.parametrize("script", ["cog_vap", "wan_vap"])
+def test_infer_script_ref_video_requires_prompt_ref(monkeypatch, script):
+    """--ref_video without --prompt_ref is rejected at argparse time."""
+    mod = importlib.import_module(script)
+    monkeypatch.setattr(sys, "argv", [
+        f"{script}.py", "--model_path", "/ckpt", "--prompt", "a cat",
+        "--ref_video", "r.mp4"])
+    with pytest.raises(SystemExit):
+        mod.main()
