@@ -32,4 +32,10 @@ timeout 3600 env VAP_VAE_CONV3D=sum2d python scripts/vae_bench.py 2>&1 | tee -a 
 
 echo "--- full bench ---" | tee -a "$LOG"
 timeout 7200 python bench.py 2>&1 | tee -a "$LOG"
+
+echo "--- profiled short bench (tail attribution) ---" | tee -a "$LOG"
+# graphs are warm from the full bench; a 2-step profiled run captures the
+# steady-state trace for the elementwise-tail attack (VERDICT r3 next #2)
+timeout 3600 env VAP_BENCH_PROFILE_DIR=/tmp/vap_profile VAP_BENCH_STEPS=2 \
+  VAP_BENCH_SKIP_VAE=1 python bench.py 2>&1 | tee -a "$LOG"
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$LOG"
