@@ -60,6 +60,7 @@ class Inference:
             lora_scale=getattr(args, "lora_scale", None),
             enable_vae_tiling=getattr(args, "enable_tiling", False),
             enable_vae_slicing=getattr(args, "enable_slicing", False),
+            enable_model_offload=getattr(args, "enable_model_offload", False),
         )
         if args.model_name == "wan":
             build_kwargs["image_encoder_id"] = getattr(args, "image_encoder_id", None)
@@ -235,6 +236,11 @@ def main():
     p.add_argument("--enable_slicing", action="store_true",
                    help="decode batch elements one at a time (reference "
                         "enable_slicing)")
+    p.add_argument("--enable_model_offload", action="store_true",
+                   help="keep params on host, stage one component into HBM "
+                        "at a time (reference enable_model_cpu_offload, "
+                        "README.md:202-260 — fits T5-XXL + 5B transformer "
+                        "inference on a 16 GB chip)")
     args = p.parse_args()
     Inference(args).run()
 

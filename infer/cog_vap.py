@@ -41,7 +41,8 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
                    transformer_dtype: str = None, vae_dtype: str = None,
                    text_encoder_dtype: str = None,
                    lora_path: str = None, lora_scale: float = None,
-                   enable_vae_tiling: bool = False, enable_vae_slicing: bool = False):
+                   enable_vae_tiling: bool = False, enable_vae_slicing: bool = False,
+                   enable_model_offload: bool = False):
     """Assemble the CogVideoX VAP pipeline from a checkpoint directory or a
     cached hub id. Mirrors the reference inference CLI's per-component
     surface (reference examples/inference/inference.py:548-583): each
@@ -72,19 +73,28 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
             sd.update(load_safetensors(f))
         return sd
 
+    import contextlib
+
+    import jax
+
     t_sd = load_dir("transformer", transformer_id)
     if lora_path:
         t_sd = merge_lora_into_state_dict(t_sd, lora_path, lora_scale)
-    params = {
-        "transformer": convert_cogvideox_mot_state_dict(
-            t_sd, t_cfg, parse_dtype(transformer_dtype) if transformer_dtype else dtype),
-        "vae": convert_cogvideox_vae_state_dict(
-            load_dir("vae", vae_id), vae_cfg,
-            parse_dtype(vae_dtype) if vae_dtype else dtype),
-        "text_encoder": convert_t5_state_dict(
-            load_dir("text_encoder", text_encoder_id), txt_cfg,
-            parse_dtype(text_encoder_dtype) if text_encoder_dtype else dtype),
-    }
+    # with offload the converted params must LAND on host memory — one
+    # component at a time is staged into HBM per phase (pipelines/offload.py)
+    host = (jax.default_device(jax.devices("cpu")[0]) if enable_model_offload
+            else contextlib.nullcontext())
+    with host:
+        params = {
+            "transformer": convert_cogvideox_mot_state_dict(
+                t_sd, t_cfg, parse_dtype(transformer_dtype) if transformer_dtype else dtype),
+            "vae": convert_cogvideox_vae_state_dict(
+                load_dir("vae", vae_id), vae_cfg,
+                parse_dtype(vae_dtype) if vae_dtype else dtype),
+            "text_encoder": convert_t5_state_dict(
+                load_dir("text_encoder", text_encoder_id), txt_cfg,
+                parse_dtype(text_encoder_dtype) if text_encoder_dtype else dtype),
+        }
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(
@@ -93,7 +103,8 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
     return CogVideoXVAPPipeline(
         transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
         params=params, tokenizer=tokenizer, dtype=dtype,
-        enable_vae_tiling=enable_vae_tiling, enable_vae_slicing=enable_vae_slicing)
+        enable_vae_tiling=enable_vae_tiling, enable_vae_slicing=enable_vae_slicing,
+        enable_model_offload=enable_model_offload)
 
 
 def main():
@@ -116,6 +127,10 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--step_cache", default=None, help="denoise step caching, e.g. uniform:2 (PAB/AdaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
     p.add_argument("--frames_selection", default="evenly", choices=["first", "evenly", "random"])
+    p.add_argument("--enable_model_offload", action="store_true",
+                   help="keep params on host, stage one component into HBM at "
+                        "a time (reference enable_model_cpu_offload analog; "
+                        "fits the full pipeline on a 16 GB chip)")
     args = p.parse_args()
 
     if args.ref_video and not args.prompt_ref:
@@ -139,7 +154,7 @@ def main():
             np.stack(frames).astype(np.float32) / 255.0, args.height, args.width))]
         prompt_mot_ref = [args.prompt_ref]
 
-    pipe = build_pipeline(args.model_path)
+    pipe = build_pipeline(args.model_path, enable_model_offload=args.enable_model_offload)
     video = pipe(
         image=image, prompt=args.prompt, ref_videos=ref_videos,
         prompt_mot_ref=prompt_mot_ref, height=args.height, width=args.width,

@@ -123,6 +123,19 @@ class CogVideoXVAPPipeline:
     enable_vae_tiling: bool = False
     enable_vae_slicing: bool = False
 
+    # module-level offload (reference README.md:202-260
+    # enable_model_cpu_offload): params stay on HOST; one component at a
+    # time is staged into device HBM (see pipelines/offload.py)
+    enable_model_offload: bool = False
+    _staged: list = dataclasses.field(default_factory=list, repr=False)
+
+    def _component(self, name: str):
+        if not self.enable_model_offload:
+            return self.params[name]
+        from .offload import stage_component
+
+        return stage_component(self.params, name, self._staged)
+
     def _decode(self, z: Array) -> Array:
         if self.enable_vae_slicing and z.shape[0] > 1:
             return jnp.concatenate(
@@ -133,8 +146,8 @@ class CogVideoXVAPPipeline:
         if self.enable_vae_tiling:
             from ..models.cogvideox.vae import vae_decode_tiled
 
-            return vae_decode_tiled(self.params["vae"], self.vae_cfg, z)
-        return _vae_decode_jit(self.params["vae"], self.vae_cfg, z)
+            return vae_decode_tiled(self._component("vae"), self.vae_cfg, z)
+        return _vae_decode_jit(self._component("vae"), self.vae_cfg, z)
 
     # ------------------------------------------------------------------
     # host-side preprocessing
@@ -149,7 +162,7 @@ class CogVideoXVAPPipeline:
     def _t5_forward(self, input_ids: Array) -> Array:
         # reference passes no attention mask to T5 and keeps all 226 positions
         # (pipeline _get_t5_prompt_embeds)
-        return _t5_forward_jit(self.params["text_encoder"], self.text_cfg, input_ids).astype(self.dtype)
+        return _t5_forward_jit(self._component("text_encoder"), self.text_cfg, input_ids).astype(self.dtype)
 
     def encode_prompt(self, prompt: str, negative_prompt: str, max_length: int = 226) -> Tuple[Array, Array]:
         ids, _ = self.encode_prompt_tokens(prompt, max_length)
@@ -158,7 +171,7 @@ class CogVideoXVAPPipeline:
 
     def _vae_encode_mode(self, video: Array, image_cond: bool = False) -> Array:
         scale = not (image_cond and self.vae_cfg.invert_scale_latents)
-        return _vae_encode_mode_jit(self.params["vae"], self.vae_cfg,
+        return _vae_encode_mode_jit(self._component("vae"), self.vae_cfg,
                                     video.astype(self.dtype), scale)
 
     # ------------------------------------------------------------------
@@ -449,7 +462,7 @@ class CogVideoXVAPPipeline:
             step_cached=compute_mask is not None, t2v=t2v)
         key, dkey = jax.random.split(key)
         latents = denoise(
-            self.params["transformer"], latents, image_latents_m, ref_latents_m, ref_image_latents_m,
+            self._component("transformer"), latents, image_latents_m, ref_latents_m, ref_image_latents_m,
             embeds, embeds_ref, jnp.asarray(ts), step_scalars, jnp.asarray(guidance), dkey,
             *cache_xs, do_cfg=do_cfg,
         )

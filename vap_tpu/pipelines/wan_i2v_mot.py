@@ -112,6 +112,19 @@ class WanVAPPipeline:
     enable_vae_tiling: bool = False
     enable_vae_slicing: bool = False
 
+    # module-level offload (reference README.md:202-260
+    # enable_model_cpu_offload): params stay on HOST; one component at a
+    # time is staged into device HBM (see pipelines/offload.py)
+    enable_model_offload: bool = False
+    _staged: list = dataclasses.field(default_factory=list, repr=False)
+
+    def _component(self, name: str):
+        if not self.enable_model_offload:
+            return self.params[name]
+        from .offload import stage_component
+
+        return stage_component(self.params, name, self._staged)
+
     def _decode(self, z: Array) -> Array:
         if self.enable_vae_slicing and z.shape[0] > 1:
             return jnp.concatenate(
@@ -123,20 +136,20 @@ class WanVAPPipeline:
             from ..models.wan.vae import wan_vae_decode_tiled
 
             z = _denormalize_jit(self.vae_cfg, z)
-            return wan_vae_decode_tiled(self.params["vae"], self.vae_cfg, z)
-        return _wan_vae_decode_jit(self.params["vae"], self.vae_cfg, z)
+            return wan_vae_decode_tiled(self._component("vae"), self.vae_cfg, z)
+        return _wan_vae_decode_jit(self._component("vae"), self.vae_cfg, z)
 
     def encode_prompt(self, prompt: str, max_length: int = 512) -> Array:
         toks = self.tokenizer([prompt], padding="max_length", max_length=max_length,
                               truncation=True, add_special_tokens=True, return_tensors="np")
         return _umt5_forward_jit(
-            self.params["text_encoder"], self.text_cfg,
+            self._component("text_encoder"), self.text_cfg,
             jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"])).astype(self.dtype)
 
     def encode_image(self, image: np.ndarray) -> Array:
         """image: [H, W, 3] in [-1, 1] -> CLIP penultimate hidden [1, 257, D]."""
         px = self._clip_preprocess(image)
-        return _clip_forward_jit(self.params["image_encoder"], self.clip_cfg, px).astype(self.dtype)
+        return _clip_forward_jit(self._component("image_encoder"), self.clip_cfg, px).astype(self.dtype)
 
     def _clip_preprocess(self, image: np.ndarray) -> Array:
         """Resize to 224 + CLIP normalization (host side, bilinear)."""
@@ -320,7 +333,7 @@ class WanVAPPipeline:
             img5 = jnp.asarray(image, jnp.float32)[None, None]  # [1,1,H,W,3]
             video_cond = jnp.concatenate(
                 [img5, jnp.zeros((1, num_frames - 1, height, width, 3), jnp.float32)], axis=1)
-            cond_latent = _wan_vae_encode_jit(self.params["vae"], self.vae_cfg, video_cond.astype(self.dtype))
+            cond_latent = _wan_vae_encode_jit(self._component("vae"), self.vae_cfg, video_cond.astype(self.dtype))
             mask = jnp.asarray(make_i2v_mask(1, num_frames, lat_h, lat_w, self.vae_scale_factor_temporal))
             condition = jnp.concatenate([mask.astype(cond_latent.dtype), cond_latent], axis=-1)  # [1,F,h,w,20]
 
@@ -330,10 +343,10 @@ class WanVAPPipeline:
             ref_lat_list, ref_cond_list = [], []
             for rv in ref_videos:
                 rv_j = jnp.asarray(rv, jnp.float32)[None]
-                ref_lat_list.append(_wan_vae_encode_jit(self.params["vae"], self.vae_cfg, rv_j.astype(self.dtype)))
+                ref_lat_list.append(_wan_vae_encode_jit(self._component("vae"), self.vae_cfg, rv_j.astype(self.dtype)))
                 first = rv_j[:, :1]
                 vc = jnp.concatenate([first, jnp.zeros((1, num_frames - 1, height, width, 3), jnp.float32)], axis=1)
-                cl = _wan_vae_encode_jit(self.params["vae"], self.vae_cfg, vc.astype(self.dtype))
+                cl = _wan_vae_encode_jit(self._component("vae"), self.vae_cfg, vc.astype(self.dtype))
                 ref_cond_list.append(jnp.concatenate([mask.astype(cl.dtype), cl], axis=-1))
             ref_latents = jnp.concatenate(ref_lat_list, axis=1)      # [1, R*F, h, w, 16]
             ref_condition = jnp.concatenate(ref_cond_list, axis=1)   # [1, R*F, h, w, 20]
@@ -361,7 +374,7 @@ class WanVAPPipeline:
                                          step_cached=compute_mask is not None,
                                          plain=plain, t2v=t2v)
         latents = denoise(
-            self.params["transformer"], latents, condition, ref_input,
+            self._component("transformer"), latents, condition, ref_input,
             embeds, embeds_ref, img_embeds, img_embeds_ref,
             jnp.asarray(ts), sig_arg, jnp.asarray(guidance), *cache_xs,
             do_cfg=do_cfg,
