@@ -214,3 +214,71 @@ def test_cli_wan_plain_t2v_lora(tmp_path, monkeypatch):
          _video_dataset(str(tmp_path / "data")),
          extra=("--training_type", "lora", "--rank", "4", "--lora_alpha", "4",
                 "--pretrained_model_name_or_path", str(tmp_path / "model")))
+
+
+def test_cli_wan_vap_from_stock_checkpoint(tmp_path, monkeypatch):
+    """Wan VAP (MoT) training started from a STOCK Wan checkpoint: train.py
+    must clone the trunk into the MoT expert branch (reference wan
+    base_specification.py:599-633) instead of KeyError-ing on the missing
+    `*_mot_ref` weights."""
+    import json as _json
+
+    import jax.numpy as jnp
+    import pandas as pd
+    import torch
+    from safetensors.numpy import save_file
+
+    from vap_tpu.models.text_encoders import T5Config
+    from vap_tpu.models.text_encoders.clip_vision import CLIPVisionConfig
+    from vap_tpu.models.wan import WanMOTConfig, init_wan_mot
+    from vap_tpu.models.wan.vae import WanVAEConfig
+    from vap_tpu.training.export_flatten import flatten_wan_mot_state_dict
+
+    vae = WanVAEConfig.tiny()
+    t = WanMOTConfig.tiny(in_channels=2 * vae.z_dim + 4, out_channels=vae.z_dim,
+                          block_idx_with_mot_ref=(0,), text_len=8)
+    clip = CLIPVisionConfig.tiny(hidden_size=t.image_dim)
+    structure = _structure_json(
+        tmp_path, transformer=t, vae=vae, image_encoder=clip,
+        text_encoder=T5Config.tiny(d_model=t.text_dim, per_layer_relative_bias=True))
+
+    # stock checkpoint: flatten a tiny MoT init and drop every _mot_ref weight
+    full = flatten_wan_mot_state_dict(
+        init_wan_mot(jax.random.PRNGKey(0), t, np.float32), t)
+    stock = {k: np.asarray(v) for k, v in full.items() if "_mot_ref" not in k}
+    tr_dir = tmp_path / "model" / "transformer"
+    os.makedirs(tr_dir)
+    save_file(stock, str(tr_dir / "diffusion_pytorch_model.safetensors"))
+
+    import sys
+    sys.path.insert(0, "/root/reference/diffusers/src")
+    from diffusers.models.autoencoders.autoencoder_kl_wan import AutoencoderKLWan
+
+    torch.manual_seed(0)
+    m = AutoencoderKLWan(base_dim=vae.base_dim, z_dim=vae.z_dim,
+                         dim_mult=list(vae.dim_mult),
+                         num_res_blocks=vae.num_res_blocks,
+                         latents_mean=list(vae.latents_mean),
+                         latents_std=list(vae.latents_std))
+    vae_dir = tmp_path / "model" / "vae"
+    os.makedirs(vae_dir)
+    save_file({k: v.numpy() for k, v in m.state_dict().items()},
+              str(vae_dir / "diffusion_pytorch_model.safetensors"))
+
+    # VAP CSV dataset (MoT training requires references)
+    data = tmp_path / "data"
+    os.makedirs(data)
+    vids = []
+    for i in range(2):
+        fr = (np.random.default_rng(i).uniform(0, 1, (9, 32, 32, 3)) * 255).astype(np.uint8)
+        export_to_video(fr, str(data / f"v{i}.mp4"), fps=16)
+        vids.append(f"v{i}.mp4")
+    pd.DataFrame([{
+        "video_paths": v, "tar_video_caption": f"cap {i}",
+        "ref_video_paths": _json.dumps([vids[(i + 1) % 2]]),
+        "kind": "fx", "split": "train", "reference_alignment_score": 9.0,
+    } for i, v in enumerate(vids)]).to_csv(data / "vap_data.csv", index=False)
+
+    _run(tmp_path, monkeypatch, "wan", structure, str(data),
+         extra=("--training_type", "video_as_prompt_mot",
+                "--pretrained_model_name_or_path", str(tmp_path / "model")))

@@ -94,3 +94,85 @@ def test_wan_trainer_end_to_end(tmp_path, monkeypatch):
         state = trainer.run()
     assert state.step == 2
     assert all(np.isfinite(h["loss"]) for h in trainer.tracker.history)
+
+
+def test_build_wan_mot_from_base():
+    """Cloning a stock Wan checkpoint into the MoT expert branch (reference
+    wan/base_specification.py:599-633): every `X_mot_ref` equals its base `X`,
+    the result converts without missing keys, and a finetuned MoT checkpoint
+    passes through untouched."""
+    from vap_tpu.models.wan import convert_wan_mot_state_dict
+    from vap_tpu.training.export_flatten import flatten_wan_mot_state_dict
+    from vap_tpu.training.specs import build_wan_mot_state_dict_from_base
+
+    cfg = WanMOTConfig.tiny(block_idx_with_mot_ref=(0,),
+                            reference_train_mode="reference_independent")
+    full = flatten_wan_mot_state_dict(
+        init_wan_mot(jax.random.PRNGKey(0), cfg, jnp.float32), cfg)
+    base = {k: np.asarray(v) for k, v in full.items() if "_mot_ref" not in k}
+
+    out = build_wan_mot_state_dict_from_base(base, cfg)
+    convert_wan_mot_state_dict(out, cfg, jnp.float32)  # no KeyError
+
+    np.testing.assert_array_equal(out["patch_embedding_mot_ref.weight"],
+                                  base["patch_embedding.weight"])
+    np.testing.assert_array_equal(
+        out["condition_embedder_mot_ref.time_embedder.linear_1.weight"],
+        base["condition_embedder.time_embedder.linear_1.weight"])
+    for sub in ("attn1", "attn2", "norm2", "ffn", "scale_shift_table"):
+        src = [k for k in base if k.startswith(f"blocks.0.{sub}")
+               and "_mot_ref" not in k]
+        assert src, sub
+        for k in src:
+            tgt = k.replace(f"blocks.0.{sub}", f"blocks.0.{sub}_mot_ref", 1)
+            np.testing.assert_array_equal(out[tgt], base[k], err_msg=tgt)
+    np.testing.assert_array_equal(out["proj_out_mot_ref.weight"],
+                                  base["proj_out.weight"])
+    np.testing.assert_array_equal(out["scale_shift_table_mot_ref"],
+                                  base["scale_shift_table"])
+    # block 1 has no MoT branch — nothing invented for it
+    assert not any(k.startswith("blocks.1.") and "_mot_ref" in k for k in out)
+
+    # a checkpoint that already carries the MoT branch keeps it verbatim
+    kept = build_wan_mot_state_dict_from_base(dict(full), cfg)
+    assert set(kept) == set(full)
+    for k in full:
+        assert kept[k] is full[k], k
+
+
+def test_wan_forward_runs_all_mot_segments():
+    """Plain (trunk-only) sampling of a partial-MoT checkpoint must run every
+    block: params carry one stacked segment per contiguous has_mot run, and
+    wan_forward over them equals the single-segment plain model built from the
+    same trunk weights."""
+    import dataclasses
+
+    from vap_tpu.models.wan import (convert_wan_mot_state_dict,
+                                    convert_wan_state_dict)
+    from vap_tpu.models.wan.transformer_mot import wan_forward
+    from vap_tpu.training.export_flatten import flatten_wan_mot_state_dict
+
+    cfg = WanMOTConfig.tiny(block_idx_with_mot_ref=(1,))
+    assert len(cfg.mot_segments) == 2  # (0,1,False), (1,1,True)
+    sd = flatten_wan_mot_state_dict(
+        init_wan_mot(jax.random.PRNGKey(3), cfg, jnp.float32), cfg)
+    mot_params = convert_wan_mot_state_dict(sd, cfg, jnp.float32)
+
+    plain_cfg = dataclasses.replace(cfg, block_idx_with_mot_ref=())
+    plain_params = convert_wan_state_dict(
+        {k: v for k, v in sd.items() if "_mot_ref" not in k}, plain_cfg, jnp.float32)
+    assert len(plain_params["blocks"]) == 1
+
+    rng = np.random.default_rng(0)
+    kwargs = dict(
+        hidden_states=jnp.asarray(rng.standard_normal((1, 2, 8, 8, cfg.in_channels), np.float32)),
+        timestep=jnp.asarray([500.0], jnp.float32),
+        encoder_hidden_states=jnp.asarray(
+            rng.standard_normal((1, cfg.text_len, cfg.text_dim), np.float32)),
+        encoder_hidden_states_image=jnp.asarray(
+            rng.standard_normal((1, 5, cfg.image_dim), np.float32)),
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = wan_forward(mot_params, cfg, **kwargs)
+        want = wan_forward(plain_params, plain_cfg, **kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -170,6 +170,9 @@ def _build_cogvideox(args, sec, dtype):
             load_safetensors(mot_path), t_cfg, dtype)
         logger.info(f"loaded MoT transformer from {mot_path}")
     elif tr_sd is not None:
+        # clone-from-base is a no-op on keys already present, so a finetuned
+        # MoT checkpoint loaded via pretrained_model_name_or_path keeps its
+        # trained branch (it only fills mot names a stock checkpoint lacks)
         sd = build_mot_state_dict_from_base(tr_sd, t_cfg)
         params["transformer"] = convert_cogvideox_mot_state_dict(sd, t_cfg, dtype)
         logger.info("built MoT transformer from base checkpoint")
@@ -234,10 +237,24 @@ def _build_wan(args, sec, dtype):
         t_cfg = dataclasses.replace(base_cfg, in_channels=new_in)
         params = {"transformer": transformer}
     else:
-        params = {
-            "transformer": (convert_wan_mot_state_dict(tr_sd, t_cfg, dtype)
-                            if tr_sd is not None else init_wan_mot(key, t_cfg, dtype)),
-        }
+        from vap_tpu.training.specs import build_wan_mot_state_dict_from_base
+
+        mot_path = _maybe(args.videoasprompt_mot_name_or_path)
+        if mot_path:
+            # finetuned MoT checkpoint (reference wan base_specification.py:582-587)
+            params = {"transformer": convert_wan_mot_state_dict(
+                load_safetensors(mot_path), t_cfg, dtype)}
+            logger.info(f"loaded MoT transformer from {mot_path}")
+        elif tr_sd is not None:
+            if "patch_embedding_mot_ref.weight" not in tr_sd:
+                # stock Wan checkpoint: clone the trunk into the MoT expert
+                # branch (reference wan base_specification.py:599-633)
+                tr_sd = build_wan_mot_state_dict_from_base(tr_sd, t_cfg)
+                logger.info("built MoT transformer from base checkpoint")
+            params = {"transformer": convert_wan_mot_state_dict(tr_sd, t_cfg, dtype)}
+        else:
+            params = {"transformer": init_wan_mot(key, t_cfg, dtype)}
+            logger.info("random-initialized transformer (no checkpoint found)")
     vae_sd = _weights(base, "vae")
     if vae_sd is None:
         raise FileNotFoundError(

@@ -263,7 +263,11 @@ def wan_forward(
             None, None, None, None, None, 1)
         return out, None
 
-    hs = scan_blocks_with_remat(body, hs, params["blocks"][0], remat)
+    # plain-converted params carry one segment holding every block; MoT
+    # params (plain sampling of a partial-MoT checkpoint) carry one stacked
+    # segment per contiguous has_mot run — run them ALL, trunk-only
+    for seg in params["blocks"]:
+        hs = scan_blocks_with_remat(body, hs, seg, remat)
 
     st = params["scale_shift_table"].astype(jnp.float32)[None] + temb.astype(jnp.float32)[:, None]
     shift, scale = st[:, 0][:, None], st[:, 1][:, None]

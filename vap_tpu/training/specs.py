@@ -29,27 +29,60 @@ def build_mot_state_dict_from_base(sd: Dict[str, np.ndarray], cfg: CogVideoXMOTC
     `X` gains an `X_mot_ref` copy; effect/ref embeddings are zero-initialized
     by the caller (they are fresh parameters)."""
     out = dict(sd)
-    for name in ("patch_embed", "time_embedding"):
+
+    def _clone(src_prefix: str, dst_prefix: str):
         for k in list(sd):
-            if k.startswith(name + "."):
-                out[k.replace(name + ".", name + "_mot_ref.", 1)] = sd[k]
+            if k.startswith(src_prefix):
+                tgt = k.replace(src_prefix, dst_prefix, 1)
+                if tgt not in out:  # keep a finetuned checkpoint's MoT branch
+                    out[tgt] = sd[k]
+
+    for name in ("patch_embed", "time_embedding"):
+        _clone(name + ".", name + "_mot_ref.")
     for i in cfg.block_idx_with_mot_ref:
         pre = f"transformer_blocks.{i}."
         for sub in ("norm1", "attn1", "norm2", "ff"):
-            for k in list(sd):
-                if k.startswith(pre + sub + "."):
-                    out[k.replace(pre + sub + ".", pre + sub + "_mot_ref.", 1)] = sd[k]
+            _clone(pre + sub + ".", pre + sub + "_mot_ref.")
     if cfg.reference_train_mode == "reference_independent":
         for name in ("norm_final", "norm_out", "proj_out"):
-            for k in list(sd):
-                if k.startswith(name + "."):
-                    out[k.replace(name + ".", name + "_mot_ref.", 1)] = sd[k]
+            _clone(name + ".", name + "_mot_ref.")
     rng = np.random.default_rng(seed)
     dim = cfg.inner_dim
     for idx, t in enumerate(cfg.supported_effect_types):
-        out[f"effect_embeddings.{t}"] = (0.02 * rng.standard_normal((1, 1, dim))).astype(np.float32)
+        if f"effect_embeddings.{t}" not in out:
+            out[f"effect_embeddings.{t}"] = (0.02 * rng.standard_normal((1, 1, dim))).astype(np.float32)
     for idx in range(cfg.num_ref_embeddings or 0):
-        out[f"ref_embeddings.ref_{idx}"] = (0.02 * rng.standard_normal((1, 1, dim))).astype(np.float32)
+        if f"ref_embeddings.ref_{idx}" not in out:
+            out[f"ref_embeddings.ref_{idx}"] = (0.02 * rng.standard_normal((1, 1, dim))).astype(np.float32)
+    return out
+
+
+def build_wan_mot_state_dict_from_base(sd: Dict[str, np.ndarray], cfg) -> Dict[str, np.ndarray]:
+    """Clone a plain Wan checkpoint's weights into the MoT expert branch
+    (reference WanModelSpecification.load_diffusion_models,
+    wan/base_specification.py:599-633: every `X_mot_ref` parameter is
+    initialized from its base `X`; shapes always match for the supported
+    configs since the reference branch consumes the same 36-ch conditioning).
+    No-op for keys already present (a finetuned MoT checkpoint keeps its
+    trained branch)."""
+    out = dict(sd)
+
+    def clone(prefix: str):
+        plen = len(prefix)
+        for k in list(sd):
+            if k == prefix or (k.startswith(prefix) and k[plen] == "."):
+                tgt = prefix + "_mot_ref" + k[plen:]
+                if tgt not in out:
+                    out[tgt] = sd[k]
+
+    clone("patch_embedding")
+    clone("condition_embedder")
+    for i in cfg.block_idx_with_mot_ref:
+        for sub in ("attn1", "attn2", "norm2", "ffn", "scale_shift_table"):
+            clone(f"blocks.{i}.{sub}")
+    if cfg.reference_train_mode == "reference_independent":
+        clone("proj_out")
+        clone("scale_shift_table")
     return out
 
 
