@@ -265,10 +265,10 @@ def _build_wan(args, sec, dtype):
         init_t5_encoder, jax.random.fold_in(key, 2), txt_cfg, dtype)
 
     clip_cfg = None
-    if not is_control:
+    if not is_control and t_cfg.image_dim is not None:
         # Wan-I2V needs the CLIP ViT-H image encoder for conditioning
-        # (reference WanModelSpecification.load_condition_models); the T2V
-        # control backbone does not.
+        # (reference WanModelSpecification.load_condition_models); T2V
+        # configs (image_dim=None) and the control backbone do not.
         from vap_tpu.models.text_encoders.clip_vision import (
             CLIPVisionConfig, convert_clip_vision_state_dict, init_clip_vision)
 
