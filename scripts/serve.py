@@ -50,6 +50,14 @@ def main(argv=None):
     p.add_argument("--enable_model_offload", action="store_true")
     p.add_argument("--flow_shift", type=float, default=3.0,
                    help="wan only: FlowMatch shift")
+    p.add_argument("--sp_degree", type=int, default=1,
+                   help="shard the denoise over `seq` across this many chips "
+                        "(ring attention; same knob as the batch CLI)")
+    p.add_argument("--cp_rotate_method", default="allgather",
+                   choices=["allgather", "ppermute", "ulysses"])
+    p.add_argument("--attn_provider", default=None,
+                   help="attention provider spec, e.g. 'flash' or "
+                        "'sage joint:flash' (default: env/auto)")
     p.add_argument("--warmup_request", default=None,
                    help="JSON file with one /generate body; the server "
                         "reports ready only after it completes (compiles "
@@ -81,6 +89,33 @@ def main(argv=None):
     from vap_tpu.serving import (GenerationServer, make_video_generate_fn,
                                  validate_request)
 
+    # thread-local attention contexts must be entered in the WORKER thread,
+    # so they go through context_fn rather than wrapping main()
+    context_fn = None
+    if args.sp_degree > 1 or args.attn_provider:
+        import contextlib
+
+        import jax
+
+        from vap_tpu.ops.attention import attention_provider
+        from vap_tpu.parallel import MeshConfig, make_mesh
+        from vap_tpu.parallel.ring_attention import attention_mesh
+
+        mesh = None
+        provider = args.attn_provider
+        if args.sp_degree > 1:
+            mesh = make_mesh(MeshConfig(seq=args.sp_degree), jax.devices())
+            provider = provider or "ring"
+
+        def context_fn():
+            ctx = contextlib.ExitStack()
+            if provider:
+                ctx.enter_context(attention_provider(provider))
+            if mesh is not None:
+                ctx.enter_context(attention_mesh(
+                    mesh, rotate_method=args.cp_rotate_method))
+            return ctx
+
     warmup = None
     if args.warmup_request:
         with open(args.warmup_request) as f:
@@ -88,7 +123,8 @@ def main(argv=None):
         validate_request(warmup)
 
     server = GenerationServer(
-        make_video_generate_fn(pipe, fps=args.fps, defaults=defaults),
+        make_video_generate_fn(pipe, fps=args.fps, defaults=defaults,
+                               context_fn=context_fn),
         args.output_dir, max_queue=args.max_queue,
         validate_fn=validate_request, allow_shutdown=args.allow_shutdown)
     port = server.start(args.host, args.port, warmup_request=warmup)

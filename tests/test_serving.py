@@ -215,6 +215,35 @@ def test_submit_library_surface(tmp_path):
         srv.stop(timeout=5)
 
 
+def test_context_fn_enters_in_worker_thread(tmp_path):
+    """Thread-local attention contexts (attention_provider / attention_mesh
+    for sp serving) only work if entered by the device-owner worker — the
+    adapter must call context_fn there, not on the submitting thread."""
+    import contextlib
+
+    seen = {}
+
+    @contextlib.contextmanager
+    def record_thread():
+        seen["thread"] = threading.current_thread().name
+        yield
+
+    fake_pipe = lambda **kw: np.zeros((1, 2, 8, 8, 3), np.float32)  # noqa: E731
+    srv = GenerationServer(
+        make_video_generate_fn(fake_pipe, defaults={"height": 8, "width": 8,
+                                                    "num_frames": 2},
+                               context_fn=record_thread),
+        str(tmp_path / "out"))
+    port = srv.start()
+    try:
+        _, sub = _req(port, "/generate", {"prompt": "t"})
+        _, job = _req(port, f"/jobs/{sub['job_id']}?wait=30")
+        assert job["status"] == "done", job
+        assert seen["thread"] == "vap-serving-worker"
+    finally:
+        srv.stop(timeout=5)
+
+
 # --------------------------------------------------------------------- e2e
 def test_e2e_tiny_pipeline_over_http(tmp_path, monkeypatch):
     """Full VAP generation through the HTTP server with a real (tiny)

@@ -442,11 +442,17 @@ def prepare_pipeline_kwargs(request: Dict[str, Any], defaults: Dict[str, Any]):
 
 
 def make_video_generate_fn(pipeline, *, fps: int = 16,
-                           defaults: Optional[Dict[str, Any]] = None):
+                           defaults: Optional[Dict[str, Any]] = None,
+                           context_fn: Optional[Callable[[], Any]] = None):
     """Adapt a VAP/plain video pipeline (CogVideoX or Wan) to the server's
     generate_fn contract. `defaults` fills request fields the caller omits
     (height/width/num_frames/steps/guidance, family extras like
-    use_dynamic_cfg)."""
+    use_dynamic_cfg). `context_fn`, when given, returns a context manager
+    entered around each pipeline call IN THE WORKER THREAD — required for
+    thread-local state like `attention_provider` / `attention_mesh`
+    (sequence-parallel serving)."""
+    import contextlib
+
     import numpy as np
 
     base = {"height": 480, "width": 720, "num_frames": 49,
@@ -457,7 +463,8 @@ def make_video_generate_fn(pipeline, *, fps: int = 16,
         from ..data.video import export_to_video
 
         kw = prepare_pipeline_kwargs(request, base)
-        video = pipeline(**kw)
+        with (context_fn() if context_fn is not None else contextlib.nullcontext()):
+            video = pipeline(**kw)
         export_to_video((np.asarray(video[0]) + 1.0) / 2.0, output_path, fps=fps)
         return {"video_path": output_path,
                 "num_frames": int(video.shape[1]),
