@@ -37,7 +37,10 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: flo
     from vap_tpu.training.checkpoint import load_safetensors, merge_lora_into_state_dict
     from vap_tpu.utils.hub import resolve_model_dir, variant_weight_files
 
-    from cog_vap import parse_dtype
+    try:
+        from cog_vap import parse_dtype  # run as a script (infer/ on sys.path)
+    except ImportError:
+        from infer.cog_vap import parse_dtype  # imported as a package module
 
     dtype = parse_dtype(dtype_str)
     t_cfg = WanMOTConfig.wan_14b_i2v_vap()

@@ -66,6 +66,15 @@ def main(argv=None):
                    help="enable POST /shutdown")
     args = p.parse_args(argv)
 
+    # validate flag combos BEFORE the (slow) checkpoint load
+    if args.sp_degree > 1 and args.attn_provider and \
+            args.attn_provider.split()[0] != "ring":
+        # only the 'ring' provider consumes the seq mesh — anything else
+        # would silently serve unsharded single-chip attention
+        p.error("--sp_degree > 1 requires the 'ring' provider "
+                f"(got --attn_provider {args.attn_provider!r}); per-site "
+                "overrides like 'ring cross:xla' are fine")
+
     if args.family == "cogvideox":
         from infer.cog_vap import build_pipeline
 
@@ -105,7 +114,7 @@ def main(argv=None):
         provider = args.attn_provider
         if args.sp_degree > 1:
             mesh = make_mesh(MeshConfig(seq=args.sp_degree), jax.devices())
-            provider = provider or "ring"
+            provider = provider or "ring"  # the combo was validated above
 
         def context_fn():
             ctx = contextlib.ExitStack()

@@ -198,6 +198,60 @@ def test_warmup_gates_readiness(tmp_path):
         srv.stop(timeout=5)
 
 
+def test_warmup_failure_stays_unready(tmp_path):
+    def generate(request, output_path):
+        raise RuntimeError("no graphs for you")
+
+    srv = GenerationServer(generate, str(tmp_path))
+    port = srv.start(warmup_request={"prompt": "warm"})
+    try:
+        deadline = time.time() + 15
+        while srv.warmup_error is None and time.time() < deadline:
+            time.sleep(0.05)
+        code, body = _req(port, "/readyz")
+        assert code == 503 and body["ready"] is False
+        assert "no graphs for you" in body["warmup_error"]
+    finally:
+        srv.stop(timeout=5)
+
+
+def test_finished_job_history_is_bounded(tmp_path):
+    srv = GenerationServer(lambda r, o: {}, str(tmp_path), max_history=3)
+    port = srv.start()
+    try:
+        ids = []
+        for i in range(8):
+            _, sub = _req(port, "/generate", {"prompt": f"p{i}"})
+            _, job = _req(port, f"/jobs/{sub['job_id']}?wait=30")
+            assert job["status"] == "done"
+            ids.append(sub["job_id"])
+        _req(port, "/generate", {"prompt": "trigger-evict"})
+        deadline = time.time() + 10
+        while len(srv._jobs) > 4 and time.time() < deadline:
+            time.sleep(0.02)
+        # oldest finished jobs evicted; the registry stays bounded
+        assert _req(port, f"/jobs/{ids[0]}")[0] == 404
+        assert len(srv._jobs) <= srv.max_history + 1
+        _, m = _req(port, "/metrics")
+        assert m["jobs_submitted"] == 9  # counters survive eviction
+    finally:
+        srv.stop(timeout=5)
+
+
+def test_bad_wait_param_is_400(fake_server):
+    srv, port, release, _ = fake_server
+    release.set()
+    _, sub = _req(port, "/generate", {"prompt": "w"})
+    code, body = _req(port, f"/jobs/{sub['job_id']}?wait=abc")
+    assert code == 400 and "invalid wait" in body["error"]
+
+
+def test_validate_rejects_non_string_list_elements():
+    with pytest.raises(ValueError, match="list of strings"):
+        validate_request({"prompt": "x", "ref_video_paths": [1],
+                          "prompt_refs": ["a"]})
+
+
 def test_submit_library_surface(tmp_path):
     """submit()/QueueFull without HTTP — the library surface stands alone."""
     block = threading.Event()

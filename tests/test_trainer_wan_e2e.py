@@ -139,6 +139,18 @@ def test_build_wan_mot_from_base():
     for k in full:
         assert kept[k] is full[k], k
 
+    # a PARTIAL MoT checkpoint (trained with fewer MoT blocks than the new
+    # config asks for) heals: existing branch kept, missing blocks cloned
+    # from the trunk (same semantics as the CogVideoX path, train.py)
+    import dataclasses
+
+    wider = dataclasses.replace(cfg, block_idx_with_mot_ref=(0, 1))
+    healed = build_wan_mot_state_dict_from_base(dict(full), wider)
+    assert healed["blocks.0.attn1_mot_ref.to_q.weight"] is full["blocks.0.attn1_mot_ref.to_q.weight"]
+    np.testing.assert_array_equal(healed["blocks.1.attn1_mot_ref.to_q.weight"],
+                                  full["blocks.1.attn1.to_q.weight"])
+    convert_wan_mot_state_dict(healed, wider, jnp.float32)  # no KeyError
+
 
 def test_wan_forward_runs_all_mot_segments():
     """Plain (trunk-only) sampling of a partial-MoT checkpoint must run every

@@ -246,12 +246,13 @@ def _build_wan(args, sec, dtype):
                 load_safetensors(mot_path), t_cfg, dtype)}
             logger.info(f"loaded MoT transformer from {mot_path}")
         elif tr_sd is not None:
-            if "patch_embedding_mot_ref.weight" not in tr_sd:
-                # stock Wan checkpoint: clone the trunk into the MoT expert
-                # branch (reference wan base_specification.py:599-633)
-                tr_sd = build_wan_mot_state_dict_from_base(tr_sd, t_cfg)
-                logger.info("built MoT transformer from base checkpoint")
+            # stock Wan checkpoint: clone the trunk into the MoT expert
+            # branch (reference wan base_specification.py:599-633). A no-op
+            # on keys already present, so a finetuned MoT checkpoint keeps
+            # its trained branch and a partial one heals the missing blocks.
+            tr_sd = build_wan_mot_state_dict_from_base(tr_sd, t_cfg)
             params = {"transformer": convert_wan_mot_state_dict(tr_sd, t_cfg, dtype)}
+            logger.info("built MoT transformer from base checkpoint")
         else:
             params = {"transformer": init_wan_mot(key, t_cfg, dtype)}
             logger.info("random-initialized transformer (no checkpoint found)")

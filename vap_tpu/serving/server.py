@@ -101,13 +101,14 @@ class GenerationServer:
     """
 
     def __init__(self, generate_fn: Callable[[Dict[str, Any], str], Dict[str, Any]],
-                 output_dir: str, *, max_queue: int = 16,
+                 output_dir: str, *, max_queue: int = 16, max_history: int = 1000,
                  validate_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
                  allow_shutdown: bool = False):
         self._generate_fn = generate_fn
         self._validate_fn = validate_fn
         self.output_dir = output_dir
         self.max_queue = max_queue
+        self.max_history = max_history  # finished jobs retained (resident server)
         self.allow_shutdown = allow_shutdown
         self._jobs: Dict[str, Job] = {}
         self._order: List[str] = []  # insertion order
@@ -119,8 +120,9 @@ class GenerationServer:
         self._http_thread: Optional[threading.Thread] = None
         self._stopping = False
         self._ready = threading.Event()
+        self.warmup_error: Optional[str] = None
         self._started_at = time.time()
-        self._durations: List[float] = []  # seconds, done jobs only
+        self._durations: List[float] = []  # seconds of the last max_history done jobs
         self._counts = {"submitted": 0, "done": 0, "failed": 0, "rejected": 0}
 
     # ------------------------------------------------------------- lifecycle
@@ -138,7 +140,13 @@ class GenerationServer:
 
             def _flip_ready():
                 warm._done.wait()
-                self._ready.set()
+                if warm.status == "done":
+                    self._ready.set()
+                else:
+                    # stay unready: the jit graphs never compiled / the
+                    # pipeline is broken — the orchestrator must not route
+                    # traffic here. Surfaced in /readyz.
+                    self.warmup_error = warm.error
 
             threading.Thread(target=_flip_ready, daemon=True).start()
         else:
@@ -190,8 +198,26 @@ class GenerationServer:
             self._order.append(job.job_id)
             self._pending_count += 1
             self._counts["submitted"] += 1
+            self._evict_finished_locked()
         self._pending.put(job)
         return job
+
+    def _evict_finished_locked(self):
+        """Drop the oldest finished jobs beyond max_history — a resident
+        server must not grow without bound. Queued/running jobs always stay."""
+        finished = sum(1 for jid in self._order
+                       if self._jobs[jid].status in ("done", "failed"))
+        if finished <= self.max_history:
+            return
+        keep: List[str] = []
+        for jid in self._order:
+            if (finished > self.max_history
+                    and self._jobs[jid].status in ("done", "failed")):
+                del self._jobs[jid]
+                finished -= 1
+            else:
+                keep.append(jid)
+        self._order = keep
 
     def get_job(self, job_id: str) -> Optional[Job]:
         return self._jobs.get(job_id)
@@ -219,7 +245,7 @@ class GenerationServer:
             counts = dict(self._counts)
             pending = self._pending_count
             durs = sorted(self._durations)
-        running = sum(1 for j in self._jobs.values() if j.status == "running")
+            running = sum(1 for j in self._jobs.values() if j.status == "running")
         return {
             "uptime_s": time.time() - self._started_at,
             "ready": self.ready,
@@ -266,6 +292,8 @@ class GenerationServer:
                 with self._lock:
                     self._counts["done"] += 1
                     self._durations.append(time.time() - job.started_at)
+                    if len(self._durations) > self.max_history:
+                        del self._durations[0]
             except Exception as e:  # job fails, worker survives
                 job.status = "failed"
                 job.error = f"{type(e).__name__}: {e}"
@@ -304,8 +332,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200 if alive else 503,
                               {"status": "ok" if alive else "worker dead"})
         if url.path == "/readyz":
-            return self._send(200 if app.ready else 503,
-                              {"ready": app.ready})
+            body = {"ready": app.ready}
+            if app.warmup_error:
+                body["warmup_error"] = app.warmup_error
+            return self._send(200 if app.ready else 503, body)
         if url.path == "/metrics":
             fmt = parse_qs(url.query).get("format", [""])[0]
             if fmt == "prometheus":
@@ -320,13 +350,21 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(404, {"error": f"no such job {parts[1]!r}"})
             wait = parse_qs(url.query).get("wait", [None])[0]
             if wait is not None:
-                job._done.wait(timeout=min(float(wait), 600.0))
+                try:
+                    wait_s = float(wait)
+                except ValueError:
+                    return self._send(400, {"error": f"invalid wait={wait!r}"})
+                job._done.wait(timeout=min(wait_s, 600.0))
             return self._send(200, job.to_dict(app.queue_position(job)))
         return self._send(404, {"error": f"no such endpoint {url.path!r}"})
 
     def do_POST(self):
         app = self.server_app
         url = urlparse(self.path)
+        # ALWAYS drain the body first: on a keep-alive connection
+        # (protocol_version HTTP/1.1) unread bytes would be parsed as the
+        # next request line
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0) or 0))
         if url.path == "/shutdown":
             if not app.allow_shutdown:
                 return self._send(403, {"error": "shutdown disabled"})
@@ -336,8 +374,7 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path != "/generate":
             return self._send(404, {"error": f"no such endpoint {url.path!r}"})
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            request = json.loads(self.rfile.read(length) or b"{}")
+            request = json.loads(body or b"{}")
             if not isinstance(request, dict):
                 raise ValueError("request body must be a JSON object")
         except (ValueError, json.JSONDecodeError) as e:
@@ -387,6 +424,9 @@ def validate_request(request: Dict[str, Any]) -> None:
             raise ValueError(f"field {key!r} must be {_REQUEST_FIELDS[key]}")
     if not request.get("prompt"):
         raise ValueError("field 'prompt' is required")
+    for key in ("ref_video_paths", "prompt_refs"):
+        if any(not isinstance(v, str) for v in request.get(key) or []):
+            raise ValueError(f"field {key!r} must be a list of strings")
     refs = request.get("ref_video_paths") or (
         [request["ref_video_path"]] if request.get("ref_video_path") else [])
     prompts_ref = request.get("prompt_refs") or (
