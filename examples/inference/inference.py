@@ -198,7 +198,7 @@ def main():
                    help="export [ref | generated] comparison videos")
     p.add_argument("--fps", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--step_cache", default=None, help="denoise step caching, e.g. uniform:2 (PAB/AdaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
+    p.add_argument("--step_cache", default=None, help="denoise step caching, uniform:N[:w[:c]] or adaptive:THRESH[:w[:c]] (PAB/TeaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
     p.add_argument("--clip_score_model", default=None,
                    help="local HF CLIPModel dir: score generations against "
                         "their captions (reference README.md:73-81 metric); "

@@ -25,7 +25,7 @@ def main():
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--step_cache", default=None, help="denoise step caching, e.g. uniform:2 (PAB/AdaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
+    p.add_argument("--step_cache", default=None, help="denoise step caching, uniform:N[:w[:c]] or adaptive:THRESH[:w[:c]] (PAB/TeaCache-family opt-in accelerator; vap_tpu/pipelines/step_cache.py)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--shard_index", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)

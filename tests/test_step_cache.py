@@ -273,6 +273,16 @@ def test_wan_step_cache(monkeypatch):
         assert len(calls) == int(parse_step_cache_schedule("uniform:9:1:0", 3).sum())
         assert np.isfinite(sparse).all()
         assert not np.allclose(sparse, base, atol=1e-4)
+        # adaptive (TeaCache-family runtime schedule) on the Wan scan too:
+        # thresh 0 == uncached; huge thresh computes only the forced steps
+        calls.clear()
+        ada0 = gen(3, "adaptive:0:1:0")
+        assert len(calls) == 3
+        np.testing.assert_allclose(ada0, base, atol=1e-6, rtol=1e-6)
+        calls.clear()
+        ada_hi = gen(3, "adaptive:1e9:1:1")
+        assert len(calls) == 2  # warmup step 0 + cooldown last
+        assert np.isfinite(ada_hi).all()
 
 
 def test_reuse_steps_skip_the_forward(monkeypatch):
@@ -357,3 +367,66 @@ def test_step_cache_quality_harness(monkeypatch):
     assert passes_gate(0.0) and passes_gate(-1.0) and passes_gate(0.25)
     assert not passes_gate(0.26)
     assert passes_gate(1.0, max_clip_drop=2.0)
+
+
+def test_parse_adaptive_spec():
+    from vap_tpu.pipelines.step_cache import StepCacheSpec, parse_step_cache
+
+    sc = parse_step_cache("adaptive:0.1:2:1", 6)
+    assert isinstance(sc, StepCacheSpec) and sc.kind == "adaptive"
+    assert sc.thresh == 0.1
+    np.testing.assert_array_equal(sc.mask, [True, True, False, False, False, True])
+    # defaults: warmup 5, cooldown 5
+    sc = parse_step_cache("adaptive:0.2", 12)
+    assert sc.mask.sum() == 10 and not sc.mask[5] and not sc.mask[6]
+    # uniform specs round-trip through the same entry point
+    un = parse_step_cache("uniform:2:1:0", 5)
+    assert un.kind == "uniform"
+    np.testing.assert_array_equal(un.mask, parse_step_cache_schedule("uniform:2:1:0", 5))
+    assert parse_step_cache(None, 5) is None
+    with pytest.raises(ValueError, match="THRESH>=0"):
+        parse_step_cache("adaptive:-1", 5)
+    with pytest.raises(ValueError, match="THRESH>=0"):
+        parse_step_cache("adaptive:0.1:0", 5)  # warmup 0: step 0 uncached
+    with pytest.raises(ValueError, match="unknown step_cache spec"):
+        parse_step_cache("teacache:0.1", 5)
+    # the uniform-only legacy parser refuses runtime schedules loudly
+    with pytest.raises(ValueError, match="no static schedule"):
+        parse_step_cache_schedule("adaptive:0.1", 5)
+
+
+def test_adaptive_step_cache(monkeypatch):
+    """adaptive:0 recomputes every step (trajectory identical to uncached);
+    a huge threshold computes exactly the forced warmup/cooldown steps; the
+    computed-step count is monotone in the threshold."""
+    import vap_tpu.pipelines.cogvideox_i2v_mot as pl
+
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    calls = []
+    real_forward = pl.cogvideox_mot_forward
+
+    def counting_forward(*a, **kw):
+        jax.experimental.io_callback(lambda: calls.append(1), None, ordered=True)
+        return real_forward(*a, **kw)
+
+    monkeypatch.setattr(pl, "cogvideox_mot_forward", counting_forward)
+    pipe = _tiny_pipe()
+
+    def run(sc):
+        calls.clear()
+        out = np.asarray(_generate(pipe, 5, sc))
+        return out, len(calls)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        base, n_base = run(None)
+        zero, n_zero = run("adaptive:0:1:0")
+        forced, n_forced = run("adaptive:1e9:1:1")
+        mid, n_mid = run("adaptive:0.05:1:0")
+        hi, n_hi = run("adaptive:0.2:1:0")
+    assert n_base == n_zero == 5
+    np.testing.assert_allclose(zero, base, atol=1e-6, rtol=1e-6)
+    assert n_forced == 2  # step 0 (warmup) + last (cooldown)
+    assert np.isfinite(forced).all()
+    # runtime decisions: between the extremes, monotone in the threshold
+    assert 2 <= n_hi <= n_mid <= 5, (n_hi, n_mid)
+    assert np.isfinite(mid).all() and np.isfinite(hi).all()

@@ -17,7 +17,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..pipelines.step_cache import parse_step_cache_schedule
+from ..pipelines.step_cache import parse_step_cache
 
 # default promotion gate: a cached schedule must keep the mean CLIP score
 # within this absolute drop of the full-compute run (CLIP scores live on a
@@ -57,12 +57,15 @@ def evaluate_schedules(pipe, scorer, samples: Sequence[Dict[str, Any]],
              "total_steps": num_inference_steps, "clip_score": full,
              "clip_delta": 0.0, "passes_gate": True}]
     for spec in schedules:
-        mask = parse_step_cache_schedule(spec, num_inference_steps)
+        sc = parse_step_cache(spec, num_inference_steps)
         cached = run(spec)
         delta = full - cached
         rows.append({
             "schedule": spec,
-            "computed_steps": int(mask.sum()),
+            # adaptive schedules decide at runtime — only the forced
+            # warmup/cooldown floor is known statically
+            "computed_steps": (int(sc.mask.sum()) if sc.kind == "uniform"
+                               else f">={int(sc.mask.sum())} (runtime)"),
             "total_steps": num_inference_steps,
             "clip_score": cached,
             "clip_delta": delta,

@@ -209,8 +209,9 @@ class CogVideoXVAPPipeline:
                     *step_cache_xs, do_cfg=True):
             """latents: [B, F, C, H, W] fp32; *_latents conditioned inputs in
             model dtype; prompt_embeds(2B if cfg) etc. When built with
-            step_cached=True, one extra positional arg: bool[T] compute mask
-            (see pipelines/step_cache.py)."""
+            step_cached="uniform", one extra positional arg: bool[T] compute
+            mask; "adaptive": (bool[T] forced mask, f32 threshold). See
+            pipelines/step_cache.py."""
             bsz = latents.shape[0]
             mult = 2 if do_cfg else 1
 
@@ -290,11 +291,41 @@ class CogVideoXVAPPipeline:
                 (latents, _, _), _ = jax.lax.scan(step_fn, init, per_step)
                 return latents
 
-            # step-cached variant: skip the transformer on compute=False steps
-            # and reuse the carried raw (pre-CFG) prediction — lax.cond runs
+            # step-cached variants: skip the transformer on reuse steps and
+            # return the carried raw (pre-CFG) prediction — lax.cond runs
             # only the taken branch, so skipped steps cost no model FLOPs
-            per_step = dict(per_step, compute=step_cache_xs[0])
             cached0 = jnp.zeros((mult * bsz,) + latents.shape[1:], jnp.float32)
+
+            if step_cached == "adaptive":
+                # TeaCache-family runtime schedule (pipelines/step_cache.py):
+                # accumulate the relative L1 change of the scan INPUT latents
+                # since the last computed step; recompute once it crosses the
+                # threshold (or on forced warmup/cooldown steps)
+                per_step = dict(per_step, forced=step_cache_xs[0])
+                thresh = step_cache_xs[1]
+
+                def step_fn_adaptive(carry, per_step):
+                    latents, old_x0, key, cached, prev, accum = carry
+                    d = jnp.mean(jnp.abs(latents - prev)) / (
+                        jnp.mean(jnp.abs(prev)) + 1e-8)
+                    accum = accum + d
+                    compute = per_step["forced"] | (accum >= thresh)
+                    noise_pred = jax.lax.cond(
+                        compute,
+                        lambda lat: raw_pred(lat, per_step["t"]),
+                        lambda lat: cached,
+                        latents)
+                    accum = jnp.where(compute, 0.0, accum)
+                    new_latents, old_x0, key = advance(
+                        noise_pred, latents, old_x0, key, per_step)
+                    return (new_latents, old_x0, key, noise_pred, latents, accum), None
+
+                (latents, _, _, _, _, _), _ = jax.lax.scan(
+                    step_fn_adaptive,
+                    init + (cached0, latents, jnp.float32(0.0)), per_step)
+                return latents
+
+            per_step = dict(per_step, compute=step_cache_xs[0])
 
             def step_fn_cached(carry, per_step):
                 latents, old_x0, key, cached = carry
@@ -452,14 +483,19 @@ class CogVideoXVAPPipeline:
         else:
             guidance = np.full_like(ts, guidance_scale)
 
-        from .step_cache import parse_step_cache_schedule
+        from .step_cache import parse_step_cache
 
-        compute_mask = parse_step_cache_schedule(step_cache, num_inference_steps)
-        cache_xs = () if compute_mask is None else (jnp.asarray(compute_mask),)
+        sc = parse_step_cache(step_cache, num_inference_steps)
+        if sc is None:
+            cache_xs = ()
+        elif sc.kind == "uniform":
+            cache_xs = (jnp.asarray(sc.mask),)
+        else:  # adaptive: forced mask + runtime threshold
+            cache_xs = (jnp.asarray(sc.mask), jnp.float32(sc.thresh))
         denoise = self._build_denoise_fn(
             num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type,
             single_branch=single_branch, concat_refs=concat_refs,
-            step_cached=compute_mask is not None, t2v=t2v)
+            step_cached=sc.kind if sc is not None else False, t2v=t2v)
         key, dkey = jax.random.split(key)
         latents = denoise(
             self._component("transformer"), latents, image_latents_m, ref_latents_m, ref_image_latents_m,

@@ -245,10 +245,40 @@ class WanVAPPipeline:
                 (latents, _, _, _), _ = jax.lax.scan(step_fn, (latents, z, z, z), per)
                 return latents
 
-            # step-cached variant (PAB/AdaCache family, pipelines/step_cache.py):
-            # reuse the carried raw CFG-batch prediction on compute=False steps
-            per = dict(per, compute=step_cache_xs[0])
+            # step-cached variants (PAB/AdaCache/TeaCache family,
+            # pipelines/step_cache.py): reuse the carried raw CFG-batch
+            # prediction on skipped steps
             cached0 = jnp.zeros((mult * bsz,) + latents.shape[1:], jnp.float32)
+
+            if step_cached == "adaptive":
+                # runtime schedule: accumulated relative L1 change of the
+                # scan INPUT latents since the last computed step vs threshold
+                per = dict(per, forced=step_cache_xs[0])
+                thresh = step_cache_xs[1]
+
+                def step_fn_adaptive(carry, per):
+                    latents, m_prev, m_prev2, last_sample, cached, prev, accum = carry
+                    d = jnp.mean(jnp.abs(latents - prev)) / (
+                        jnp.mean(jnp.abs(prev)) + 1e-8)
+                    accum = accum + d
+                    compute = per["forced"] | (accum >= thresh)
+                    pred = jax.lax.cond(
+                        compute,
+                        lambda lat: raw_pred(lat, per["t"]),
+                        lambda lat: cached,
+                        latents)
+                    accum = jnp.where(compute, 0.0, accum)
+                    new_latents, m_prev, m_prev2, last_sample = advance(
+                        pred, latents, m_prev, m_prev2, last_sample, per)
+                    return (new_latents, m_prev, m_prev2, last_sample,
+                            pred, latents, accum), None
+
+                (latents, _, _, _, _, _, _), _ = jax.lax.scan(
+                    step_fn_adaptive,
+                    (latents, z, z, z, cached0, latents, jnp.float32(0.0)), per)
+                return latents
+
+            per = dict(per, compute=step_cache_xs[0])
 
             def step_fn_cached(carry, per):
                 latents, m_prev, m_prev2, last_sample, cached = carry
@@ -366,12 +396,17 @@ class WanVAPPipeline:
         else:
             sig_arg = jnp.asarray(self.scheduler.sigmas(num_inference_steps))
 
-        from .step_cache import parse_step_cache_schedule
+        from .step_cache import parse_step_cache
 
-        compute_mask = parse_step_cache_schedule(step_cache, num_inference_steps)
-        cache_xs = () if compute_mask is None else (jnp.asarray(compute_mask),)
+        sc = parse_step_cache(step_cache, num_inference_steps)
+        if sc is None:
+            cache_xs = ()
+        elif sc.kind == "uniform":
+            cache_xs = (jnp.asarray(sc.mask),)
+        else:  # adaptive: forced mask + runtime threshold
+            cache_xs = (jnp.asarray(sc.mask), jnp.float32(sc.thresh))
         denoise = self._build_denoise_fn(use_unipc, r,
-                                         step_cached=compute_mask is not None,
+                                         step_cached=sc.kind if sc is not None else False,
                                          plain=plain, t2v=t2v)
         latents = denoise(
             self._component("transformer"), latents, condition, ref_input,
