@@ -22,7 +22,8 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: flo
                    text_encoder_dtype: str = None,
                    lora_path: str = None, lora_scale: float = None,
                    enable_vae_tiling: bool = False, enable_vae_slicing: bool = False,
-                   enable_model_offload: bool = False):
+                   enable_model_offload: bool = False,
+                   offload_blocks_chunk: int = None):
     """Assemble the Wan2.1 VAP pipeline from a checkpoint directory or a
     cached hub id, with the reference inference CLI's per-component
     id/dtype/LoRA/tiling surface (reference examples/inference/
@@ -62,6 +63,9 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: flo
 
     import jax
 
+    # streamed block offload needs the whole param tree on host too
+    enable_model_offload = enable_model_offload or bool(offload_blocks_chunk)
+
     t_sd = load_dir("transformer", transformer_id)
     if lora_path:
         t_sd = merge_lora_into_state_dict(t_sd, lora_path, lora_scale)
@@ -92,7 +96,8 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: flo
         params=params, tokenizer=tokenizer,
         scheduler=FlowMatchEulerScheduler(shift=flow_shift), dtype=dtype,
         enable_vae_tiling=enable_vae_tiling, enable_vae_slicing=enable_vae_slicing,
-        enable_model_offload=enable_model_offload)
+        enable_model_offload=enable_model_offload,
+        offload_blocks_chunk=offload_blocks_chunk)
 
 
 def main():
@@ -119,6 +124,12 @@ def main():
                    help="keep params on host, stage one component into HBM at "
                         "a time (reference enable_model_cpu_offload analog; "
                         "fits the full pipeline on a 16 GB chip)")
+    p.add_argument("--offload_blocks_chunk", type=int, default=None,
+                   help="stream the transformer block stack through HBM this "
+                        "many blocks at a time during the denoise (reference "
+                        "enable_sequential_cpu_offload analog; runs the 14B "
+                        "at bf16 on one 16 GB chip, ~8 GB peak at 1; slow — "
+                        "weights cross the host link every step)")
     args = p.parse_args()
 
     if args.ref_video and not args.prompt_ref:
@@ -142,7 +153,9 @@ def main():
             np.stack(frames).astype(np.float32) / 255.0, args.height, args.width))]
         prompt_mot_ref = [args.prompt_ref]
 
-    pipe = build_pipeline(args.model_path, enable_model_offload=args.enable_model_offload)
+    pipe = build_pipeline(args.model_path,
+                          enable_model_offload=args.enable_model_offload,
+                          offload_blocks_chunk=args.offload_blocks_chunk)
     video = pipe(
         image=image, prompt=args.prompt, ref_videos=ref_videos,
         prompt_mot_ref=prompt_mot_ref, height=args.height, width=args.width,

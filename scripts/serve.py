@@ -48,6 +48,10 @@ def main(argv=None):
     p.add_argument("--enable_tiling", action="store_true")
     p.add_argument("--enable_slicing", action="store_true")
     p.add_argument("--enable_model_offload", action="store_true")
+    p.add_argument("--offload_blocks_chunk", type=int, default=None,
+                   help="wan only: stream the transformer block stack "
+                        "through HBM this many blocks at a time (sequential-"
+                        "offload analog; Wan-14B bf16 on one 16 GB chip)")
     p.add_argument("--flow_shift", type=float, default=3.0,
                    help="wan only: FlowMatch shift")
     p.add_argument("--sp_degree", type=int, default=1,
@@ -67,6 +71,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     # validate flag combos BEFORE the (slow) checkpoint load
+    if args.offload_blocks_chunk and args.family != "wan":
+        p.error("--offload_blocks_chunk is wan-only (CogVideoX-5B fits a "
+                "16 GB chip with --enable_model_offload)")
     if args.sp_degree > 1 and args.attn_provider and \
             args.attn_provider.split()[0] != "ring":
         # only the 'ring' provider consumes the seq mesh — anything else
@@ -92,7 +99,8 @@ def main(argv=None):
             lora_path=args.lora_path, lora_scale=args.lora_scale,
             enable_vae_tiling=args.enable_tiling,
             enable_vae_slicing=args.enable_slicing,
-            enable_model_offload=args.enable_model_offload)
+            enable_model_offload=args.enable_model_offload,
+            offload_blocks_chunk=args.offload_blocks_chunk)
         defaults = {"width": 832, "guidance_scale": 5.0}
 
     from vap_tpu.serving import (GenerationServer, make_video_generate_fn,

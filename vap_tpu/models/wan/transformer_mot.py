@@ -245,35 +245,21 @@ def wan_forward(
 ) -> Array:
     """Plain WanTransformer3DModel.forward (no MoT branch): the control
     trainer's diffusion backbone. Returns [B, F, H, W, C_out]."""
-    b, f, h, w, _ = hidden_states.shape
+    _, f, h, w, _ = hidden_states.shape
     pt, ph, pw = cfg.patch_size
     ppf, pph, ppw = f // pt, h // ph, w // pw
     dtype = hidden_states.dtype
 
-    rope = wan_rope(cfg, ppf, pph, ppw)
-    hs = _patchify_wan(params["patch_embedding"], cfg, hidden_states)
-    temb, tproj, ctx_text, ctx_img = _condition_embedder(
-        params["condition_embedder"], cfg, timestep, encoder_hidden_states,
-        encoder_hidden_states_image, dtype)
-    tproj = tproj.reshape(b, 6, -1).astype(jnp.float32)
-
-    def body(hs, bp):
-        out, _ = _block_forward(
-            bp, cfg, False, hs, ctx_text, ctx_img, tproj, rope,
-            None, None, None, None, None, 1)
-        return out, None
-
+    carry, aux = wan_prologue(
+        params, cfg, hidden_states=hidden_states, timestep=timestep,
+        encoder_hidden_states=encoder_hidden_states,
+        encoder_hidden_states_image=encoder_hidden_states_image)
     # plain-converted params carry one segment holding every block; MoT
     # params (plain sampling of a partial-MoT checkpoint) carry one stacked
     # segment per contiguous has_mot run — run them ALL, trunk-only
     for seg in params["blocks"]:
-        hs = scan_blocks_with_remat(body, hs, seg, remat)
-
-    st = params["scale_shift_table"].astype(jnp.float32)[None] + temb.astype(jnp.float32)[:, None]
-    shift, scale = st[:, 0][:, None], st[:, 1][:, None]
-    hs = (layer_norm({}, hs.astype(jnp.float32), cfg.eps) * (1 + scale) + shift).astype(dtype)
-    hs = linear(params["proj_out"], hs)
-    return _unpatchify_wan(cfg, hs, ppf, pph, ppw)
+        carry = wan_run_segment(seg, cfg, False, carry, aux, remat=remat)
+    return wan_epilogue(params, cfg, carry, aux, ppf, pph, ppw, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -475,8 +461,117 @@ def _condition_embedder(p: Params, cfg: WanMOTConfig, timestep: Array, text: Arr
 
 
 # ---------------------------------------------------------------------------
-# full model forward
+# full model forward — decomposed into prologue / segments / epilogue so the
+# streamed-offload runner (pipelines/streamed.py, the reference
+# enable_sequential_cpu_offload analog) can jit each piece separately and
+# stage block chunks into HBM one at a time. The monolithic forwards below
+# are thin compositions of these, so both paths share one implementation.
 # ---------------------------------------------------------------------------
+
+def wan_prologue(params: Params, cfg: WanMOTConfig, *, hidden_states, timestep,
+                 encoder_hidden_states, encoder_hidden_states_image=None,
+                 hidden_states_mot_ref=None, timestep_mot_ref=None,
+                 encoder_hidden_states_mot_ref=None,
+                 encoder_hidden_states_image_mot_ref=None, num_mot_ref: int = 1,
+                 mot: bool = False):
+    """Embeddings + patchify + RoPE. `params` needs only the non-block
+    entries. Returns (carry, aux): carry = (hs,) or (hs, hs_ref); aux = the
+    per-forward tensors every block consumes plus the epilogue's temb(s)."""
+    b, f, h, w, _ = hidden_states.shape
+    pt, ph, pw = cfg.patch_size
+    ppf, pph, ppw = f // pt, h // ph, w // pw
+    dtype = hidden_states.dtype
+
+    rope = wan_rope(cfg, ppf, pph, ppw)
+    hs = _patchify_wan(params["patch_embedding"], cfg, hidden_states)
+    temb, tproj, ctx_text, ctx_img = _condition_embedder(
+        params["condition_embedder"], cfg, timestep, encoder_hidden_states,
+        encoder_hidden_states_image, dtype)
+    tproj = tproj.reshape(b, 6, -1).astype(jnp.float32)
+    aux = {"ctx_text": ctx_text, "ctx_img": ctx_img, "tproj": tproj,
+           "rope": rope, "temb": temb}
+
+    if not mot:
+        return (hs,), aux
+
+    r = num_mot_ref
+    f_ref = hidden_states_mot_ref.shape[1]
+    rope_ref = wan_rope(cfg, (f_ref // pt), pph, ppw, negative_time=True,
+                        total_ref_frames=f_ref)
+    # per-ref patchify keeps each ref's token block contiguous
+    vid_ref = hidden_states_mot_ref.reshape(b * r, f_ref // r, h, w, -1)
+    hs_ref = _patchify_wan(params["patch_embedding_mot_ref"], cfg, vid_ref)
+    hs_ref = hs_ref.reshape(b, -1, cfg.inner_dim)
+
+    # per-ref condition embedding (WanTimeTextImageEmbeddingRef, :314-366)
+    temb_ref, tproj_ref, ctx_text_ref, ctx_img_ref = _condition_embedder(
+        params["condition_embedder_mot_ref"], cfg, timestep_mot_ref.reshape(-1),
+        encoder_hidden_states_mot_ref, encoder_hidden_states_image_mot_ref, dtype)
+    aux.update({
+        "ctx_text_ref": ctx_text_ref, "ctx_img_ref": ctx_img_ref,
+        "tproj_ref": tproj_ref.reshape(b, r, 6, -1).astype(jnp.float32),
+        "rope_ref": rope_ref, "temb_ref": temb_ref,
+    })
+    return (hs, hs_ref), aux
+
+
+def wan_run_segment(seg_params: Params, cfg: WanMOTConfig, has_mot: bool,
+                    carry, aux, num_mot_ref: int = 1, remat: bool = False):
+    """Scan one stacked block segment (or a chunk of one) over the carry."""
+    mot = len(carry) == 2
+
+    if not mot:
+        def body(hs, bp):
+            out, _ = _block_forward(
+                bp, cfg, has_mot, hs, aux["ctx_text"], aux["ctx_img"],
+                aux["tproj"], aux["rope"], None, None, None, None, None, 1)
+            return out, None
+
+        return (scan_blocks_with_remat(body, carry[0], seg_params, remat),)
+
+    def body(carry, bp):
+        hs, hs_ref = carry
+        out = _block_forward(
+            bp, cfg, has_mot, hs, aux["ctx_text"], aux["ctx_img"],
+            aux["tproj"], aux["rope"], hs_ref, aux["ctx_text_ref"],
+            aux["ctx_img_ref"], aux["tproj_ref"], aux["rope_ref"], num_mot_ref)
+        return out, None
+
+    return scan_blocks_with_remat(body, carry, seg_params, remat)
+
+
+def wan_epilogue(params: Params, cfg: WanMOTConfig, carry, aux,
+                 ppf: int, pph: int, ppw: int, num_mot_ref: int = 1,
+                 dtype=None):
+    """Final AdaLN + projection(s) + unpatchify. `params` needs only the
+    head entries. Returns output or (output, output_mot_ref)."""
+    mot = len(carry) == 2
+    hs = carry[0]
+    temb = aux["temb"]
+    dtype = dtype or hs.dtype
+    st = params["scale_shift_table"].astype(jnp.float32)[None] + temb.astype(jnp.float32)[:, None]
+    shift, scale = st[:, 0][:, None], st[:, 1][:, None]
+    hs = (layer_norm({}, hs.astype(jnp.float32), cfg.eps) * (1 + scale) + shift).astype(dtype)
+    hs = linear(params["proj_out"], hs)
+    output = _unpatchify_wan(cfg, hs, ppf, pph, ppw)
+    if not mot:
+        return output
+
+    output_ref = None
+    if cfg.reference_train_mode == "reference_independent":
+        hs_ref = carry[1]
+        b, r = hs.shape[0], num_mot_ref
+        temb_ref = aux["temb_ref"]
+        st_r = (params["scale_shift_table_mot_ref"].astype(jnp.float32)[None]
+                + temb_ref.astype(jnp.float32)[:, None]).reshape(b, r, 2, -1)
+        shift_r, scale_r = st_r[:, :, 0][:, :, None], st_r[:, :, 1][:, :, None]
+        nref = layer_norm({}, hs_ref.astype(jnp.float32), cfg.eps).reshape(b, r, hs_ref.shape[1] // r, -1)
+        nref = ((nref * (1 + scale_r) + shift_r).reshape(b, hs_ref.shape[1], -1)).astype(dtype)
+        nref = linear(params["proj_out_mot_ref"], nref)
+        ppf_ref = hs_ref.shape[1] // (pph * ppw)
+        output_ref = _unpatchify_wan(cfg, nref, ppf_ref, pph, ppw)
+    return output, output_ref
+
 
 def wan_mot_forward(
     params: Params,
@@ -494,60 +589,22 @@ def wan_mot_forward(
     remat: bool = False,
 ):
     """Returns (output [B, F, H, W, C_out], output_mot_ref or None)."""
-    b, f, h, w, _ = hidden_states.shape
+    _, f, h, w, _ = hidden_states.shape
     pt, ph, pw = cfg.patch_size
     ppf, pph, ppw = f // pt, h // ph, w // pw
-    r = num_mot_ref
-    f_ref = hidden_states_mot_ref.shape[1]
     dtype = hidden_states.dtype
 
-    rope = wan_rope(cfg, ppf, pph, ppw)
-    rope_ref = wan_rope(cfg, (f_ref // pt), pph, ppw, negative_time=True, total_ref_frames=f_ref)
-
-    hs = _patchify_wan(params["patch_embedding"], cfg, hidden_states)
-    # per-ref patchify keeps each ref's token block contiguous
-    vid_ref = hidden_states_mot_ref.reshape(b * r, f_ref // r, h, w, -1)
-    hs_ref = _patchify_wan(params["patch_embedding_mot_ref"], cfg, vid_ref)
-    hs_ref = hs_ref.reshape(b, -1, cfg.inner_dim)
-
-    temb, tproj, ctx_text, ctx_img = _condition_embedder(
-        params["condition_embedder"], cfg, timestep, encoder_hidden_states,
-        encoder_hidden_states_image, dtype)
-    tproj = tproj.reshape(b, 6, -1).astype(jnp.float32)
-
-    # per-ref condition embedding (WanTimeTextImageEmbeddingRef, :314-366)
-    text_ref = encoder_hidden_states_mot_ref
-    img_ref = encoder_hidden_states_image_mot_ref
-    temb_ref, tproj_ref, ctx_text_ref, ctx_img_ref = _condition_embedder(
-        params["condition_embedder_mot_ref"], cfg, timestep_mot_ref.reshape(-1), text_ref, img_ref, dtype)
-    tproj_ref = tproj_ref.reshape(b, r, 6, -1).astype(jnp.float32)
-
-    carry = (hs, hs_ref)
+    carry, aux = wan_prologue(
+        params, cfg, hidden_states=hidden_states, timestep=timestep,
+        encoder_hidden_states=encoder_hidden_states,
+        encoder_hidden_states_image=encoder_hidden_states_image,
+        hidden_states_mot_ref=hidden_states_mot_ref,
+        timestep_mot_ref=timestep_mot_ref,
+        encoder_hidden_states_mot_ref=encoder_hidden_states_mot_ref,
+        encoder_hidden_states_image_mot_ref=encoder_hidden_states_image_mot_ref,
+        num_mot_ref=num_mot_ref, mot=True)
     for (start, length, has_mot), sp in zip(cfg.mot_segments, params["blocks"]):
-        def body(carry, bp, has_mot=has_mot):
-            hs, hs_ref = carry
-            out = _block_forward(
-                bp, cfg, has_mot, hs, ctx_text, ctx_img, tproj, rope,
-                hs_ref, ctx_text_ref, ctx_img_ref, tproj_ref, rope_ref, r)
-            return out, None
-        carry = scan_blocks_with_remat(body, carry, sp, remat)
-    hs, hs_ref = carry
-
-    # output head
-    st = params["scale_shift_table"].astype(jnp.float32)[None] + temb.astype(jnp.float32)[:, None]
-    shift, scale = st[:, 0][:, None], st[:, 1][:, None]
-    hs = (layer_norm({}, hs.astype(jnp.float32), cfg.eps) * (1 + scale) + shift).astype(dtype)
-    hs = linear(params["proj_out"], hs)
-    output = _unpatchify_wan(cfg, hs, ppf, pph, ppw)
-
-    output_ref = None
-    if cfg.reference_train_mode == "reference_independent":
-        st_r = (params["scale_shift_table_mot_ref"].astype(jnp.float32)[None]
-                + temb_ref.astype(jnp.float32)[:, None]).reshape(b, r, 2, -1)
-        shift_r, scale_r = st_r[:, :, 0][:, :, None], st_r[:, :, 1][:, :, None]
-        nref = layer_norm({}, hs_ref.astype(jnp.float32), cfg.eps).reshape(b, r, hs_ref.shape[1] // r, -1)
-        nref = ((nref * (1 + scale_r) + shift_r).reshape(b, hs_ref.shape[1], -1)).astype(dtype)
-        nref = linear(params["proj_out_mot_ref"], nref)
-        output_ref = _unpatchify_wan(cfg, nref, (f_ref // pt), pph, ppw)
-
-    return output, output_ref
+        carry = wan_run_segment(sp, cfg, has_mot, carry, aux,
+                                num_mot_ref=num_mot_ref, remat=remat)
+    return wan_epilogue(params, cfg, carry, aux, ppf, pph, ppw,
+                        num_mot_ref=num_mot_ref, dtype=dtype)

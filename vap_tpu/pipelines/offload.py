@@ -10,11 +10,13 @@ component into device HBM at a time: text encoder -> VAE (image/ref
 encode) -> transformer (the scanned denoise loop) -> VAE (decode). The
 peak becomes the largest single component instead of the sum.
 
-The reference's *sequential* (per-layer) offload has no sensible TPU
-analog — streaming per-block weights over PCIe/tunnel every scan step
-would serialize the MXU behind host DMA; the framework's answer for
-tighter budgets is W8A8 storage (`quantize_*_transformer`, halves the
-transformer) composed with this module-level staging.
+The reference's *sequential* (per-layer) offload tier — CogVideoX ~7.5 GB,
+Wan ~8 GB — is covered by `pipelines/streamed.py`: the block stack streams
+through HBM in double-buffered chunks during the denoise
+(`offload_blocks_chunk`), which is what lets Wan-14B run at bf16 on a
+single 16 GB v5e. For merely-tight (not overflowing) budgets, prefer W8A8
+storage (`quantize_*_transformer`, halves the transformer) composed with
+this module-level staging — it costs no extra weight traffic.
 """
 
 from __future__ import annotations

@@ -116,6 +116,12 @@ class WanVAPPipeline:
     # enable_model_cpu_offload): params stay on HOST; one component at a
     # time is staged into device HBM (see pipelines/offload.py)
     enable_model_offload: bool = False
+    # streamed block offload (reference enable_sequential_cpu_offload tier):
+    # stage this many transformer blocks into HBM at a time during the
+    # denoise — runs Wan-14B on a 16 GB chip at bf16 (pipelines/streamed.py).
+    # Implies enable_model_offload semantics for the transformer; build the
+    # pipeline with enable_model_offload=True so params land on host.
+    offload_blocks_chunk: Optional[int] = None
     _staged: list = dataclasses.field(default_factory=list, repr=False)
 
     def _component(self, name: str):
@@ -298,6 +304,87 @@ class WanVAPPipeline:
         cache[key] = denoise
         return denoise
 
+    def _denoise_streamed(self, latents, condition, ref_input, embeds,
+                          embeds_ref, img_embeds, img_embeds_ref, ts, sig_arg,
+                          guidance, sc, use_unipc, plain, t2v, r, do_cfg):
+        """Python-level denoise loop for streamed block offload
+        (pipelines/streamed.py): each step stages the block stack through
+        HBM chunk by chunk, so the scan cannot live inside one jit. The
+        per-step math mirrors the jitted scan exactly (same raw_pred /
+        CFG-combine / scheduler step; step-cache decisions move to host)."""
+        from .streamed import StreamedWanTransformer
+
+        runners = self.__dict__.setdefault("_streamed_runners", {})
+        runner_key = (self.offload_blocks_chunk, plain, r)
+        runner = runners.get(runner_key)
+        if runner is None:
+            runner = StreamedWanTransformer(
+                self.params["transformer"], self.transformer_cfg,
+                self.offload_blocks_chunk, mot=not plain, num_mot_ref=r)
+            runners[runner_key] = runner
+
+        bsz = latents.shape[0]
+        mult = 2 if do_cfg else 1
+        if not t2v:
+            cond_in = jnp.concatenate([condition.astype(self.dtype)] * mult, axis=0)
+        if not plain:
+            ref_in = jnp.concatenate([ref_input.astype(self.dtype)] * mult, axis=0)
+            t_ref = jnp.ones((mult * bsz, r), jnp.float32)
+
+        def raw_pred(lat, t):
+            x_in = jnp.concatenate([lat.astype(self.dtype)] * mult, axis=0)
+            if not t2v:
+                x_in = jnp.concatenate([x_in, cond_in], axis=-1)
+            tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (mult * bsz,))
+            if plain:
+                pred = runner(hidden_states=x_in, timestep=tt,
+                              encoder_hidden_states=embeds,
+                              encoder_hidden_states_image=img_embeds)
+            else:
+                pred, _ = runner(hidden_states=x_in, timestep=tt,
+                                 encoder_hidden_states=embeds,
+                                 encoder_hidden_states_image=img_embeds,
+                                 hidden_states_mot_ref=ref_in,
+                                 timestep_mot_ref=t_ref,
+                                 encoder_hidden_states_mot_ref=embeds_ref,
+                                 encoder_hidden_states_image_mot_ref=img_embeds_ref,
+                                 num_mot_ref=r)
+            return pred.astype(jnp.float32)
+
+        latents = latents.astype(jnp.float32)
+        z = jnp.zeros_like(latents)
+        m_prev, m_prev2, last_sample = z, z, z
+        cached = None
+        prev, accum = latents, 0.0
+        for i in range(len(ts)):
+            # step-cache decision on host (same semantics as the scan forms)
+            if sc is None:
+                compute = True
+            elif sc.kind == "uniform":
+                compute = bool(sc.mask[i])
+            else:
+                d = float(jnp.mean(jnp.abs(latents - prev))
+                          / (jnp.mean(jnp.abs(prev)) + 1e-8))
+                accum += d
+                compute = bool(sc.mask[i]) or accum >= sc.thresh
+                if compute:
+                    accum = 0.0
+                prev = latents
+            if compute or cached is None:
+                cached = raw_pred(latents, ts[i])
+            pred = cached
+            if do_cfg:
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                pred = uncond + float(guidance[i]) * (cond - uncond)
+            if use_unipc:
+                per_coeffs = {k: v[i] for k, v in sig_arg.items()}
+                latents, (m_prev, m_prev2, last_sample) = self.scheduler.step(
+                    pred, latents, (m_prev, m_prev2, last_sample), per_coeffs)
+            else:
+                latents = self.scheduler.step(pred, latents, sig_arg[i], sig_arg[i + 1])
+        runner.release()
+        return latents
+
     def __call__(
         self,
         image: np.ndarray,                       # [H, W, 3] in [-1, 1]
@@ -405,15 +492,21 @@ class WanVAPPipeline:
             cache_xs = (jnp.asarray(sc.mask),)
         else:  # adaptive: forced mask + runtime threshold
             cache_xs = (jnp.asarray(sc.mask), jnp.float32(sc.thresh))
-        denoise = self._build_denoise_fn(use_unipc, r,
-                                         step_cached=sc.kind if sc is not None else False,
-                                         plain=plain, t2v=t2v)
-        latents = denoise(
-            self._component("transformer"), latents, condition, ref_input,
-            embeds, embeds_ref, img_embeds, img_embeds_ref,
-            jnp.asarray(ts), sig_arg, jnp.asarray(guidance), *cache_xs,
-            do_cfg=do_cfg,
-        )
+        if self.offload_blocks_chunk:
+            latents = self._denoise_streamed(
+                latents, condition, ref_input, embeds, embeds_ref,
+                img_embeds, img_embeds_ref, ts, sig_arg, guidance,
+                sc, use_unipc, plain, t2v, r, do_cfg)
+        else:
+            denoise = self._build_denoise_fn(use_unipc, r,
+                                             step_cached=sc.kind if sc is not None else False,
+                                             plain=plain, t2v=t2v)
+            latents = denoise(
+                self._component("transformer"), latents, condition, ref_input,
+                embeds, embeds_ref, img_embeds, img_embeds_ref,
+                jnp.asarray(ts), sig_arg, jnp.asarray(guidance), *cache_xs,
+                do_cfg=do_cfg,
+            )
 
         if output_type == "latent":
             return latents
