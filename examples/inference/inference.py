@@ -61,10 +61,10 @@ class Inference:
             enable_vae_tiling=getattr(args, "enable_tiling", False),
             enable_vae_slicing=getattr(args, "enable_slicing", False),
             enable_model_offload=getattr(args, "enable_model_offload", False),
+            offload_blocks_chunk=getattr(args, "offload_blocks_chunk", None),
         )
         if args.model_name == "wan":
             build_kwargs["image_encoder_id"] = getattr(args, "image_encoder_id", None)
-            build_kwargs["offload_blocks_chunk"] = getattr(args, "offload_blocks_chunk", None)
         self.pipe = build_pipeline(args.model_path, **build_kwargs)
         self.suite = None
         if getattr(args, "clip_score_model", None) or getattr(args, "raft_model", None):
@@ -243,10 +243,10 @@ def main():
                         "README.md:202-260 — fits T5-XXL + 5B transformer "
                         "inference on a 16 GB chip)")
     p.add_argument("--offload_blocks_chunk", type=int, default=None,
-                   help="wan only: stream the block stack through HBM this "
-                        "many blocks at a time during the denoise (reference "
+                   help="stream the block stack through HBM this many blocks "
+                        "at a time during the denoise (reference "
                         "enable_sequential_cpu_offload analog — Wan-14B bf16 "
-                        "on one 16 GB chip)")
+                        "on one 16 GB chip, CogVideoX at the ~7.5 GB tier)")
     args = p.parse_args()
     Inference(args).run()
 

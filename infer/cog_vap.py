@@ -42,7 +42,8 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
                    text_encoder_dtype: str = None,
                    lora_path: str = None, lora_scale: float = None,
                    enable_vae_tiling: bool = False, enable_vae_slicing: bool = False,
-                   enable_model_offload: bool = False):
+                   enable_model_offload: bool = False,
+                   offload_blocks_chunk: int = None):
     """Assemble the CogVideoX VAP pipeline from a checkpoint directory or a
     cached hub id. Mirrors the reference inference CLI's per-component
     surface (reference examples/inference/inference.py:548-583): each
@@ -77,6 +78,9 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
 
     import jax
 
+    # streamed block offload needs the whole param tree on host too
+    enable_model_offload = enable_model_offload or bool(offload_blocks_chunk)
+
     t_sd = load_dir("transformer", transformer_id)
     if lora_path:
         t_sd = merge_lora_into_state_dict(t_sd, lora_path, lora_scale)
@@ -104,7 +108,8 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
         transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
         params=params, tokenizer=tokenizer, dtype=dtype,
         enable_vae_tiling=enable_vae_tiling, enable_vae_slicing=enable_vae_slicing,
-        enable_model_offload=enable_model_offload)
+        enable_model_offload=enable_model_offload,
+        offload_blocks_chunk=offload_blocks_chunk)
 
 
 def main():
@@ -131,6 +136,11 @@ def main():
                    help="keep params on host, stage one component into HBM at "
                         "a time (reference enable_model_cpu_offload analog; "
                         "fits the full pipeline on a 16 GB chip)")
+    p.add_argument("--offload_blocks_chunk", type=int, default=None,
+                   help="stream the transformer block stack through HBM this "
+                        "many blocks at a time during the denoise (reference "
+                        "enable_sequential_cpu_offload analog, the ~7.5 GB "
+                        "tier; slow — weights cross the host link every step)")
     args = p.parse_args()
 
     if args.ref_video and not args.prompt_ref:
@@ -154,7 +164,9 @@ def main():
             np.stack(frames).astype(np.float32) / 255.0, args.height, args.width))]
         prompt_mot_ref = [args.prompt_ref]
 
-    pipe = build_pipeline(args.model_path, enable_model_offload=args.enable_model_offload)
+    pipe = build_pipeline(args.model_path,
+                          enable_model_offload=args.enable_model_offload,
+                          offload_blocks_chunk=args.offload_blocks_chunk)
     video = pipe(
         image=image, prompt=args.prompt, ref_videos=ref_videos,
         prompt_mot_ref=prompt_mot_ref, height=args.height, width=args.width,

@@ -49,9 +49,9 @@ def main(argv=None):
     p.add_argument("--enable_slicing", action="store_true")
     p.add_argument("--enable_model_offload", action="store_true")
     p.add_argument("--offload_blocks_chunk", type=int, default=None,
-                   help="wan only: stream the transformer block stack "
-                        "through HBM this many blocks at a time (sequential-"
-                        "offload analog; Wan-14B bf16 on one 16 GB chip)")
+                   help="stream the transformer block stack through HBM "
+                        "this many blocks at a time (sequential-offload "
+                        "analog; Wan-14B bf16 on one 16 GB chip)")
     p.add_argument("--flow_shift", type=float, default=3.0,
                    help="wan only: FlowMatch shift")
     p.add_argument("--sp_degree", type=int, default=1,
@@ -71,9 +71,6 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     # validate flag combos BEFORE the (slow) checkpoint load
-    if args.offload_blocks_chunk and args.family != "wan":
-        p.error("--offload_blocks_chunk is wan-only (CogVideoX-5B fits a "
-                "16 GB chip with --enable_model_offload)")
     if args.sp_degree > 1 and args.attn_provider and \
             args.attn_provider.split()[0] != "ring":
         # only the 'ring' provider consumes the seq mesh — anything else
@@ -89,7 +86,8 @@ def main(argv=None):
             args.model_path, args.dtype, lora_path=args.lora_path,
             lora_scale=args.lora_scale, enable_vae_tiling=args.enable_tiling,
             enable_vae_slicing=args.enable_slicing,
-            enable_model_offload=args.enable_model_offload)
+            enable_model_offload=args.enable_model_offload,
+            offload_blocks_chunk=args.offload_blocks_chunk)
         defaults = {"width": 720, "guidance_scale": 6.0, "use_dynamic_cfg": True}
     else:
         from infer.wan_vap import build_pipeline

@@ -154,3 +154,75 @@ def test_streamed_14b_memory_budget():
     # chunk=2 (fewer, larger transfers) still fits the 16 GB chip
     assert peak1 < 9e9, f"peak {peak1/1e9:.1f} GB"
     assert peak2 < 16e9 * 0.85, f"peak {peak2/1e9:.1f} GB"
+
+
+def _cog_pipe(**pipe_kw):
+    from vap_tpu.models.cogvideox import CogVideoXMOTConfig, init_cogvideox_mot
+    from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig
+    from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
+    from vap_tpu.pipelines.cogvideox_i2v_mot import CogVideoXVAPPipeline
+    from tests.test_pipeline_cogvideox import FakeTokenizer, _init_vae_params
+
+    t_cfg = CogVideoXMOTConfig.tiny(in_channels=8, out_channels=4)
+    vae_cfg = CogVideoXVAEConfig.tiny()
+    txt_cfg = T5Config.tiny(d_model=t_cfg.text_embed_dim)
+    key = jax.random.PRNGKey(0)
+    return CogVideoXVAPPipeline(
+        transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
+        params={"transformer": init_cogvideox_mot(key, t_cfg),
+                "vae": _init_vae_params(key, vae_cfg),
+                "text_encoder": init_t5_encoder(key, txt_cfg)},
+        tokenizer=FakeTokenizer(), scheduler=CogVideoXDDIMScheduler(),
+        dtype=jnp.float32, **pipe_kw)
+
+
+def _cog_gen(pipe, steps=2, single_branch=False, step_cache=None):
+    H = W = 32
+    F = 9
+    rng = np.random.default_rng(4)
+    return np.asarray(pipe(
+        image=rng.uniform(-1, 1, (H, W, 3)).astype(np.float32),
+        prompt="a cat",
+        ref_videos=[rng.uniform(-1, 1, (F, H, W, 3)).astype(np.float32)],
+        prompt_mot_ref=["fx"], height=H, width=W, num_frames=F,
+        num_inference_steps=steps, guidance_scale=6.0, use_dynamic_cfg=True,
+        max_sequence_length=pipe.transformer_cfg.max_text_seq_length,
+        seed=11, output_type="latent", step_cache=step_cache,
+        ablation_single_branch=single_branch))
+
+
+def test_cog_streamed_matches_resident(monkeypatch):
+    """The reference's own sequential-offload example is CogVideoX: the
+    streamed MoT denoise (dynamic CFG, DDIM) equals the resident scan, and
+    the single-branch ablation (plain-trunk runner) does too."""
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = _cog_gen(_cog_pipe())
+        streamed = _cog_gen(_cog_pipe(offload_blocks_chunk=1))
+        base_sb = _cog_gen(_cog_pipe(), single_branch=True)
+        streamed_sb = _cog_gen(_cog_pipe(offload_blocks_chunk=1), single_branch=True)
+    np.testing.assert_allclose(streamed, base, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(streamed_sb, base_sb, atol=2e-5, rtol=2e-5)
+
+
+def test_cog_streamed_dpm_and_step_cache(monkeypatch):
+    """DPM (stochastic: the per-step noise-key sequence must match the scan)
+    and uniform step caching through the cog streamed path."""
+    from vap_tpu.ops.schedulers import CogVideoXDPMScheduler
+
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    with jax.default_device(jax.devices("cpu")[0]):
+        base = None
+        for chunk in (None, 2):
+            pipe = _cog_pipe(offload_blocks_chunk=chunk)
+            pipe.scheduler = CogVideoXDPMScheduler()
+            out = _cog_gen(pipe, steps=3)
+            if base is None:
+                base = out
+            else:
+                np.testing.assert_allclose(out, base, atol=2e-5, rtol=2e-5)
+        pipe = _cog_pipe(offload_blocks_chunk=1)
+        cached = _cog_gen(pipe, steps=3, step_cache="uniform:9:1:0")
+        runner = next(iter(pipe._streamed_runners.values()))
+        assert runner.num_forwards == 2  # steps 0,1 computed; step 2 reused
+        assert np.isfinite(cached).all()

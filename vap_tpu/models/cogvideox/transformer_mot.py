@@ -415,8 +415,127 @@ def _block_forward_ablation(
 
 
 # ---------------------------------------------------------------------------
-# full model forward
+# full model forward — decomposed into prologue / segments / epilogue so the
+# streamed-offload runner (pipelines/streamed.py, the reference
+# enable_sequential_cpu_offload analog: CogVideoX 40 GB -> ~7.5 GB) can jit
+# each piece separately and stage block chunks into HBM one at a time.
+# cogvideox_mot_forward below is a thin composition of these.
 # ---------------------------------------------------------------------------
+
+def cog_prologue(params: Params, cfg: CogVideoXMOTConfig, *, hidden_states,
+                 encoder_hidden_states, timestep, image_rotary_emb,
+                 hidden_states_mot_ref=None, encoder_hidden_states_mot_ref=None,
+                 image_rotary_emb_mot_ref=None, num_mot_ref: int = 1,
+                 timestep_mot_ref=None, effect_ids=None, ofs=None,
+                 mot: bool = True):
+    """Time embeddings + patchify. `params` needs only the non-block entries.
+    carry = (hs, ehs) single-branch or (hs, ehs, hs_ref, ehs_ref) MoT."""
+    b = hidden_states.shape[0]
+    t_text = encoder_hidden_states.shape[1]
+    num_frames = hidden_states.shape[1]
+    dtype = hidden_states.dtype
+    inner = cfg.inner_dim
+    r = num_mot_ref
+
+    t_emb = sinusoidal_timestep_embedding(
+        timestep, inner, flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift
+    ).astype(dtype)
+    emb = timestep_embedding_mlp(params["time_embedding"], t_emb)  # [B, time_embed_dim]
+
+    if not mot:
+        tokens = _patchify(params["patch_embed"], cfg, encoder_hidden_states, hidden_states)
+        ehs, hs = tokens[:, :t_text], tokens[:, t_text:]
+        return (hs, ehs), {"emb": emb, "rope": image_rotary_emb}
+
+    if timestep_mot_ref is None:
+        timestep_mot_ref = jnp.broadcast_to(timestep[:, None], (b, r))
+    t_emb_ref = sinusoidal_timestep_embedding(
+        timestep_mot_ref.reshape(-1), inner, flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift
+    ).astype(dtype)
+    emb_ref = timestep_embedding_mlp(params["time_embedding_mot_ref"], t_emb_ref).reshape(b, r, -1)
+
+    if cfg.ofs_embed_dim is not None and ofs is not None:
+        ofs_emb = sinusoidal_timestep_embedding(
+            ofs, cfg.ofs_embed_dim, flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift
+        ).astype(dtype)
+        ofs_emb = timestep_embedding_mlp(params["ofs_embedding"], ofs_emb)
+        emb = emb + ofs_emb
+        emb_ref = emb_ref + ofs_emb[:, None]
+
+    tokens = _patchify(params["patch_embed"], cfg, encoder_hidden_states, hidden_states)
+    ehs, hs = tokens[:, :t_text], tokens[:, t_text:]
+
+    # per-ref patch embed of the reference branch (vectorized over R)
+    vid_ref = hidden_states_mot_ref.reshape(b * r, num_frames, *hidden_states_mot_ref.shape[2:])
+    txt_ref = encoder_hidden_states_mot_ref.reshape(b * r, t_text, -1)
+    tokens_ref = _patchify(params["patch_embed_mot_ref"], cfg, txt_ref, vid_ref)  # [B*R, T+S, D]
+    tokens_ref = tokens_ref.reshape(b, r, tokens_ref.shape[1], inner)
+
+    if cfg.num_ref_embeddings:
+        # ref slot embeddings indexed back-to-front (transformer :982)
+        idx = jnp.arange(r - 1, -1, -1)
+        tokens_ref = tokens_ref + params["ref_embeddings"].astype(dtype)[idx][None, :, None, :]
+    if cfg.supported_effect_types and effect_ids is not None:
+        tokens_ref = tokens_ref + params["effect_embeddings"].astype(dtype)[effect_ids][None, :, None, :]
+
+    ehs_ref = tokens_ref[:, :, :t_text].reshape(b, r * t_text, inner)
+    hs_ref = tokens_ref[:, :, t_text:].reshape(b, -1, inner)
+    aux = {"emb": emb, "rope": image_rotary_emb,
+           "emb_ref": emb_ref, "rope_ref": image_rotary_emb_mot_ref}
+    return (hs, ehs, hs_ref, ehs_ref), aux
+
+
+def cog_run_segment(seg_params: Params, cfg: CogVideoXMOTConfig, has_mot: bool,
+                    carry, aux, num_mot_ref: int = 1, remat: bool = False):
+    """Scan one stacked block segment (or a chunk of one) over the carry."""
+    if len(carry) == 2:
+        def body(carry, bp):
+            hs, ehs = carry
+            out = _block_forward(bp, cfg, False, hs, ehs, aux["emb"], aux["rope"],
+                                 None, None, None, None, 0)
+            return out[:2], None
+
+        return scan_blocks_with_remat(body, carry, seg_params, remat)
+
+    def body(carry, bp):
+        hs, ehs, hs_ref, ehs_ref = carry
+        out = _block_forward(
+            bp, cfg, has_mot, hs, ehs, aux["emb"], aux["rope"],
+            hs_ref, ehs_ref, aux["emb_ref"], aux["rope_ref"], num_mot_ref)
+        return out, None
+
+    return scan_blocks_with_remat(body, carry, seg_params, remat)
+
+
+def cog_epilogue(params: Params, cfg: CogVideoXMOTConfig, carry, aux,
+                 num_frames: int, height: int, width: int,
+                 num_mot_ref: int = 1):
+    """Final norms + projection(s) + unpatchify. `params` needs only the
+    head entries. Returns (output, output_mot_ref_or_None)."""
+    hs = carry[0]
+    emb = aux["emb"]
+    r = num_mot_ref
+    hs = layer_norm(params["norm_final"], hs, cfg.norm_eps)
+    shift, scale = jnp.split(linear(params["norm_out"]["linear"], silu(emb)), 2, axis=-1)
+    hs = layer_norm(params["norm_out"]["norm"], hs, cfg.norm_eps) * (1 + scale[:, None]) + shift[:, None]
+    hs = linear(params["proj_out"], hs)
+    output = _unpatchify(cfg, hs, num_frames, height, width)
+    if len(carry) == 2:
+        return output, None
+
+    output_ref = None
+    if cfg.reference_train_mode == "reference_independent":
+        hs_ref = carry[2]
+        emb_ref = aux["emb_ref"]
+        hs_ref = layer_norm(params["norm_final_mot_ref"], hs_ref, cfg.norm_eps)
+        mods_ref = linear(params["norm_out_mot_ref"]["linear"], silu(emb_ref))  # [B,R,2D]
+        shift_r, scale_r = jnp.split(mods_ref, 2, axis=-1)
+        hs_ref = layer_norm(params["norm_out_mot_ref"]["norm"], _per_ref(hs_ref, r), cfg.norm_eps)
+        hs_ref = _merge_ref(hs_ref * (1 + scale_r[:, :, None]) + shift_r[:, :, None])
+        hs_ref = linear(params["proj_out_mot_ref"], hs_ref)
+        output_ref = _unpatchify(cfg, hs_ref, num_frames * r, height, width)
+    return output, output_ref
+
 
 def cogvideox_mot_forward(
     params: Params,
@@ -442,100 +561,19 @@ def cogvideox_mot_forward(
     (callers concatenate target+ref along frames and pass concatenated RoPE;
     reference ablation_single_branch, pipeline :959-1022 + spec :757-769).
     MoT weights and reference streams are unused in that mode."""
-    b, num_frames, _, height, width = hidden_states.shape
-    t_text = encoder_hidden_states.shape[1]
-    dtype = hidden_states.dtype
-    inner = cfg.inner_dim
-    r = num_mot_ref
+    _, num_frames, _, height, width = hidden_states.shape
 
-    # 1. time embeddings (sinusoidal in fp32, MLP in model dtype)
-    t_emb = sinusoidal_timestep_embedding(
-        timestep, inner, flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift
-    ).astype(dtype)
-    emb = timestep_embedding_mlp(params["time_embedding"], t_emb)  # [B, time_embed_dim]
-
-    if single_branch:
-        tokens = _patchify(params["patch_embed"], cfg, encoder_hidden_states, hidden_states)
-        ehs, hs = tokens[:, :t_text], tokens[:, t_text:]
-        carry = (hs, ehs, None, None)
-        for (start, length, has_mot), sp in zip(cfg.mot_segments, params["blocks"]):
-            def body(carry, bp):
-                hs, ehs, _, _ = carry
-                out = _block_forward(bp, cfg, False, hs, ehs, emb, image_rotary_emb,
-                                     None, None, None, None, 0)
-                return out, None
-            carry = scan_blocks_with_remat(body, carry, sp, remat)
-        hs = carry[0]
-        hs = layer_norm(params["norm_final"], hs, cfg.norm_eps)
-        shift, scale = jnp.split(linear(params["norm_out"]["linear"], silu(emb)), 2, axis=-1)
-        hs = layer_norm(params["norm_out"]["norm"], hs, cfg.norm_eps) * (1 + scale[:, None]) + shift[:, None]
-        hs = linear(params["proj_out"], hs)
-        return _unpatchify(cfg, hs, num_frames, height, width), None
-
-    if timestep_mot_ref is None:
-        timestep_mot_ref = jnp.broadcast_to(timestep[:, None], (b, r))
-    t_emb_ref = sinusoidal_timestep_embedding(
-        timestep_mot_ref.reshape(-1), inner, flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift
-    ).astype(dtype)
-    emb_ref = timestep_embedding_mlp(params["time_embedding_mot_ref"], t_emb_ref).reshape(b, r, -1)
-
-    if cfg.ofs_embed_dim is not None and ofs is not None:
-        ofs_emb = sinusoidal_timestep_embedding(
-            ofs, cfg.ofs_embed_dim, flip_sin_to_cos=cfg.flip_sin_to_cos, downscale_freq_shift=cfg.freq_shift
-        ).astype(dtype)
-        ofs_emb = timestep_embedding_mlp(params["ofs_embedding"], ofs_emb)
-        emb = emb + ofs_emb
-        emb_ref = emb_ref + ofs_emb[:, None]
-
-    # 2. patch embedding
-    tokens = _patchify(params["patch_embed"], cfg, encoder_hidden_states, hidden_states)
-    ehs, hs = tokens[:, :t_text], tokens[:, t_text:]
-
-    # per-ref patch embed of the reference branch (vectorized over R)
-    vid_ref = hidden_states_mot_ref.reshape(b * r, num_frames, *hidden_states_mot_ref.shape[2:])
-    txt_ref = encoder_hidden_states_mot_ref.reshape(b * r, t_text, -1)
-    tokens_ref = _patchify(params["patch_embed_mot_ref"], cfg, txt_ref, vid_ref)  # [B*R, T+S, D]
-    tokens_ref = tokens_ref.reshape(b, r, tokens_ref.shape[1], inner)
-
-    if cfg.num_ref_embeddings:
-        # ref slot embeddings indexed back-to-front (transformer :982)
-        idx = jnp.arange(r - 1, -1, -1)
-        tokens_ref = tokens_ref + params["ref_embeddings"].astype(dtype)[idx][None, :, None, :]
-    if cfg.supported_effect_types and effect_ids is not None:
-        tokens_ref = tokens_ref + params["effect_embeddings"].astype(dtype)[effect_ids][None, :, None, :]
-
-    ehs_ref = tokens_ref[:, :, :t_text].reshape(b, r * t_text, inner)
-    hs_ref = tokens_ref[:, :, t_text:].reshape(b, -1, inner)
-
-    # 3. transformer blocks — one lax.scan per MoT segment
-    seg_params = params["blocks"]
-    carry = (hs, ehs, hs_ref, ehs_ref)
-    for (start, length, has_mot), sp in zip(cfg.mot_segments, seg_params):
-        def body(carry, bp, has_mot=has_mot):
-            hs, ehs, hs_ref, ehs_ref = carry
-            out = _block_forward(
-                bp, cfg, has_mot, hs, ehs, emb, image_rotary_emb,
-                hs_ref, ehs_ref, emb_ref, image_rotary_emb_mot_ref, r,
-            )
-            return out, None
-        carry = scan_blocks_with_remat(body, carry, sp, remat)
-    hs, ehs, hs_ref, ehs_ref = carry
-
-    # 4. output head
-    hs = layer_norm(params["norm_final"], hs, cfg.norm_eps)
-    shift, scale = jnp.split(linear(params["norm_out"]["linear"], silu(emb)), 2, axis=-1)
-    hs = layer_norm(params["norm_out"]["norm"], hs, cfg.norm_eps) * (1 + scale[:, None]) + shift[:, None]
-    hs = linear(params["proj_out"], hs)
-    output = _unpatchify(cfg, hs, num_frames, height, width)
-
-    output_ref = None
-    if cfg.reference_train_mode == "reference_independent":
-        hs_ref = layer_norm(params["norm_final_mot_ref"], hs_ref, cfg.norm_eps)
-        mods_ref = linear(params["norm_out_mot_ref"]["linear"], silu(emb_ref))  # [B,R,2D]
-        shift_r, scale_r = jnp.split(mods_ref, 2, axis=-1)
-        hs_ref = layer_norm(params["norm_out_mot_ref"]["norm"], _per_ref(hs_ref, r), cfg.norm_eps)
-        hs_ref = _merge_ref(hs_ref * (1 + scale_r[:, :, None]) + shift_r[:, :, None])
-        hs_ref = linear(params["proj_out_mot_ref"], hs_ref)
-        output_ref = _unpatchify(cfg, hs_ref, num_frames * r, height, width)
-
-    return output, output_ref
+    carry, aux = cog_prologue(
+        params, cfg, hidden_states=hidden_states,
+        encoder_hidden_states=encoder_hidden_states, timestep=timestep,
+        image_rotary_emb=image_rotary_emb,
+        hidden_states_mot_ref=hidden_states_mot_ref,
+        encoder_hidden_states_mot_ref=encoder_hidden_states_mot_ref,
+        image_rotary_emb_mot_ref=image_rotary_emb_mot_ref,
+        num_mot_ref=num_mot_ref, timestep_mot_ref=timestep_mot_ref,
+        effect_ids=effect_ids, ofs=ofs, mot=not single_branch)
+    for (start, length, has_mot), sp in zip(cfg.mot_segments, params["blocks"]):
+        carry = cog_run_segment(sp, cfg, has_mot, carry, aux,
+                                num_mot_ref=num_mot_ref, remat=remat)
+    return cog_epilogue(params, cfg, carry, aux, num_frames, height, width,
+                        num_mot_ref=num_mot_ref)

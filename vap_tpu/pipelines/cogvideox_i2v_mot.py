@@ -127,6 +127,11 @@ class CogVideoXVAPPipeline:
     # enable_model_cpu_offload): params stay on HOST; one component at a
     # time is staged into device HBM (see pipelines/offload.py)
     enable_model_offload: bool = False
+    # streamed block offload (reference enable_sequential_cpu_offload tier,
+    # README.md:202-260 '~7.5 GB'): stage this many transformer blocks into
+    # HBM at a time during the denoise (pipelines/streamed.py). Build with
+    # enable_model_offload=True so params land on host.
+    offload_blocks_chunk: Optional[int] = None
     _staged: list = dataclasses.field(default_factory=list, repr=False)
 
     def _component(self, name: str):
@@ -344,6 +349,110 @@ class CogVideoXVAPPipeline:
         cache[key] = denoise
         return denoise
 
+    def _denoise_streamed(self, latents, image_latents, ref_latents,
+                          ref_image_latents, prompt_embeds, prompt_embeds_ref,
+                          ts, step_scalars, guidance, key, sc, use_dpm,
+                          height, width, num_latent_frames, ref_type,
+                          single_branch, concat_refs, t2v, num_mot_ref, do_cfg):
+        """Python-level denoise loop for streamed block offload
+        (pipelines/streamed.py): per-step math mirrors the jitted scan
+        exactly (same raw_pred / CFG-combine / scheduler step / DPM key
+        sequence; step-cache decisions move to host)."""
+        from .streamed import StreamedCogTransformer
+
+        cfg = self.transformer_cfg
+        runners = self.__dict__.setdefault("_streamed_runners", {})
+        runner_key = (self.offload_blocks_chunk, single_branch, num_mot_ref)
+        runner = runners.get(runner_key)
+        if runner is None:
+            runner = StreamedCogTransformer(
+                self.params["transformer"], cfg, self.offload_blocks_chunk,
+                mot=not single_branch, num_mot_ref=num_mot_ref)
+            runners[runner_key] = runner
+
+        rope = prepare_cogvideox_rotary_embeddings(
+            height, width, num_latent_frames,
+            attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
+            patch_size_t=cfg.patch_size_t, sample_width=cfg.sample_width,
+            sample_height=cfg.sample_height, vae_scale_factor_spatial=self.vae_scale_factor_spatial,
+        )
+        rope_ref = prepare_cogvideox_rotary_embeddings(
+            height, width, num_latent_frames,
+            attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
+            patch_size_t=cfg.patch_size_t, sample_width=cfg.sample_width,
+            sample_height=cfg.sample_height, vae_scale_factor_spatial=self.vae_scale_factor_spatial,
+            mot_num=num_mot_ref, ref_type=ref_type,
+        )
+
+        bsz = latents.shape[0]
+        mult = 2 if do_cfg else 1
+        image_in = jnp.concatenate([image_latents] * mult, axis=0)
+        ref_in = jnp.concatenate(
+            [jnp.concatenate([ref_latents] * mult, axis=0),
+             jnp.concatenate([ref_image_latents] * mult, axis=0)], axis=2)
+
+        def raw_pred(lat, t):
+            latent_in = jnp.concatenate([lat.astype(self.dtype)] * mult, axis=0)
+            if not t2v:
+                latent_in = jnp.concatenate([latent_in, image_in], axis=2)
+            tt = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (mult * bsz,))
+            if single_branch:
+                tgt_frames = lat.shape[1]
+                if concat_refs:
+                    latent_in = jnp.concatenate([latent_in, ref_in], axis=1)
+                    rope_cat = (jnp.concatenate([rope[0], rope_ref[0]], axis=0),
+                                jnp.concatenate([rope[1], rope_ref[1]], axis=0))
+                else:
+                    rope_cat = rope
+                pred, _ = runner(
+                    hidden_states=latent_in, encoder_hidden_states=prompt_embeds,
+                    timestep=tt, image_rotary_emb=rope_cat, single_branch=True)
+                pred = pred[:, :tgt_frames]
+            else:
+                pred, _ = runner(
+                    hidden_states=latent_in, encoder_hidden_states=prompt_embeds,
+                    timestep=tt, image_rotary_emb=rope,
+                    hidden_states_mot_ref=ref_in,
+                    encoder_hidden_states_mot_ref=prompt_embeds_ref,
+                    image_rotary_emb_mot_ref=rope_ref, num_mot_ref=num_mot_ref)
+            return pred.astype(jnp.float32)
+
+        scheduler = self.scheduler
+        latents = latents.astype(jnp.float32)
+        old_x0 = jnp.zeros_like(latents)
+        cached = None
+        prev, accum = latents, 0.0
+        for i in range(len(ts)):
+            if sc is None:
+                compute = True
+            elif sc.kind == "uniform":
+                compute = bool(sc.mask[i])
+            else:
+                d = float(jnp.mean(jnp.abs(latents - prev))
+                          / (jnp.mean(jnp.abs(prev)) + 1e-8))
+                accum += d
+                compute = bool(sc.mask[i]) or accum >= sc.thresh
+                if compute:
+                    accum = 0.0
+                prev = latents
+            if compute or cached is None:
+                cached = raw_pred(latents, ts[i])
+            noise_pred = cached
+            if do_cfg:
+                uncond, cond = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + float(guidance[i]) * (cond - uncond)
+            per_coeffs = tuple(c[i] for c in step_scalars)
+            if use_dpm:
+                key, nkey = jax.random.split(key)
+                noise = jax.random.normal(nkey, latents.shape, jnp.float32)
+                latents, old_x0 = scheduler.step(
+                    noise_pred, latents, old_x0, per_coeffs, noise)
+            else:
+                a_t, b_t, ap_t = per_coeffs
+                latents = scheduler.step(noise_pred, latents, a_t, b_t, ap_t)
+        runner.release()
+        return latents
+
     # ------------------------------------------------------------------
     # full generation
     # ------------------------------------------------------------------
@@ -492,16 +601,23 @@ class CogVideoXVAPPipeline:
             cache_xs = (jnp.asarray(sc.mask),)
         else:  # adaptive: forced mask + runtime threshold
             cache_xs = (jnp.asarray(sc.mask), jnp.float32(sc.thresh))
-        denoise = self._build_denoise_fn(
-            num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type,
-            single_branch=single_branch, concat_refs=concat_refs,
-            step_cached=sc.kind if sc is not None else False, t2v=t2v)
         key, dkey = jax.random.split(key)
-        latents = denoise(
-            self._component("transformer"), latents, image_latents_m, ref_latents_m, ref_image_latents_m,
-            embeds, embeds_ref, jnp.asarray(ts), step_scalars, jnp.asarray(guidance), dkey,
-            *cache_xs, do_cfg=do_cfg,
-        )
+        if self.offload_blocks_chunk:
+            latents = self._denoise_streamed(
+                latents, image_latents_m, ref_latents_m, ref_image_latents_m,
+                embeds, embeds_ref, ts, step_scalars, guidance, dkey, sc,
+                use_dpm, height, width, num_latent_frames, ref_type,
+                single_branch, concat_refs, t2v, num_mot_ref, do_cfg)
+        else:
+            denoise = self._build_denoise_fn(
+                num_inference_steps, num_mot_ref, use_dpm, height, width, num_latent_frames, ref_type,
+                single_branch=single_branch, concat_refs=concat_refs,
+                step_cached=sc.kind if sc is not None else False, t2v=t2v)
+            latents = denoise(
+                self._component("transformer"), latents, image_latents_m, ref_latents_m, ref_image_latents_m,
+                embeds, embeds_ref, jnp.asarray(ts), step_scalars, jnp.asarray(guidance), dkey,
+                *cache_xs, do_cfg=do_cfg,
+            )
 
         if output_type == "latent":
             return latents
