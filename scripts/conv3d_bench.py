@@ -75,7 +75,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true", help="CPU equivalence only")
     ap.add_argument("--impls", nargs="*", default=list(IMPLS))
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
 
     if args.check:
@@ -103,10 +103,15 @@ def main():
             try:
                 out = fn(x, k)
                 float(jnp.mean(out.astype(jnp.float32)))  # compile+sync
+                # enqueue all reps, sync ONCE: the device queue serializes
+                # execution, so one scalar read pays one tunnel RTT (~27 ms)
+                # total instead of per rep — per-rep reads drowned the small
+                # shapes in RTT (up1/mid measured a constant ~28 ms/rep
+                # whatever the impl)
                 t0 = time.perf_counter()
                 for _ in range(args.reps):
                     out = fn(x, k)
-                    float(jnp.mean(out.astype(jnp.float32)))
+                float(jnp.mean(out.astype(jnp.float32)))
                 dt = (time.perf_counter() - t0) / args.reps
                 print(f"{label:18s} {name:10s} {dt * 1e3:8.2f} ms  "
                       f"{flops / dt / 1e12:7.1f} TFLOP/s")

@@ -2,11 +2,14 @@
 
 The reference pipeline's default decode path is FULL-FRAME (spatial tiling is
 opt-in via enable_tiling(); pipeline_cogvideox_image2video_mot.py:1078 calls
-vae.decode directly). The tiled path exists for low-memory, but on a 16 GB
-v5e with the transformer freed, the full 60x90-latent decode fits — and does
-1x the frame area instead of the tile grid's ~1.4-2.25x overlapped area.
+vae.decode directly). On this 16 GB v5e the full-frame 60x90-latent decode
+does NOT fit even streamed per-temporal-chunk at bf16 (measured: XLA asks
+21.35 GB of HLO temps — the 480x720x128 stage tensors pad 1.8x under the
+(8,128) tiling), so the SHIPPED path — and the default here — is the 2-way
+W-split streamed decode bench.py times (1.24x frame area vs the 3x3 grid's
+2.25x).
 
-Usage: python scripts/vae_bench.py [full|tiled|both]
+Usage: python scripts/vae_bench.py [wsplit|full|tiled|both]
 """
 
 import os
@@ -40,7 +43,7 @@ def mem_gb():
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "wsplit"
     frames = 49
     lat_f = (frames - 1) // 4 + 1  # 13
     dtype = jnp.bfloat16
@@ -49,7 +52,7 @@ def main():
     params = init_cogvideox_vae(jax.random.PRNGKey(1), cfg, dtype)
     jax.block_until_ready(params)
 
-    if mode in ("full", "both", "streamed"):
+    if mode in ("full", "streamed"):
         z = jax.random.normal(jax.random.PRNGKey(0), (1, lat_f, 60, 90, cfg.latent_channels), dtype)
         t0 = time.perf_counter()
         out = vae_decode_streamed(params, cfg, z)
@@ -62,7 +65,7 @@ def main():
         print(f"streamed full-frame decode: {dt:.3f}s  fps={frames/dt:.2f}  compile={compile_s:.1f}s  peak_hbm={mem_gb()}GB  out={out.shape}", flush=True)
         del out
 
-    if mode == "wsplit":
+    if mode in ("wsplit", "both"):
         from vap_tpu.models.cogvideox.vae import vae_decode_wsplit
 
         z = jax.random.normal(jax.random.PRNGKey(0), (1, lat_f, 60, 90, cfg.latent_channels), dtype)
