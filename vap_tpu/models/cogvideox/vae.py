@@ -62,15 +62,30 @@ class CogVideoXVAEConfig:
 # primitives
 # ---------------------------------------------------------------------------
 
+def _sum2d_wins(h: int, w: int, cin: int) -> bool:
+    """Shape rule for the kt-tap decomposition, from the TPU shootout
+    (scripts/conv3d_bench.py, v5e, bf16): sum2d beats the NDHWC emitter only
+    on the wide low-channel stage (480p/128ch: 97.3 vs 71.5 TFLOP/s, 1.36x)
+    and loses at 256ch/240p (73.8 vs 85.6); small stages are a wash."""
+    return cin <= 128 and h * w >= 64 * 1024
+
+
 def _conv3d(p: Params, x: Array, strides=(1, 1, 1), padding="VALID") -> Array:
     """x: [B, F, H, W, C]; kernel: [kt, kh, kw, Cin, Cout].
 
-    VAP_VAE_CONV3D=sum2d selects the exact kt-tap decomposition (sum over
-    temporal taps of 2D convs batching B*F_out frames) — a candidate layout
-    for XLA's TPU conv emitter measured by scripts/conv3d_bench.py; the
-    default stays the single NDHWC 3-spatial-dim conv."""
+    VAP_VAE_CONV3D selects the 3x3x3 conv lowering:
+      auto (default) — exact kt-tap decomposition (sum over temporal taps of
+        2D convs batching B*F_out frames) on shapes where the TPU shootout
+        measured it faster (_sum2d_wins), NDHWC elsewhere
+      sum2d — force the decomposition everywhere
+      ndhwc — force the single 3-spatial-dim conv (pre-r4 default)
+    Both lowerings are exact (same math, different emitter path); parity is
+    gated by tests/test_vae_cogvideox.py::test_sum2d_conv3d_matches_default."""
     k = p["kernel"].astype(x.dtype)
-    if (os.environ.get("VAP_VAE_CONV3D") == "sum2d" and k.shape[0] > 1
+    mode = os.environ.get("VAP_VAE_CONV3D", "auto")
+    want_sum2d = mode == "sum2d" or (
+        mode == "auto" and _sum2d_wins(x.shape[2], x.shape[3], x.shape[4]))
+    if (want_sum2d and k.shape[0] > 1
             and strides == (1, 1, 1) and padding != "VALID"
             and padding[0] == (0, 0)):
         b, f_in, h, w, cin = x.shape
