@@ -95,17 +95,18 @@ def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16, int8: boo
         INT8_LINEAR_NAMES, map_transformer_linears, quantize_linear_int8)
 
     key = jax.random.PRNGKey(0)
-    proto = jax.eval_shape(lambda k: _init_block(k, cfg, True, dtype), key)
-    L = cfg.num_layers
 
-    if not int8:
-        leaves, treedef = jax.tree_util.tree_flatten(proto)
-        out_leaves = []
-        for i, leaf in enumerate(leaves):
-            k = jax.random.fold_in(key, i)
-            out_leaves.append(jax.random.normal(k, (L,) + leaf.shape, dtype) * 0.02)
-        blocks = jax.tree_util.tree_unflatten(treedef, out_leaves)
-    else:
+    def make_segment(has_mot: bool, L: int):
+        proto = jax.eval_shape(lambda k: _init_block(k, cfg, has_mot, dtype), key)
+
+        if not int8:
+            leaves, treedef = jax.tree_util.tree_flatten(proto)
+            out_leaves = []
+            for i, leaf in enumerate(leaves):
+                k = jax.random.fold_in(key, i)
+                out_leaves.append(jax.random.normal(k, (L,) + leaf.shape, dtype) * 0.02)
+            return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
         counter = iter(range(1 << 20))
 
         @functools.partial(jax.jit, static_argnums=(1,))
@@ -134,22 +135,31 @@ def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16, int8: boo
 
         # map_transformer_linears owns the which-projections-match rule, so
         # this init stays in lockstep with quantize_transformer_linears.
-        blocks = map_transformer_linears(
+        return map_transformer_linears(
             proto, quantize_proto, INT8_LINEAR_NAMES, leaf_fn=gen_leaf)
+
+    blocks = tuple(make_segment(has_mot, length)
+                   for _, length, has_mot in cfg.mot_segments)
+
+    from vap_tpu.models.cogvideox.transformer_mot import _default_pos_embedding
 
     dim = cfg.inner_dim
     patch_in = cfg.in_channels * cfg.patch_size * cfg.patch_size
     out_dim = cfg.patch_size * cfg.patch_size * cfg.out_channels
     ks = jax.random.split(key, 10)
+
+    def patch_embed(k1, k2):
+        p = {
+            "proj": init_linear(k1, patch_in, dim, dtype=dtype),
+            "text_proj": init_linear(k2, cfg.text_embed_dim, dim, dtype=dtype),
+        }
+        if cfg.use_learned_positional_embeddings:
+            p["pos_embedding"] = jnp.asarray(_default_pos_embedding(cfg), dtype)
+        return p
+
     params = {
-        "patch_embed": {
-            "proj": init_linear(ks[0], patch_in, dim, dtype=dtype),
-            "text_proj": init_linear(ks[1], cfg.text_embed_dim, dim, dtype=dtype),
-        },
-        "patch_embed_mot_ref": {
-            "proj": init_linear(ks[2], patch_in, dim, dtype=dtype),
-            "text_proj": init_linear(ks[3], cfg.text_embed_dim, dim, dtype=dtype),
-        },
+        "patch_embed": patch_embed(ks[0], ks[1]),
+        "patch_embed_mot_ref": patch_embed(ks[2], ks[3]),
         "time_embedding": init_timestep_embedding_mlp(ks[4], dim, cfg.time_embed_dim, dtype=dtype),
         "time_embedding_mot_ref": init_timestep_embedding_mlp(ks[5], dim, cfg.time_embed_dim, dtype=dtype),
         "norm_final": init_layer_norm(dim, dtype=dtype),
@@ -158,7 +168,7 @@ def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16, int8: boo
             "norm": init_layer_norm(dim, dtype=dtype),
         },
         "proj_out": init_linear(ks[7], dim, out_dim, dtype=dtype),
-        "blocks": (blocks,),
+        "blocks": blocks,
     }
     return params
 

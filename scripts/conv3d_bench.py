@@ -68,6 +68,11 @@ SHAPES = [
     ("up2_256ch_240p", 6, 240, 184, 256, 256),
     ("up1_256ch_120p", 4, 120, 96, 256, 256),
     ("mid_512ch_60p", 4, 60, 48, 512, 512),
+    # shapes the auto rule (_sum2d_wins: cin<=128 and H*W>=64K) also catches
+    # but the original shootout did not measure (ADVICE r4):
+    ("enc_in_3ch_480p", 11, 480, 720, 3, 128),     # encoder conv_in, full W
+    ("enc_128ch_480p", 11, 480, 720, 128, 128),    # encoder stage 0, full W
+    ("enc_128ch_240p", 7, 240, 360, 128, 128),     # encoder stage 1
 ]
 
 

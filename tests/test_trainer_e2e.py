@@ -60,10 +60,11 @@ def test_args_parse():
 
 def test_build_mot_from_base():
     cfg = CogVideoXMOTConfig.tiny(supported_effect_types=("fx",), num_ref_embeddings=2)
+    d = cfg.inner_dim
     base_sd = {
-        "patch_embed.proj.weight": np.zeros((4, 4, 2, 2), np.float32),
-        "transformer_blocks.0.attn1.to_q.weight": np.ones((8, 8), np.float32),
-        "norm_final.weight": np.ones((8,), np.float32),
+        "patch_embed.proj.weight": np.zeros((d, cfg.in_channels, 2, 2), np.float32),
+        "transformer_blocks.0.attn1.to_q.weight": np.ones((d, d), np.float32),
+        "norm_final.weight": np.ones((d,), np.float32),
     }
     out = build_mot_state_dict_from_base(base_sd, cfg)
     assert "patch_embed_mot_ref.proj.weight" in out
@@ -72,6 +73,48 @@ def test_build_mot_from_base():
         out["transformer_blocks.0.attn1_mot_ref.to_q.weight"],
         base_sd["transformer_blocks.0.attn1.to_q.weight"])
     assert out["effect_embeddings.fx"].shape == (1, 1, cfg.inner_dim)
+
+
+def test_mot_embeddings_zero_init():
+    # reference zero-inits the fresh effect/ref embeddings
+    # (cogvideox base_specification.py:424-431)
+    cfg = CogVideoXMOTConfig.tiny(supported_effect_types=("fx", "pet"), num_ref_embeddings=2)
+    out = build_mot_state_dict_from_base({}, cfg)
+    for k in ("effect_embeddings.fx", "effect_embeddings.pet",
+              "ref_embeddings.ref_0", "ref_embeddings.ref_1"):
+        np.testing.assert_array_equal(out[k], np.zeros((1, 1, cfg.inner_dim), np.float32))
+
+
+def test_mot_clone_shape_mismatch():
+    # custom (non-config_ori) structure: mismatched clones get the reference's
+    # fresh-init rule — xavier weights, 1+0.02*noise norm weights, zero biases
+    # (cogvideox base_specification.py:404-417)
+    cfg = CogVideoXMOTConfig.tiny()
+    d = cfg.inner_dim
+    wrong = d // 2
+    base_sd = {
+        # wrong-shaped weight -> xavier at target shape
+        "transformer_blocks.0.attn1.to_q.weight": np.ones((wrong, wrong), np.float32),
+        # wrong-shaped norm weight -> ones + 0.02*noise at target shape
+        "transformer_blocks.0.norm1.norm.weight": np.ones((wrong,), np.float32),
+        # wrong-shaped bias -> zeros at target shape
+        "transformer_blocks.0.attn1.to_q.bias": np.ones((wrong,), np.float32),
+        # matching clone still clones
+        "transformer_blocks.0.ff.net.2.weight": np.full((d, 4 * d), 0.5, np.float32),
+    }
+    out = build_mot_state_dict_from_base(base_sd, cfg)
+    q = out["transformer_blocks.0.attn1_mot_ref.to_q.weight"]
+    assert q.shape == (d, d)
+    bound = np.sqrt(6.0 / (d + d))
+    assert np.abs(q).max() <= bound and q.std() > 0
+    nw = out["transformer_blocks.0.norm1_mot_ref.norm.weight"]
+    assert nw.shape == (d,)
+    assert 0.9 < nw.mean() < 1.1 and nw.std() > 0
+    np.testing.assert_array_equal(
+        out["transformer_blocks.0.attn1_mot_ref.to_q.bias"], np.zeros((d,), np.float32))
+    np.testing.assert_array_equal(
+        out["transformer_blocks.0.ff_mot_ref.net.2.weight"],
+        base_sd["transformer_blocks.0.ff.net.2.weight"])
 
 
 @pytest.mark.slow

@@ -258,3 +258,65 @@ def test_ablation_modes_parity(torch_reference, mode):
             num_mot_ref=1,
         )
     np.testing.assert_allclose(np.asarray(got), ref_out, atol=3e-4, rtol=3e-3)
+
+
+@pytest.mark.parametrize("f_lat", [3, 2])  # 3 = checkpoint buffer path; 2 = on-the-fly sincos
+def test_learned_pos_embedding_parity(torch_reference, f_lat):
+    """use_learned_positional_embeddings (the released CogVideoX-5b-I2V base
+    carries a trained joint pos buffer on top of RoPE): buffer consumed by the
+    converter and added in _patchify; at a non-default frame count both
+    implementations swap in fresh sincos (CogVideoXPatchEmbed.forward:734-755)."""
+    torch = torch_reference
+    cfg = CogVideoXMOTConfig.tiny(
+        block_idx_with_mot_ref=(0, 1), use_learned_positional_embeddings=True)
+    model = _make_reference(torch, cfg, use_learned_positional_embeddings=True)
+    # the persistent buffer initializes to sincos; perturb it so the test
+    # catches a converter that drops the trained values
+    with torch.no_grad():
+        model.patch_embed.pos_embedding.add_(
+            torch.randn_like(model.patch_embed.pos_embedding) * 0.05)
+        model.patch_embed_mot_ref.pos_embedding.add_(
+            torch.randn_like(model.patch_embed_mot_ref.pos_embedding) * 0.05)
+
+    B, C, H_lat, W_lat = 1, cfg.in_channels, 8, 8
+    T = cfg.max_text_seq_length
+    rng = np.random.default_rng(7)
+    hs = rng.standard_normal((B, f_lat, C, H_lat, W_lat), np.float32)
+    ehs = rng.standard_normal((B, T, cfg.text_embed_dim), np.float32)
+    hs_ref = rng.standard_normal((B, f_lat, C, H_lat, W_lat), np.float32)
+    ehs_ref = rng.standard_normal((B, T, cfg.text_embed_dim), np.float32)
+    t = np.array([250.0], np.float32)
+
+    rope = _rope_tables(cfg, H_lat * 8, W_lat * 8, f_lat)
+    rope_ref = _rope_tables(cfg, H_lat * 8, W_lat * 8, f_lat, mot_num=1)
+
+    with torch.no_grad():
+        ref_out = model(
+            hidden_states=torch.from_numpy(hs),
+            encoder_hidden_states=torch.from_numpy(ehs),
+            timestep=torch.from_numpy(t),
+            image_rotary_emb=tuple(torch.from_numpy(np.asarray(x)) for x in rope),
+            return_dict=False,
+            num_mot_ref=1,
+            hidden_states_mot_ref=torch.from_numpy(hs_ref),
+            encoder_hidden_states_mot_ref=torch.from_numpy(ehs_ref),
+            image_rotary_emb_mot_ref=tuple(torch.from_numpy(np.asarray(x)) for x in rope_ref),
+        )[0].numpy()
+
+    sd = torch_state_dict_to_numpy(model)
+    assert "patch_embed.pos_embedding" in sd  # buffer present in checkpoints
+    params = convert_cogvideox_mot_state_dict(sd, cfg)
+    assert "pos_embedding" in params["patch_embed"]
+    with jax.default_device(jax.devices("cpu")[0]), attention_provider("xla"):
+        got, _ = cogvideox_mot_forward(
+            params, cfg,
+            hidden_states=jnp.asarray(hs),
+            encoder_hidden_states=jnp.asarray(ehs),
+            timestep=jnp.asarray(t),
+            image_rotary_emb=rope,
+            hidden_states_mot_ref=jnp.asarray(hs_ref),
+            encoder_hidden_states_mot_ref=jnp.asarray(ehs_ref),
+            image_rotary_emb_mot_ref=rope_ref,
+            num_mot_ref=1,
+        )
+    np.testing.assert_allclose(np.asarray(got), ref_out, atol=2e-4, rtol=2e-3)

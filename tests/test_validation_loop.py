@@ -90,6 +90,39 @@ def test_load_validation_config_bare_csv(tmp_path):
     assert csv_path == csv and gen == {} and n is None
 
 
+def test_resolve_val_limit(tmp_path, caplog):
+    """An unset cap defaults to 1 but warns with the skipped row count; "all"
+    (or -1) disables the cap — matching the reference's every-row behavior
+    (sft_trainer/trainer.py:939-1110)."""
+    import logging
+
+    csv = _benchmark_csv(tmp_path)
+    trainer = _tiny_trainer(tmp_path, csv)
+    assert trainer._resolve_val_limit(2, 3) == 2
+    assert trainer._resolve_val_limit("all", 3) is None
+    assert trainer._resolve_val_limit(-1, 3) is None
+    with caplog.at_level(logging.WARNING):
+        assert trainer._resolve_val_limit(None, 3) == 1
+    assert any("1 of 3" in r.getMessage() for r in caplog.records)
+
+
+@pytest.mark.slow
+def test_validate_all_samples(tmp_path, monkeypatch):
+    monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")
+    _benchmark_csv(tmp_path)  # 3 rows
+    vjson = tmp_path / "validation.json"
+    vjson.write_text(json.dumps({
+        "csv": "benchmark.csv", "num_frames": 9, "height": 32, "width": 32,
+        "num_inference_steps": 1, "num_samples": "all",
+    }))
+    with jax.default_device(jax.devices("cpu")[0]):
+        trainer = _tiny_trainer(tmp_path, str(vjson))
+        trainer._validate(jax.random.PRNGKey(0))
+    out_dir = os.path.join(trainer.args.output_dir, "validation", "000000")
+    written = sorted(os.listdir(out_dir))
+    assert written == ["sample_0.mp4", "sample_1.mp4", "sample_2.mp4"]
+
+
 @pytest.mark.slow
 def test_validate_writes_samples_with_gen_params(tmp_path, monkeypatch):
     monkeypatch.setenv("VAP_ATTN_PROVIDER", "xla")

@@ -34,6 +34,7 @@ class CogVideoXMOTConfig:
     spatial_interpolation_scale: float = 1.875
     temporal_interpolation_scale: float = 1.0
     use_rotary_positional_embeddings: bool = True
+    use_learned_positional_embeddings: bool = False
     # mot
     block_idx_with_mot_ref: Tuple[int, ...] = (0, 10, 20)
     supported_effect_types: Tuple[str, ...] = ()
@@ -46,6 +47,15 @@ class CogVideoXMOTConfig:
     @property
     def inner_dim(self) -> int:
         return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def joint_pos_embed_length(self) -> int:
+        """Token length of the learned joint pos_embedding buffer:
+        max_text_seq_length + default-resolution video tokens
+        (CogVideoXPatchEmbed._get_positional_embeddings)."""
+        frames = (self.sample_frames - 1) // self.temporal_compression_ratio + 1
+        spatial = (self.sample_height // self.patch_size) * (self.sample_width // self.patch_size)
+        return self.max_text_seq_length + frames * spatial
 
     @property
     def mot_segments(self) -> Tuple[Tuple[int, int, bool], ...]:
@@ -68,8 +78,10 @@ class CogVideoXMOTConfig:
 
     @classmethod
     def cogvideox_5b_i2v_vap(cls, **overrides) -> "CogVideoXMOTConfig":
-        """ByteDance/Video-As-Prompt-CogVideoX-5B: 42 blocks, all with MoT
-        (examples/training/sft/cogvideox/vap_mot/config_ori.json)."""
+        """ByteDance/Video-As-Prompt-CogVideoX-5B: 42 blocks, MoT in blocks
+        0-40 — the released structure config lists 41 entries, leaving the
+        last block plain (examples/training/sft/cogvideox/vap_mot/
+        config_ori.json)."""
         base = dict(
             num_attention_heads=48,
             attention_head_dim=64,
@@ -79,7 +91,11 @@ class CogVideoXMOTConfig:
             text_embed_dim=4096,
             time_embed_dim=512,
             use_rotary_positional_embeddings=True,
-            block_idx_with_mot_ref=tuple(range(42)),
+            # the I2V base checkpoint carries a trained joint pos_embedding
+            # buffer on top of RoPE (CogVideoX-5b-I2V config.json;
+            # CogVideoXPatchEmbed, embeddings.py:671-674)
+            use_learned_positional_embeddings=True,
+            block_idx_with_mot_ref=tuple(range(41)),
         )
         base.update(overrides)
         return cls(**base)

@@ -89,6 +89,28 @@ def _init_block(key, cfg: CogVideoXMOTConfig, with_mot: bool, dtype) -> Params:
     return p
 
 
+def _sincos_pos_embedding(cfg: CogVideoXMOTConfig, height: int, width: int,
+                          num_latent_frames: int):
+    """Joint [text-zeros ‖ 3D-sincos] pos embedding at the given LATENT dims,
+    numpy [L, D] (CogVideoXPatchEmbed._get_positional_embeddings)."""
+    import numpy as np
+
+    from ..common import get_3d_sincos_pos_embed
+
+    ps = cfg.patch_size
+    video = get_3d_sincos_pos_embed(
+        cfg.inner_dim, (width // ps, height // ps), num_latent_frames,
+        cfg.spatial_interpolation_scale, cfg.temporal_interpolation_scale)
+    out = np.zeros((cfg.max_text_seq_length + video.shape[0], cfg.inner_dim), np.float32)
+    out[cfg.max_text_seq_length:] = video
+    return out
+
+
+def _default_pos_embedding(cfg: CogVideoXMOTConfig):
+    frames = (cfg.sample_frames - 1) // cfg.temporal_compression_ratio + 1
+    return _sincos_pos_embedding(cfg, cfg.sample_height, cfg.sample_width, frames)
+
+
 def init_cogvideox_mot(key, cfg: CogVideoXMOTConfig, dtype=jnp.float32) -> Params:
     """Randomly initialized parameter pytree (for tests / from-scratch)."""
     keys = jax.random.split(key, cfg.num_layers + 12)
@@ -104,15 +126,18 @@ def init_cogvideox_mot(key, cfg: CogVideoXMOTConfig, dtype=jnp.float32) -> Param
         else cfg.patch_size * cfg.patch_size * cfg.patch_size_t * cfg.out_channels
     )
 
+    def _patch_embed_params(k1, k2):
+        p = {
+            "proj": init_linear(k1, patch_in, dim, dtype=dtype),
+            "text_proj": init_linear(k2, cfg.text_embed_dim, dim, dtype=dtype),
+        }
+        if cfg.use_learned_positional_embeddings:
+            p["pos_embedding"] = jnp.asarray(_default_pos_embedding(cfg), dtype)
+        return p
+
     params: Params = {
-        "patch_embed": {
-            "proj": init_linear(keys[0], patch_in, dim, dtype=dtype),
-            "text_proj": init_linear(keys[1], cfg.text_embed_dim, dim, dtype=dtype),
-        },
-        "patch_embed_mot_ref": {
-            "proj": init_linear(keys[2], patch_in, dim, dtype=dtype),
-            "text_proj": init_linear(keys[3], cfg.text_embed_dim, dim, dtype=dtype),
-        },
+        "patch_embed": _patch_embed_params(keys[0], keys[1]),
+        "patch_embed_mot_ref": _patch_embed_params(keys[2], keys[3]),
         "time_embedding": init_timestep_embedding_mlp(keys[4], dim, cfg.time_embed_dim, dtype=dtype),
         "time_embedding_mot_ref": init_timestep_embedding_mlp(keys[5], dim, cfg.time_embed_dim, dtype=dtype),
         "norm_final": init_layer_norm(dim, dtype=dtype),
@@ -181,7 +206,23 @@ def _patchify(p: Params, cfg: CogVideoXMOTConfig, text: Array, video: Array) -> 
         x = x.reshape(b, (f // pt) * (h // ps) * (w // ps), c * pt * ps * ps)
     video_tokens = linear(p["proj"], x)
     text_tokens = linear(p["text_proj"], text)
-    return jnp.concatenate([text_tokens, video_tokens], axis=1)
+    tokens = jnp.concatenate([text_tokens, video_tokens], axis=1)
+    if cfg.use_learned_positional_embeddings and "pos_embedding" in p:
+        # trained joint buffer on top of RoPE (CogVideoXPatchEmbed.forward,
+        # embeddings.py:734-755). At the default resolution the checkpoint
+        # buffer applies; at a different frame count the reference swaps in a
+        # fresh sincos table (H/W changes are rejected there outright).
+        pos = p["pos_embedding"]
+        if pos.shape[0] != tokens.shape[1]:
+            if (h, w) != (cfg.sample_height, cfg.sample_width):
+                raise ValueError(
+                    "learned positional embeddings fix the spatial resolution "
+                    f"to {cfg.sample_height}x{cfg.sample_width} latents, got {h}x{w} "
+                    "(CogVideoXPatchEmbed.forward:735-739)")
+            pt = cfg.patch_size_t or 1
+            pos = jnp.asarray(_sincos_pos_embedding(cfg, h, w, f // pt), pos.dtype)
+        tokens = tokens + pos[None].astype(tokens.dtype)
+    return tokens
 
 
 def _unpatchify(cfg: CogVideoXMOTConfig, x: Array, num_frames: int, height: int, width: int) -> Array:

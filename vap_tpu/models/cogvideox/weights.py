@@ -44,6 +44,11 @@ def _patch_embed(sd, prefix, cfg: CogVideoXMOTConfig, dtype) -> Dict[str, Any]:
         "proj": {"kernel": jnp.asarray(kernel, dtype), "bias": jnp.asarray(sd[f"{prefix}.proj.bias"], dtype)},
         "text_proj": _lin(sd, f"{prefix}.text_proj", dtype),
     }
+    if f"{prefix}.pos_embedding" in sd:
+        # trained joint pos buffer [1, L, D] -> [L, D] (I2V checkpoints,
+        # use_learned_positional_embeddings)
+        pe = np.asarray(sd[f"{prefix}.pos_embedding"])
+        p["pos_embedding"] = jnp.asarray(pe.reshape(pe.shape[-2], pe.shape[-1]), dtype)
     return p
 
 

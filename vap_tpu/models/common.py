@@ -202,6 +202,47 @@ def sinusoidal_timestep_embedding(
     return emb
 
 
+def get_3d_sincos_pos_embed(
+    embed_dim: int,
+    spatial_size,  # (width, height) in post-patch units
+    temporal_size: int,
+    spatial_interpolation_scale: float = 1.0,
+    temporal_interpolation_scale: float = 1.0,
+):
+    """3D sinusoidal positional embeddings, matching the reference
+    `get_3d_sincos_pos_embed` (embeddings.py:79-151): dim split t:h:w =
+    d/4 : 3d/8 : 3d/8, fp64 frequency table, [sin‖cos] per axis.
+
+    Returns numpy [temporal_size * H * W, embed_dim] float32 (host-side:
+    used only at init / trace time for static-shape buffers)."""
+    import numpy as np
+
+    if isinstance(spatial_size, int):
+        spatial_size = (spatial_size, spatial_size)
+    w, h = spatial_size
+    dim_sp, dim_t = 3 * embed_dim // 4, embed_dim // 4
+
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64)
+        omega = 1.0 / 10000 ** (omega / (dim / 2.0))
+        out = np.outer(pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(h, dtype=np.float32) / spatial_interpolation_scale
+    grid_w = np.arange(w, dtype=np.float32) / spatial_interpolation_scale
+    # torch.meshgrid(grid_w, grid_h, indexing="xy") -> grid[0]=w-coords,
+    # grid[1]=h-coords, each [h, w]; 2d embed = [emb(grid[0]) ‖ emb(grid[1])]
+    gw, gh = np.meshgrid(grid_w, grid_h)  # both [h, w]
+    emb_sp = np.concatenate([_1d(dim_sp // 2, gw), _1d(dim_sp // 2, gh)], axis=1)  # [h*w, 3d/4]
+    grid_t = np.arange(temporal_size, dtype=np.float32) / temporal_interpolation_scale
+    emb_t = _1d(dim_t, grid_t)  # [T, d/4]
+
+    pos = np.concatenate(
+        [np.repeat(emb_t[:, None, :], h * w, axis=1),
+         np.repeat(emb_sp[None, :, :], temporal_size, axis=0)], axis=-1)
+    return pos.reshape(temporal_size * h * w, embed_dim).astype(np.float32)
+
+
 def timestep_embedding_mlp(p, sample: Array) -> Array:
     """diffusers TimestepEmbedding: Linear -> SiLU -> Linear."""
     h = linear(p["linear_1"], sample)

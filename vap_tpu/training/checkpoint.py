@@ -124,6 +124,8 @@ def _flatten_to_reference_names(params: Dict[str, Any], cfg) -> Dict[str, np.nda
         out[f"{name}.proj.weight"] = k
         out[f"{name}.proj.bias"] = np.asarray(p["proj"]["bias"])
         lin(f"{name}.text_proj", p["text_proj"])
+        if "pos_embedding" in p:
+            out[f"{name}.pos_embedding"] = np.asarray(p["pos_embedding"])[None]
 
     def attn(name, p):
         for sub in ("to_q", "to_k", "to_v"):

@@ -22,19 +22,99 @@ from ..models.text_encoders.t5 import T5Config, t5_encode
 from .train_step import TrainStepConfig, cogvideox_vap_loss
 
 
+def expected_mot_ref_shapes(cfg: CogVideoXMOTConfig) -> Dict[str, tuple]:
+    """HF-layout shapes of every `*_mot_ref` parameter a config-built MoT model
+    would carry (the target side of the reference's clone loop, cogvideox spec
+    base_specification.py:398-422). Used to detect base-vs-target shape
+    mismatches when a custom (non-config_ori) structure JSON changes dims."""
+    d, t, e = cfg.inner_dim, cfg.time_embed_dim, cfg.text_embed_dim
+    p, pt, hd = cfg.patch_size, cfg.patch_size_t, cfg.attention_head_dim
+    shapes: Dict[str, tuple] = {
+        "patch_embed_mot_ref.proj.weight":
+            (d, cfg.in_channels * p * p * pt) if pt else (d, cfg.in_channels, p, p),
+        "patch_embed_mot_ref.proj.bias": (d,),
+        "patch_embed_mot_ref.text_proj.weight": (d, e),
+        "patch_embed_mot_ref.text_proj.bias": (d,),
+        "time_embedding_mot_ref.linear_1.weight": (t, d),
+        "time_embedding_mot_ref.linear_1.bias": (t,),
+        "time_embedding_mot_ref.linear_2.weight": (t, t),
+        "time_embedding_mot_ref.linear_2.bias": (t,),
+    }
+    if cfg.use_learned_positional_embeddings:
+        shapes["patch_embed_mot_ref.pos_embedding"] = (1, cfg.joint_pos_embed_length, d)
+    for i in cfg.block_idx_with_mot_ref:
+        pre = f"transformer_blocks.{i}."
+        for nrm in ("norm1_mot_ref", "norm2_mot_ref"):
+            shapes[pre + nrm + ".linear.weight"] = (6 * d, t)
+            shapes[pre + nrm + ".linear.bias"] = (6 * d,)
+            shapes[pre + nrm + ".norm.weight"] = (d,)
+            shapes[pre + nrm + ".norm.bias"] = (d,)
+        for proj in ("to_q", "to_k", "to_v", "to_out.0"):
+            shapes[pre + f"attn1_mot_ref.{proj}.weight"] = (d, d)
+            shapes[pre + f"attn1_mot_ref.{proj}.bias"] = (d,)
+        for qk in ("norm_q", "norm_k"):
+            shapes[pre + f"attn1_mot_ref.{qk}.weight"] = (hd,)
+            shapes[pre + f"attn1_mot_ref.{qk}.bias"] = (hd,)
+        shapes[pre + "ff_mot_ref.net.0.proj.weight"] = (4 * d, d)
+        shapes[pre + "ff_mot_ref.net.0.proj.bias"] = (4 * d,)
+        shapes[pre + "ff_mot_ref.net.2.weight"] = (d, 4 * d)
+        shapes[pre + "ff_mot_ref.net.2.bias"] = (d,)
+    if cfg.reference_train_mode == "reference_independent":
+        out_dim = (cfg.out_channels or cfg.in_channels) * p * p * (pt or 1)
+        shapes.update({
+            "norm_final_mot_ref.weight": (d,),
+            "norm_final_mot_ref.bias": (d,),
+            "norm_out_mot_ref.linear.weight": (2 * d, t),
+            "norm_out_mot_ref.linear.bias": (2 * d,),
+            "norm_out_mot_ref.norm.weight": (d,),
+            "norm_out_mot_ref.norm.bias": (d,),
+            "proj_out_mot_ref.weight": (out_dim, d),
+            "proj_out_mot_ref.bias": (out_dim,),
+        })
+    return shapes
+
+
+def _xavier_uniform(rng: np.random.Generator, shape: tuple) -> np.ndarray:
+    """torch.nn.init.xavier_uniform_ (gain=1): fan_in/out per torch's
+    _calculate_fan_in_and_fan_out (receptive field folded into both fans)."""
+    recep = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+    fan_out, fan_in = shape[0] * recep, shape[1] * recep
+    a = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return rng.uniform(-a, a, size=shape).astype(np.float32)
+
+
 def build_mot_state_dict_from_base(sd: Dict[str, np.ndarray], cfg: CogVideoXMOTConfig,
                                    seed: int = 0) -> Dict[str, np.ndarray]:
     """Clone a plain CogVideoX checkpoint's weights into the MoT expert branch
-    (reference load_videoasprompt_mot_models, cogvideox spec :369-439): every
-    `X` gains an `X_mot_ref` copy; effect/ref embeddings are zero-initialized
-    by the caller (they are fresh parameters)."""
+    (reference load_videoasprompt_mot_models, cogvideox spec
+    base_specification.py:398-431): every `X` gains an `X_mot_ref` copy when
+    shapes match; on a base-vs-target shape mismatch (custom structure JSON),
+    weights are xavier-uniform, norm weights 1+0.02*noise, biases zero
+    (:404-417); effect/ref embeddings are ZERO-initialized (:424-431) — they
+    are fresh parameters the optimizer grows from nothing."""
     out = dict(sd)
+    targets = expected_mot_ref_shapes(cfg)
+    rng = np.random.default_rng(seed)
+
+    def _fresh(tgt: str, shape: tuple) -> np.ndarray:
+        if len(shape) > 1:
+            return _xavier_uniform(rng, shape)
+        if tgt.endswith(".weight") and "norm" in tgt:
+            return (np.ones(shape) + 0.02 * rng.standard_normal(shape)).astype(np.float32)
+        if tgt.endswith(".bias"):
+            return np.zeros(shape, dtype=np.float32)
+        raise ValueError(f"no base parameter for {tgt} with shape {shape}")
 
     def _clone(src_prefix: str, dst_prefix: str):
         for k in list(sd):
             if k.startswith(src_prefix):
                 tgt = k.replace(src_prefix, dst_prefix, 1)
-                if tgt not in out:  # keep a finetuned checkpoint's MoT branch
+                if tgt in out:  # keep a finetuned checkpoint's MoT branch
+                    continue
+                want = targets.get(tgt)
+                if want is not None and tuple(np.asarray(sd[k]).shape) != want:
+                    out[tgt] = _fresh(tgt, want)
+                else:
                     out[tgt] = sd[k]
 
     for name in ("patch_embed", "time_embedding"):
@@ -46,14 +126,13 @@ def build_mot_state_dict_from_base(sd: Dict[str, np.ndarray], cfg: CogVideoXMOTC
     if cfg.reference_train_mode == "reference_independent":
         for name in ("norm_final", "norm_out", "proj_out"):
             _clone(name + ".", name + "_mot_ref.")
-    rng = np.random.default_rng(seed)
     dim = cfg.inner_dim
-    for idx, t in enumerate(cfg.supported_effect_types):
+    for t in cfg.supported_effect_types:
         if f"effect_embeddings.{t}" not in out:
-            out[f"effect_embeddings.{t}"] = (0.02 * rng.standard_normal((1, 1, dim))).astype(np.float32)
+            out[f"effect_embeddings.{t}"] = np.zeros((1, 1, dim), dtype=np.float32)
     for idx in range(cfg.num_ref_embeddings or 0):
         if f"ref_embeddings.ref_{idx}" not in out:
-            out[f"ref_embeddings.ref_{idx}"] = (0.02 * rng.standard_normal((1, 1, dim))).astype(np.float32)
+            out[f"ref_embeddings.ref_{idx}"] = np.zeros((1, 1, dim), dtype=np.float32)
     return out
 
 

@@ -609,6 +609,24 @@ class SFTTrainer:
             return csv, gen, num_samples
         return path, gen, num_samples
 
+    def _resolve_val_limit(self, num_samples, total: int) -> Optional[int]:
+        """Resolve a validation sample cap. `"all"` (or -1) means every row —
+        the reference's behavior (it generates each CSV row, sharded across dp
+        ranks, sft_trainer/trainer.py:939-1110). An unset cap defaults to ONE
+        sample (a full 30-50-step 480p generation per row at every validation
+        interval is rarely what a single-chip user meant) but says so loudly:
+        silent truncation reads as "covered everything" when it didn't."""
+        if num_samples == "all" or num_samples == -1:
+            return None
+        if num_samples is None:
+            if total > 1:
+                logger.warning(
+                    "validation: no num_samples configured — generating 1 of %d "
+                    "rows. Set num_samples in the validation JSON (an integer, "
+                    "or \"all\" for every row) to change this.", total)
+            return 1
+        return int(num_samples)
+
     def _validate(self, key, num_samples: Optional[int] = None):
         """Full pipeline sampling with live training weights; per-run
         generation params come from the validation JSON (reference
@@ -632,14 +650,10 @@ class SFTTrainer:
                 return self._validate_generic(merged, num_samples)
         csv_path, gen, cfg_num_samples = self._load_validation_config()
         num_samples = num_samples if num_samples is not None else cfg_num_samples
-        if num_samples is None:
-            # Neither the caller nor the validation JSON bounded the pass: a
-            # full 30-50-step 480p generation per CSV row at every validation
-            # interval is never what a user meant — default to one sample.
-            num_samples = 1
         ds = VideoAsPromptValidationDataset(
             csv_path, num_frames=gen.get("num_frames", args.video_resolution_buckets[0][0]),
             shard_index=jax.process_index(), num_shards=max(jax.process_count(), 1))
+        num_samples = self._resolve_val_limit(num_samples, len(ds))
         out_dir = os.path.join(args.output_dir, "validation", f"{self.train_state.step:06d}")
         os.makedirs(out_dir, exist_ok=True)
         artifacts = {}
@@ -680,7 +694,8 @@ class SFTTrainer:
             val = json.load(f)
         data = val.get("data", []) if isinstance(val, dict) else val
         if num_samples is None:
-            num_samples = val.get("num_samples", 1) if isinstance(val, dict) else 1
+            num_samples = val.get("num_samples") if isinstance(val, dict) else None
+        num_samples = self._resolve_val_limit(num_samples, len(data))
         out_dir = os.path.join(args.output_dir, "validation", f"{self.train_state.step:06d}")
         os.makedirs(out_dir, exist_ok=True)
         artifacts = {}
