@@ -57,14 +57,24 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
     from vap_tpu.models.text_encoders.t5 import T5Config, convert_t5_state_dict
     from vap_tpu.pipelines.cogvideox_i2v_mot import CogVideoXVAPPipeline
     from vap_tpu.training.checkpoint import load_safetensors, merge_lora_into_state_dict
-    from vap_tpu.utils.hub import resolve_model_dir, variant_weight_files
+    from vap_tpu.utils.hub import (
+        component_config_kwargs, resolve_model_dir, variant_weight_files)
 
     dtype = parse_dtype(dtype_str)
-    t_cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap()
-    vae_cfg = CogVideoXVAEConfig()
-    txt_cfg = T5Config.t5_xxl()
-
     root = resolve_model_dir(model_path, revision, cache_dir)
+
+    def comp_dir(sub, override=None):
+        return (resolve_model_dir(override, revision, cache_dir) if override
+                else os.path.join(root, sub))
+
+    # checkpoint config.json overrides the released-config defaults per
+    # component (diffusers from_pretrained semantics)
+    t_cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(**component_config_kwargs(
+        CogVideoXMOTConfig, comp_dir("transformer", transformer_id)))
+    vae_cfg = CogVideoXVAEConfig(**component_config_kwargs(
+        CogVideoXVAEConfig, comp_dir("vae", vae_id)))
+    txt_cfg = T5Config.t5_xxl(**component_config_kwargs(
+        T5Config, comp_dir("text_encoder", text_encoder_id)))
 
     def load_dir(sub, override=None):
         d = (resolve_model_dir(override, revision, cache_dir) if override
@@ -99,11 +109,14 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", *,
                 load_dir("text_encoder", text_encoder_id), txt_cfg,
                 parse_dtype(text_encoder_dtype) if text_encoder_dtype else dtype),
         }
-    from transformers import AutoTokenizer
+    tok_dir = (resolve_model_dir(tokenizer_id, revision, cache_dir) if tokenizer_id
+               else os.path.join(root, "tokenizer"))
+    if os.path.isdir(tok_dir):
+        from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(
-        resolve_model_dir(tokenizer_id, revision, cache_dir) if tokenizer_id
-        else os.path.join(root, "tokenizer"))
+        tokenizer = AutoTokenizer.from_pretrained(tok_dir)
+    else:
+        tokenizer = None  # caller must set pipe.tokenizer (smoke checkpoints)
     return CogVideoXVAPPipeline(
         transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg,
         params=params, tokenizer=tokenizer, dtype=dtype,

@@ -44,12 +44,23 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: flo
         from infer.cog_vap import parse_dtype  # imported as a package module
 
     dtype = parse_dtype(dtype_str)
-    t_cfg = WanMOTConfig.wan_14b_i2v_vap()
-    vae_cfg = WanVAEConfig()
-    txt_cfg = T5Config.umt5_xxl()
-    clip_cfg = CLIPVisionConfig()
-
     root = resolve_model_dir(model_path, revision, cache_dir)
+
+    def comp_dir(sub, override=None):
+        return (resolve_model_dir(override, revision, cache_dir) if override
+                else os.path.join(root, sub))
+
+    from vap_tpu.utils.hub import component_config_kwargs
+
+    # checkpoint config.json overrides the released-config defaults
+    t_cfg = WanMOTConfig.wan_14b_i2v_vap(**component_config_kwargs(
+        WanMOTConfig, comp_dir("transformer", transformer_id)))
+    vae_cfg = WanVAEConfig(**component_config_kwargs(
+        WanVAEConfig, comp_dir("vae", vae_id)))
+    txt_cfg = T5Config.umt5_xxl(**component_config_kwargs(
+        T5Config, comp_dir("text_encoder", text_encoder_id)))
+    clip_cfg = CLIPVisionConfig(**component_config_kwargs(
+        CLIPVisionConfig, comp_dir("image_encoder", image_encoder_id)))
 
     def load_dir(sub, override=None):
         d = (resolve_model_dir(override, revision, cache_dir) if override
@@ -86,11 +97,14 @@ def build_pipeline(model_path: str, dtype_str: str = "bfloat16", flow_shift: flo
             "image_encoder": convert_clip_vision_state_dict(
                 load_dir("image_encoder", image_encoder_id), clip_cfg, dtype),
         }
-    from transformers import AutoTokenizer
+    tok_dir = (resolve_model_dir(tokenizer_id, revision, cache_dir) if tokenizer_id
+               else os.path.join(root, "tokenizer"))
+    if os.path.isdir(tok_dir):
+        from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(
-        resolve_model_dir(tokenizer_id, revision, cache_dir) if tokenizer_id
-        else os.path.join(root, "tokenizer"))
+        tokenizer = AutoTokenizer.from_pretrained(tok_dir)
+    else:
+        tokenizer = None  # caller must set pipe.tokenizer (smoke checkpoints)
     return WanVAPPipeline(
         transformer_cfg=t_cfg, vae_cfg=vae_cfg, text_cfg=txt_cfg, clip_cfg=clip_cfg,
         params=params, tokenizer=tokenizer,

@@ -1,0 +1,241 @@
+"""Record the quality gates that back bench.py's defaults (real TPU, ~30 min).
+
+Two records, written to docs/step_cache_gate.json:
+
+1. step-cache schedules (VERDICT r4 missing #3): run the FULL 42-block
+   bench-scale model (int8, the bench default) through complete 50-step
+   denoise trajectories — full compute vs each cached schedule, same init
+   noise, the same `make_denoise_scan` the bench times — and score the
+   cached trajectory against the full one: final-latent cosine, relative
+   L2, and decoded-video PSNR through the VAE. Gate (same standard as the
+   int8 gate, tests/test_int8_gate.py): cosine >= 0.999 and PSNR >= 30 dB.
+   bench.py only promotes a schedule to the headline when its record here
+   passes.
+
+2. int8 deltas at bench scale (VERDICT r4 weak #3 / next #10): one denoise
+   step at 18 blocks (bf16 fits at that depth) comparing flash-bf16 vs
+   sage-bf16 (attention quantization alone) and flash-bf16 vs
+   sage+W8A8-int8 (the bench default stack), quantized from the SAME
+   weights.
+
+Usage:  python scripts/step_cache_gate.py [--schedules uniform:2 adaptive:0.12]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bench import fast_init_transformer, make_denoise_scan
+from vap_tpu.models.cogvideox.config import CogVideoXMOTConfig
+from vap_tpu.models.cogvideox.vae import CogVideoXVAEConfig, init_cogvideox_vae
+from vap_tpu.ops.attention import attention_provider
+from vap_tpu.ops.rope import prepare_cogvideox_rotary_embeddings
+from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
+from vap_tpu.pipelines.step_cache import parse_step_cache
+
+COSINE_GATE = 0.999
+PSNR_GATE_DB = 30.0
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12))
+
+
+def _rel_l2(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12))
+
+
+def _psnr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    return float(10.0 * np.log10(4.0 / max(mse, 1e-12)))  # [-1,1] range -> peak 2
+
+
+def _bench_inputs(cfg, frames, height, width, dtype):
+    lat_f = (frames - 1) // 4 + 1
+    lat_h, lat_w = height // 8, width // 8
+    latent_channels = cfg.in_channels // 2
+    T = cfg.max_text_seq_length
+    key = jax.random.PRNGKey(0)
+    kw = dict(attention_head_dim=cfg.attention_head_dim, patch_size=cfg.patch_size,
+              patch_size_t=cfg.patch_size_t, sample_width=cfg.sample_width,
+              sample_height=cfg.sample_height)
+    scheduler = CogVideoXDDIMScheduler()
+    a_t, b_t, ap_t = (jnp.asarray(c) for c in scheduler.step_coefficients(50))
+    fixed = dict(
+        embeds=jax.random.normal(key, (2, T, cfg.text_embed_dim), dtype),
+        embeds_ref=jax.random.normal(jax.random.fold_in(key, 1), (2, T, cfg.text_embed_dim), dtype),
+        ref_in=jax.random.normal(jax.random.fold_in(key, 2), (2, lat_f, cfg.in_channels, lat_h, lat_w), dtype),
+        image_latents=jax.random.normal(jax.random.fold_in(key, 3), (2, lat_f, latent_channels, lat_h, lat_w), dtype),
+        rope=prepare_cogvideox_rotary_embeddings(height, width, lat_f, **kw),
+        rope_ref=prepare_cogvideox_rotary_embeddings(height, width, lat_f, mot_num=1, **kw),
+        dtype=dtype, a=a_t, b=b_t, ap=ap_t,
+    )
+    lat0 = jax.random.normal(jax.random.fold_in(key, 4),
+                             (1, lat_f, latent_channels, lat_h, lat_w), jnp.float32)
+    return scheduler, fixed, lat0
+
+
+def _decode(lat, dtype):
+    """Synthetic-VAE decode (bench-scale) for PSNR scoring."""
+    from vap_tpu.models.cogvideox.vae import vae_decode_wsplit
+
+    vae_cfg = CogVideoXVAEConfig()
+    vae_params = init_cogvideox_vae(jax.random.PRNGKey(1), vae_cfg, dtype)
+    z = jnp.transpose(lat.astype(dtype), (0, 1, 3, 4, 2))  # [B,F,C,H,W]->[B,F,H,W,C]
+    out = vae_decode_wsplit(vae_params, vae_cfg, z, 2)
+    res = np.asarray(out.astype(jnp.float32))
+    del vae_params, out
+    return res
+
+
+def run_step_cache(args, record):
+    dtype = jnp.bfloat16
+    cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap()
+    scheduler, fixed, lat0 = _bench_inputs(cfg, args.frames, args.height, args.width, dtype)
+    params = fast_init_transformer(cfg, dtype, int8=True)
+    jax.block_until_ready(params)
+
+    results = {}
+    lats = {}
+    for spec_str in [None] + args.schedules:
+        spec_p = parse_step_cache(spec_str, 50) if spec_str else None
+        scan = make_denoise_scan(cfg, scheduler, spec_p, fixed, 50)
+        t0 = time.time()
+        with attention_provider("sage"):
+            lat, n_comp = scan(params, lat0)
+            lat = np.asarray(lat)
+            n_comp = int(n_comp)
+        dt = time.time() - t0
+        print(f"{spec_str or 'full'}: {dt:.0f}s incl compile, computed {n_comp}/50", flush=True)
+        lats[spec_str] = lat
+        if spec_str is None:
+            continue
+        results[spec_str] = {
+            "computed_steps": n_comp,
+            "final_latent_cosine": round(_cos(lat, lats[None]), 6),
+            "final_latent_rel_l2": round(_rel_l2(lat, lats[None]), 6),
+        }
+
+    del params
+    if not args.skip_psnr:
+        vid_full = _decode(jnp.asarray(lats[None]), dtype)
+        for spec_str in args.schedules:
+            vid = _decode(jnp.asarray(lats[spec_str]), dtype)
+            results[spec_str]["decoded_psnr_db"] = round(_psnr(vid, vid_full), 2)
+            del vid
+        del vid_full
+
+    for r in results.values():
+        r["passes_gate"] = bool(
+            r["final_latent_cosine"] >= COSINE_GATE
+            and r.get("decoded_psnr_db", PSNR_GATE_DB) >= PSNR_GATE_DB)
+
+    record["step_cache"] = {
+        "model": "bench fast-init, released 5B config, 42 blocks, int8 linears, sage attention",
+        "shape": f"{args.frames}f@{args.height}x{args.width}, 50 steps, CFG batch 2, 1 ref",
+        "gate": {"final_latent_cosine_min": COSINE_GATE, "decoded_psnr_db_min": PSNR_GATE_DB},
+        "schedules": results,
+    }
+    return results
+
+
+def run_int8_deltas(args, record):
+    """flash-bf16 vs sage-bf16 vs sage+W8A8 one-step deltas at 18 blocks."""
+    from vap_tpu.models.common import quantize_transformer_linears
+
+    dtype = jnp.bfloat16
+    cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(
+        num_layers=18, block_idx_with_mot_ref=tuple(range(18)))
+    scheduler, fixed, lat0 = _bench_inputs(cfg, args.frames, args.height, args.width, dtype)
+    params = fast_init_transformer(cfg, dtype, int8=False)
+    jax.block_until_ready(params)
+
+    from vap_tpu.models.cogvideox.transformer_mot import cogvideox_mot_forward
+
+    @jax.jit
+    def one_pred(params, latents):
+        latent_in = jnp.concatenate([latents.astype(dtype)] * 2, axis=0)
+        latent_in = jnp.concatenate([latent_in, fixed["image_latents"]], axis=2)
+        pred, _ = cogvideox_mot_forward(
+            params, cfg, hidden_states=latent_in, encoder_hidden_states=fixed["embeds"],
+            timestep=jnp.broadcast_to(jnp.float32(500.0), (2,)), image_rotary_emb=fixed["rope"],
+            hidden_states_mot_ref=fixed["ref_in"],
+            encoder_hidden_states_mot_ref=fixed["embeds_ref"],
+            image_rotary_emb_mot_ref=fixed["rope_ref"], num_mot_ref=1)
+        return pred.astype(jnp.float32)
+
+    with attention_provider("flash"):
+        ref = np.asarray(one_pred(params, lat0))
+    with attention_provider("sage"):
+        sage = np.asarray(one_pred(params, lat0))
+    params_q = quantize_transformer_linears(params)
+    del params
+    with attention_provider("sage"):
+        w8a8 = np.asarray(one_pred(params_q, lat0))
+    del params_q
+
+    def deltas(x):
+        return {
+            "cosine": round(_cos(x, ref), 6),
+            "rel_l2": round(_rel_l2(x, ref), 6),
+            "max_abs": round(float(np.abs(x - ref).max()), 6),
+            "mean_abs": round(float(np.abs(x - ref).mean()), 6),
+            "ref_rms": round(float(np.sqrt((ref.astype(np.float64) ** 2).mean())), 6),
+        }
+
+    record["int8_deltas"] = {
+        "model": "bench fast-init, released 5B config, 18 blocks (bf16 fits), one CFG step",
+        "sage_vs_flash_bf16": deltas(sage),
+        "sage_w8a8_vs_flash_bf16": deltas(w8a8),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--schedules", nargs="+", default=["uniform:2", "adaptive:0.12"])
+    p.add_argument("--frames", type=int, default=49)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=720)
+    p.add_argument("--skip_int8", action="store_true")
+    p.add_argument("--skip_psnr", action="store_true")
+    p.add_argument("--output", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "step_cache_gate.json"))
+    args = p.parse_args()
+
+    record = {
+        "date": time.strftime("%Y-%m-%d"),
+        "device": None,
+        "script": "scripts/step_cache_gate.py",
+    }
+    jax.devices()
+    record["device"] = str(jax.devices()[0])
+
+    run_step_cache(args, record)
+
+    if not args.skip_int8:
+        run_int8_deltas(args, record)
+
+    with open(args.output, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record["step_cache"]["schedules"]))
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,7 @@
 """CogVideoX 3D-causal VAE parity vs the reference torch model (tiny config)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -143,13 +145,52 @@ def test_wsplit_decode_close_to_full(jax_cfg):
 
 def test_sum2d_conv3d_matches_default(jax_cfg, monkeypatch):
     """VAP_VAE_CONV3D=sum2d (exact kt-tap decomposition, a TPU conv-emitter
-    layout candidate — scripts/conv3d_bench.py) must reproduce the default
-    NDHWC conv through the full decode, cache streaming included."""
+    layout candidate — scripts/conv3d_bench.py) must reproduce the NDHWC conv
+    through the full decode, cache streaming included."""
     from vap_tpu.models.cogvideox.vae import init_cogvideox_vae, vae_decode_streamed
 
     params = init_cogvideox_vae(jax.random.PRNGKey(0), jax_cfg)
     z = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 6, 6, jax_cfg.latent_channels), jnp.float32)
+    monkeypatch.setenv("VAP_VAE_CONV3D", "ndhwc")
     ref = np.asarray(vae_decode_streamed(params, jax_cfg, z))
     monkeypatch.setenv("VAP_VAE_CONV3D", "sum2d")
     got = np.asarray(vae_decode_streamed(params, jax_cfg, z))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_conv3d_auto_dispatch(monkeypatch):
+    """'auto' must take the sum2d branch on shapes _sum2d_wins selects and
+    match forced ndhwc there exactly (ADVICE r4: the default's shape-dispatch
+    was untested — tiny configs kept auto on the NDHWC branch)."""
+    from vap_tpu.models.cogvideox.vae import _conv3d, _sum2d_wins
+
+    # small-extent regime (h*w <= 16K) and the W-split decode regime
+    for (h, w, cin) in ((40, 40, 8), (288, 512, 4)):
+        assert _sum2d_wins(h, w, cin)
+        k = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 3, cin, 4), jnp.float32) * 0.1
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, h, w, cin), jnp.float32)
+        p = {"kernel": k}
+        pad = ((0, 0), (1, 1), (1, 1))
+        monkeypatch.setenv("VAP_VAE_CONV3D", "ndhwc")
+        ref = np.asarray(_conv3d(p, x, padding=pad))
+        monkeypatch.setenv("VAP_VAE_CONV3D", "auto")
+        got = np.asarray(_conv3d(p, x, padding=pad))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+    # measured ndhwc regimes stay on ndhwc
+    assert not _sum2d_wins(240, 184, 256)   # up2 240p
+    assert not _sum2d_wins(480, 720, 3)     # encoder conv_in, full W
+    assert not _sum2d_wins(240, 360, 128)   # encoder stage 1
+
+
+def test_conv3d_mode_validated():
+    """Typos in VAP_VAE_CONV3D must raise, not silently fall back (ADVICE r4)."""
+    from vap_tpu.models.cogvideox.vae import _conv3d
+
+    k = jnp.zeros((3, 3, 3, 2, 2), jnp.float32)
+    x = jnp.zeros((1, 5, 8, 8, 2), jnp.float32)
+    os.environ["VAP_VAE_CONV3D"] = "nhwc "
+    try:
+        with pytest.raises(ValueError, match="VAP_VAE_CONV3D"):
+            _conv3d({"kernel": k}, x, padding=((0, 0), (1, 1), (1, 1)))
+    finally:
+        os.environ.pop("VAP_VAE_CONV3D", None)

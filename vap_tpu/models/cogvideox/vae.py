@@ -64,10 +64,19 @@ class CogVideoXVAEConfig:
 
 def _sum2d_wins(h: int, w: int, cin: int) -> bool:
     """Shape rule for the kt-tap decomposition, from the TPU shootout
-    (scripts/conv3d_bench.py, v5e, bf16): sum2d beats the NDHWC emitter only
-    on the wide low-channel stage (480p/128ch: 97.3 vs 71.5 TFLOP/s, 1.36x)
-    and loses at 256ch/240p (73.8 vs 85.6); small stages are a wash."""
-    return cin <= 128 and h * w >= 64 * 1024
+    (scripts/conv3d_bench.py, v5e, bf16, RTT-free timing — r5 rerun covering
+    the encoder shapes the r4 rule extrapolated to):
+      sum2d wins:  480p W-split decode 128ch w=368 (96.4 vs 72.0 TFLOP/s),
+                   small stages 256ch/120p (23.1 vs 14.2) and 512ch/60p
+                   (24.5 vs 12.8)
+      ndhwc wins:  240p 256ch (79.0 vs 71.4), full-W 480p encode at 3ch
+                   (3.6 vs 3.2) and 128ch (81.3 vs 77.2), 240p 128ch
+                   (54.6 vs 44.8)
+    Encoded as: tiny spatial extents always decompose; otherwise only the
+    wide-but-W-split low-channel decode regime does."""
+    if h * w <= 16 * 1024:
+        return True
+    return cin <= 128 and h * w >= 128 * 1024 and w <= 512
 
 
 def _conv3d(p: Params, x: Array, strides=(1, 1, 1), padding="VALID") -> Array:
@@ -83,6 +92,9 @@ def _conv3d(p: Params, x: Array, strides=(1, 1, 1), padding="VALID") -> Array:
     gated by tests/test_vae_cogvideox.py::test_sum2d_conv3d_matches_default."""
     k = p["kernel"].astype(x.dtype)
     mode = os.environ.get("VAP_VAE_CONV3D", "auto")
+    if mode not in ("auto", "sum2d", "ndhwc"):
+        raise ValueError(
+            f"VAP_VAE_CONV3D={mode!r}: expected 'auto', 'sum2d' or 'ndhwc'")
     want_sum2d = mode == "sum2d" or (
         mode == "auto" and _sum2d_wins(x.shape[2], x.shape[3], x.shape[4]))
     if (want_sum2d and k.shape[0] > 1
@@ -398,6 +410,9 @@ def vae_decode(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
     """
     num_frames = latents.shape[1]
     fb = frame_batch or num_frames
+    if fb < 2:
+        raise ValueError("chunked decode needs frame_batch >= 2 (the "
+                         "temporal-upsample cache drops frames below that)")
     num_batches = max(num_frames // fb, 1)
     remaining = num_frames % fb
     cache = None
@@ -425,6 +440,9 @@ def vae_decode_streamed(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
     """
     num_frames = latents.shape[1]
     fb = frame_batch or num_frames
+    if fb < 2:
+        raise ValueError("chunked decode needs frame_batch >= 2 (the "
+                         "temporal-upsample cache drops frames below that)")
     num_batches = max(num_frames // fb, 1)
     remaining = num_frames % fb
     cache = None
@@ -443,17 +461,28 @@ def vae_decode_streamed(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
 
 
 def vae_decode_wsplit(params: Params, cfg: CogVideoXVAEConfig, latents: Array,
-                      n_splits: int = 2, overlap_lat: int = 22,
+                      n_splits: int = 2, overlap_lat: int = 8,
                       frame_batch: int = NUM_LATENT_FRAMES_BATCH) -> Array:
-    """Width-split decode: n evenly-sized W tiles with a wide blended overlap,
+    """Width-split decode: n evenly-sized W tiles with a blended overlap,
     each tile decoded via the streamed per-chunk path.
 
     The v5e-16GB sweet spot for 49f@480p: full-frame decode needs ~17 GB
     (temp 14 + conv cache 2.6, measured via memory_analysis), while the
-    reference-parity 3x3 tiled path does 2.25x the frame area. Two 56-latent
-    tiles do 1.24x the area with a 176-px blend (vs the reference grid's
-    72 px). n_splits=1 degenerates to exact full-frame streaming decode.
+    reference-parity 3x3 tiled path does 2.25x the frame area. Two 49-latent
+    tiles do 1.09x the area with a 64-px blend. The default overlap is from
+    the r5 TPU sweep (overlap 22/12/8 => 4.92/4.42/4.26 s; seam-vs-exact at
+    240p full-frame: mean |delta| 0.0079/0.0106/0.0119 on [-1,1] pixels,
+    p99 0.031/0.045/0.047 — random weights, so an upper bound on real
+    checkpoints). n_splits=1 degenerates to exact full-frame streaming
+    decode.
+
+    frame_batch must be >= 2: the temporal-upsample cache path drops frames
+    at 1-latent-frame chunks (and 2 is the reference's
+    num_latent_frames_batch_size, which group-norm statistics depend on).
     """
+    if frame_batch is not None and frame_batch < 2:
+        raise ValueError("vae_decode_wsplit needs frame_batch >= 2 (the "
+                         "temporal-upsample cache drops frames below that)")
     b, f, h, w, c = latents.shape
     if n_splits <= 1:
         return vae_decode_streamed(params, cfg, latents, frame_batch)

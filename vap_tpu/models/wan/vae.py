@@ -422,3 +422,106 @@ def wan_vae_decode_tiled(
 @_functools.lru_cache(maxsize=8)
 def _jitted_wan_tile_decode(cfg: WanVAEConfig):
     return jax.jit(lambda p, z: wan_vae_decode(p, cfg, z))
+
+
+# ---------------------------------------------------------------------------
+# random init (tests / bench; real use loads converted HF weights). Dim math
+# mirrors WanEncoder3d/WanDecoder3d (autoencoder_kl_wan.py:366-470, :542-620):
+# encoder dims = base*[1]+dim_mult, decoder dims = base*[last]+reversed, with
+# the decoder's post-upsample channel halving folded into each stage's in_dim.
+# ---------------------------------------------------------------------------
+
+def _init_c3(key, kt, kh, kw, cin, cout, dtype):
+    fan = kt * kh * kw * cin
+    return {"kernel": jax.random.normal(key, (kt, kh, kw, cin, cout), dtype) * fan ** -0.5,
+            "bias": jnp.zeros((cout,), dtype)}
+
+
+def _init_c2(key, cin, cout, dtype, k=3):
+    fan = k * k * cin
+    return {"kernel": jax.random.normal(key, (k, k, cin, cout), dtype) * fan ** -0.5,
+            "bias": jnp.zeros((cout,), dtype)}
+
+
+def _init_rms(c, dtype):
+    return {"gamma": jnp.ones((c,), dtype)}
+
+
+def _init_resblock(key, cin, cout, dtype):
+    ks = jax.random.split(key, 3)
+    p = {
+        "norm1": _init_rms(cin, dtype),
+        "conv1": _init_c3(ks[0], 3, 3, 3, cin, cout, dtype),
+        "norm2": _init_rms(cout, dtype),
+        "conv2": _init_c3(ks[1], 3, 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = _init_c3(ks[2], 1, 1, 1, cin, cout, dtype)
+    return p
+
+
+def _init_attn(key, c, dtype):
+    ks = jax.random.split(key, 2)
+    return {
+        "norm": _init_rms(c, dtype),
+        "to_qkv": {"kernel": jax.random.normal(ks[0], (c, 3 * c), dtype) * c ** -0.5,
+                   "bias": jnp.zeros((3 * c,), dtype)},
+        "proj": {"kernel": jax.random.normal(ks[1], (c, c), dtype) * c ** -0.5,
+                 "bias": jnp.zeros((c,), dtype)},
+    }
+
+
+def _init_mid(key, c, dtype):
+    ks = jax.random.split(key, 3)
+    return {"resnet_0": _init_resblock(ks[0], c, c, dtype),
+            "attn_0": _init_attn(ks[1], c, dtype),
+            "resnet_1": _init_resblock(ks[2], c, c, dtype)}
+
+
+def init_wan_vae(key, cfg: WanVAEConfig, dtype=jnp.float32) -> Params:
+    """Random Wan 3D-causal VAE params in the converter's tree layout."""
+    n_stages = len(cfg.dim_mult)
+    kiter = iter(jax.random.split(key, 256))
+
+    enc_dims = [cfg.base_dim * u for u in [1] + list(cfg.dim_mult)]
+    enc: Params = {"conv_in": _init_c3(next(kiter), 3, 3, 3, 3, enc_dims[0], dtype)}
+    li = 0
+    for i, (cin, cout) in enumerate(zip(enc_dims[:-1], enc_dims[1:])):
+        for j in range(cfg.num_res_blocks):
+            enc[f"layer_{li}"] = _init_resblock(next(kiter), cin if j == 0 else cout, cout, dtype)
+            li += 1
+        if i != n_stages - 1:
+            p = {"conv": _init_c2(next(kiter), cout, cout, dtype)}
+            if cfg.temperal_downsample[i]:
+                p["time_conv"] = _init_c3(next(kiter), 3, 1, 1, cout, cout, dtype)
+            enc[f"layer_{li}"] = p
+            li += 1
+    enc["mid_block"] = _init_mid(next(kiter), enc_dims[-1], dtype)
+    enc["norm_out"] = _init_rms(enc_dims[-1], dtype)
+    enc["conv_out"] = _init_c3(next(kiter), 3, 3, 3, enc_dims[-1], 2 * cfg.z_dim, dtype)
+
+    dec_dims = [cfg.base_dim * u for u in [cfg.dim_mult[-1]] + list(cfg.dim_mult)[::-1]]
+    dec: Params = {"conv_in": _init_c3(next(kiter), 3, 3, 3, cfg.z_dim, dec_dims[0], dtype)}
+    dec["mid_block"] = _init_mid(next(kiter), dec_dims[0], dtype)
+    up = cfg.temperal_upsample
+    for i, (cin, cout) in enumerate(zip(dec_dims[:-1], dec_dims[1:])):
+        if i > 0:
+            cin = cin // 2  # the previous stage's upsampler halved channels
+        blk: Params = {}
+        for j in range(cfg.num_res_blocks + 1):
+            blk[f"resnet_{j}"] = _init_resblock(next(kiter), cin if j == 0 else cout, cout, dtype)
+        if i != n_stages - 1:
+            p = {"conv": _init_c2(next(kiter), cout, cout // 2, dtype)}
+            if up[i]:
+                p["time_conv"] = _init_c3(next(kiter), 3, 1, 1, cout, 2 * cout, dtype)
+            blk["upsampler"] = p
+        dec[f"up_block_{i}"] = blk
+    dec["norm_out"] = _init_rms(dec_dims[-1], dtype)
+    dec["conv_out"] = _init_c3(next(kiter), 3, 3, 3, dec_dims[-1], 3, dtype)
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _init_c3(next(kiter), 1, 1, 1, 2 * cfg.z_dim, 2 * cfg.z_dim, dtype),
+        "post_quant_conv": _init_c3(next(kiter), 1, 1, 1, cfg.z_dim, cfg.z_dim, dtype),
+    }

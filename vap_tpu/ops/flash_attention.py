@@ -731,6 +731,47 @@ def _fwd_kernel_t_i8(sqk_ref, kt_ref, qt_ref, vt_ref, o_ref, lse_ref,
         lse_ref[0, 0] = (0.6931471805599453 * (m_sc[:1] + jnp.log2(l_safe)))[0]
 
 
+def _fwd_kernel_t_i8_bound_unrolled(sqk_ref, bnd_ref, kt_ref, qt_ref, vt_ref,
+                                    o_ref, lse_ref, acc_sc, *, dim, unroll):
+    """Bound-softmax int8 kernel, kv-subtile-unrolled.
+
+    Same math as _fwd_kernel_t_i8_bound, but the kv block is processed as
+    `unroll` independent sub-tiles whose QK dots, exp2 passes and PV dots are
+    all issued inside ONE kernel body. The sub-tiles share no data, so Mosaic
+    can run sub-tile i's exp2 (VPU) under sub-tile i+1's QK dot (MXU) —
+    attacking the ~19% of the 151 TFLOP/s cycle bound the serial kernel left
+    on the table (docs/ROOFLINE.md "imperfect VPU/MXU overlap")."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    sqk = sqk_ref[0, 0, 0]
+    bnd = bnd_ref[0]
+    bk = kt_ref.shape[2] // unroll
+    sts = [jax.lax.dot_general(
+        kt_ref[0, :, u * bk:(u + 1) * bk], qt_ref[0],
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        for u in range(unroll)]
+    ps = [jnp.exp2(st.astype(jnp.float32) * sqk - bnd).astype(vt_ref.dtype)
+          for st in sts]
+    acc = acc_sc[:]
+    for u in range(unroll):
+        acc = acc + jax.lax.dot_general(
+            vt_ref[0, :, u * bk:(u + 1) * bk], ps[u],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_sc[:] = acc
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = acc_sc[dim:dim + 1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (0.6931471805599453 * (bnd_ref[0] + jnp.log2(l_safe)))[0]
+
+
 def _fwd_kernel_t_i8_bound(sqk_ref, bnd_ref, kt_ref, qt_ref, vt_ref, o_ref, lse_ref,
                            acc_sc, *, dim):
     """Bound-softmax int8 kernel: no running max, no rescale.
@@ -850,8 +891,12 @@ def _flash_attention_forward_t_i8(q, k, v, scale, block_q, block_k, use_bound=Tr
         # bound-to-max gap > 186 doublings instead of 126
         bnd = jnp.minimum(holder, cs) * sqk[:, :, 0] - 60.0             # [bh, S] log2-domain
         bnd = _pad_to(bnd[:, None], 2, block_q)                         # [bh, 1, q_pad]
+        unroll = int(os.environ.get("VAP_SAGE_UNROLL", "1"))
+        kern = (functools.partial(_fwd_kernel_t_i8_bound, dim=dim) if unroll <= 1
+                else functools.partial(_fwd_kernel_t_i8_bound_unrolled,
+                                       dim=dim, unroll=unroll))
         out_t, lse = pl.pallas_call(
-            functools.partial(_fwd_kernel_t_i8_bound, dim=dim),
+            kern,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, 1), lambda b, qi, ki: (b, 0, 0), memory_space=pltpu.SMEM),

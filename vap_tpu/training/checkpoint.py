@@ -49,6 +49,9 @@ class Checkpointer:
         )
         self._mgr = ocp.CheckpointManager(self._dir, options=options)
 
+    def _rank_state_dir(self, step: int) -> str:
+        return os.path.join(self._dir, f"rank_state_{step}")
+
     def save(self, step: int, *, params, opt_state=None, train_state: Optional[TrainState] = None,
              dataloader_state: Optional[Dict[str, Any]] = None):
         import orbax.checkpoint as ocp
@@ -60,10 +63,32 @@ class Checkpointer:
         if train_state is not None:
             meta["train_state"] = train_state.to_dict()
         if dataloader_state is not None:
-            meta["dataloader_state"] = dataloader_state
+            if jax.process_count() > 1:
+                # per-PROCESS stream state: orbax JsonSave writes only the
+                # primary host's value, which would resume every rank from
+                # rank 0's shard position (reference analog: DCP per-dp-rank
+                # state keys, finetrainers data/dataloader.py:24-47). Each
+                # process writes its own sidecar file instead.
+                d = self._rank_state_dir(step)
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"rank_{jax.process_index()}.json"), "w") as f:
+                    json.dump(dataloader_state, f)
+            else:
+                meta["dataloader_state"] = dataloader_state
         if meta:
             items["meta"] = ocp.args.JsonSave(meta)
         self._mgr.save(step, args=ocp.args.Composite(**items))
+        # prune rank-state sidecars for steps the manager dropped
+        keep = set(self._mgr.all_steps()) | {step}
+        import glob
+        import shutil
+
+        for d in glob.glob(os.path.join(self._dir, "rank_state_*")):
+            try:
+                if int(d.rsplit("_", 1)[1]) not in keep:
+                    shutil.rmtree(d, ignore_errors=True)
+            except ValueError:
+                pass
 
     def wait(self):
         self._mgr.wait_until_finished()
@@ -92,6 +117,11 @@ class Checkpointer:
         meta = out.get("meta") or {}
         result["train_state"] = TrainState.from_dict(meta.get("train_state", {"step": step}))
         result["dataloader_state"] = meta.get("dataloader_state")
+        rank_file = os.path.join(self._rank_state_dir(step),
+                                 f"rank_{jax.process_index()}.json")
+        if os.path.exists(rank_file):
+            with open(rank_file) as f:
+                result["dataloader_state"] = json.load(f)
         return result
 
 

@@ -98,6 +98,35 @@ def local_batch_size(args: TrainingArgs, process_count: int = 1) -> int:
     return args.batch_size * max(batch_shards // max(process_count, 1), 1)
 
 
+def _match_template_sharding(tree, template, mesh=None):
+    """Re-place restored leaves so a multi-process jit accepts them.
+
+    Orbax restores template-less leaves (optax counters, scalars) COMMITTED
+    to local device 0; a jit whose other arguments live on the global mesh
+    then fails with "incompatible devices". Fresh-init templates don't hit
+    this because their single-device leaves are uncommitted (default-device
+    placement), which jit auto-places — so the template's own sharding is
+    not a usable target either. Rule: leaves whose template spans the mesh
+    keep the template's sharding; single-device/host leaves are rebuilt
+    REPLICATED over the mesh (restored values are process-identical, so
+    every process can supply its addressable shards from its local copy)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def fix(x, t):
+        if not isinstance(t, jax.Array) or not hasattr(t, "sharding"):
+            return x
+        target = t.sharding
+        if mesh is not None and len(target.device_set) == 1:
+            target = NamedSharding(mesh, PartitionSpec())
+        if isinstance(x, jax.Array) and x.sharding == target:
+            return x
+        host = np.asarray(x)
+        return jax.make_array_from_callback(host.shape, target,
+                                            lambda idx: host[idx])
+
+    return jax.tree.map(fix, tree, template)
+
+
 class SFTTrainer:
     def __init__(self, args: TrainingArgs, model_spec):
         self.args = args
@@ -437,8 +466,16 @@ class SFTTrainer:
             restored = self.checkpointer.restore(
                 step, params_template=self.train_params, opt_state_template=self.opt_state)
             if restored:
-                self.train_params = restored["params"]
-                self.opt_state = restored["opt_state"]
+                # orbax can land template-less leaves (optax counters and
+                # other scalars) on local device 0 only; under a multi-process
+                # mesh that poisons the next jit with mixed device sets, so
+                # re-place anything whose sharding disagrees with the live
+                # template (values are process-identical, making the global
+                # rebuild safe)
+                self.train_params = _match_template_sharding(
+                    restored["params"], self.train_params, self.mesh)
+                self.opt_state = _match_template_sharding(
+                    restored["opt_state"], self.opt_state, self.mesh)
                 self.train_state = restored["train_state"]
                 dataloader_state = restored.get("dataloader_state")
                 logger.info(f"resumed from step {self.train_state.step}")

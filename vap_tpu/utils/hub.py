@@ -62,3 +62,27 @@ def variant_weight_files(directory: str, variant: Optional[str] = None,
             f"{directory} holds only variant-tagged weights for multiple "
             f"variants {sorted(tags)}; pass variant= to pick one")
     return [os.path.join(directory, f) for f in names]
+
+
+def component_config_kwargs(cfg_cls, directory: Optional[str]) -> dict:
+    """Read a component dir's config.json and keep only keys that are fields
+    of cfg_cls (diffusers config files carry extra HF metadata), tuplifying
+    lists so frozen dataclass configs stay hashable. Lets real checkpoints
+    override the released-config defaults (e.g. block_idx_with_mot_ref,
+    use_learned_positional_embeddings) instead of trusting hardcoded values."""
+    import dataclasses
+    import json
+
+    if not directory:
+        return {}
+    path = os.path.join(directory, "config.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    names = {f.name for f in dataclasses.fields(cfg_cls)}
+
+    def tuplify(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    return {k: tuplify(v) for k, v in raw.items() if k in names}
