@@ -79,6 +79,16 @@ from vap_tpu.ops.schedulers import CogVideoXDDIMScheduler
 A100_BASELINE_SEC = 600.0  # documented estimate; reference publishes none
 
 
+def _load_json_record(name: str):
+    """Recorded measurement surfaced into the bench JSON (docs/<name>)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs", name)
+    try:
+        with open(path) as f:
+            return dict(json.load(f), source=path)
+    except Exception:
+        return None
+
+
 def _load_quality_record() -> dict:
     """docs/step_cache_gate.json, written by scripts/step_cache_gate.py on the
     real chip: step-cache schedule gates + int8 one-step deltas."""
@@ -196,21 +206,31 @@ def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16, int8: boo
 
 
 
-def make_denoise_scan(cfg, scheduler, spec_p, fixed, total_steps, guidance=6.0):
-    """Jitted full-trajectory denoise scan with step caching inside
-    (mirrors pipelines/cogvideox_i2v_mot.py's step_cached lax.scan).
+def make_denoise_scan(cfg, scheduler, spec_p, fixed, total_steps, guidance=6.0,
+                      chunk_steps=None):
+    """Full-trajectory denoise with step caching inside the scan (mirrors
+    pipelines/cogvideox_i2v_mot.py's step_cached lax.scan).
 
     fixed: dict(embeds, embeds_ref, ref_in, image_latents, rope, rope_ref,
     dtype, a, b, ap). Returns cached_scan(params, latents) -> (latents,
     n_computed). spec_p=None runs full compute (a mask of ones).
-    Shared by bench.py main() and scripts/quality_gates.py so the measured
-    and the quality-gated trajectories are the same code."""
+
+    The trajectory executes as ceil(total/chunk_steps) jitted scan calls with
+    the carry threaded on-device between them (default VAP_BENCH_SCAN_CHUNK=10):
+    one 50-step device program runs ~13 min at full depth, long enough to trip
+    the remote TPU worker's RPC deadline and crash it (observed r5); chunking
+    bounds each program at ~2.5 min with only host-dispatch (~ms) between
+    chunks. Shared by bench.py main() and scripts/step_cache_gate.py so the
+    measured and the quality-gated trajectories are the same code."""
     dtype = fixed["dtype"]
     embeds, embeds_ref = fixed["embeds"], fixed["embeds_ref"]
     ref_in, image_latents = fixed["ref_in"], fixed["image_latents"]
     rope, rope_ref = fixed["rope"], fixed["rope_ref"]
     ts = jnp.linspace(999.0, 20.0, total_steps, dtype=jnp.float32)
     per_step = {"t": ts, "a": fixed["a"], "b": fixed["b"], "ap": fixed["ap"]}
+    if chunk_steps is None:
+        chunk_steps = int(os.environ.get("VAP_BENCH_SCAN_CHUNK", "10"))
+    chunk_steps = max(1, min(chunk_steps, total_steps))
 
     def _model_pred_t(params, latents, t):
         latent_in = jnp.concatenate([latents.astype(dtype)] * 2, axis=0)
@@ -222,11 +242,19 @@ def make_denoise_scan(cfg, scheduler, spec_p, fixed, total_steps, guidance=6.0):
             image_rotary_emb_mot_ref=rope_ref, num_mot_ref=1)
         return pred.astype(jnp.float32)
 
-    if spec_p is not None and spec_p.kind == "adaptive":
-        xs_all = dict(per_step, forced=jnp.asarray(spec_p.mask))
+    adaptive = spec_p is not None and spec_p.kind == "adaptive"
+    if adaptive:
+        mask = np.asarray(spec_p.mask)
+        mask_key = "forced"
+    else:
+        mask = (np.ones(total_steps, bool) if spec_p is None
+                else np.asarray(spec_p.mask))
+        mask_key = "compute"
+    xs_all = dict(per_step, **{mask_key: jnp.asarray(mask)})
 
-        @jax.jit
-        def cached_scan(params, latents):
+    @jax.jit
+    def scan_chunk(params, carry, xs):
+        if adaptive:
             def body(carry, xs):
                 lat, pred_c, prev_lat, acc = carry
                 rel = jnp.sum(jnp.abs(lat - prev_lat)) / jnp.maximum(
@@ -241,33 +269,31 @@ def make_denoise_scan(cfg, scheduler, spec_p, fixed, total_steps, guidance=6.0):
                 guided = uncond + guidance * (cond - uncond)
                 new_lat = scheduler.step(guided, lat, xs["a"], xs["b"], xs["ap"])
                 return (new_lat, pred, lat, acc), do.astype(jnp.int32)
+        else:
+            def body(carry, xs):
+                lat, pred_c = carry
+                pred = jax.lax.cond(
+                    xs["compute"], lambda _: _model_pred_t(params, lat, xs["t"]),
+                    lambda _: pred_c, None)
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                guided = uncond + guidance * (cond - uncond)
+                new_lat = scheduler.step(guided, lat, xs["a"], xs["b"], xs["ap"])
+                return (new_lat, pred), xs["compute"].astype(jnp.int32)
 
-            init_pred = jnp.zeros((2,) + latents.shape[1:], jnp.float32)
-            (lat, _, _, _), comps = jax.lax.scan(
-                body, (latents, init_pred, latents, jnp.float32(0.0)), xs_all)
-            return lat, comps.sum()
+        carry, comps = jax.lax.scan(body, carry, xs)
+        return carry, comps.sum()
 
-        return cached_scan
-
-    mask = (np.ones(total_steps, bool) if spec_p is None
-            else np.asarray(spec_p.mask))
-    xs_all = dict(per_step, compute=jnp.asarray(mask))
-
-    @jax.jit
     def cached_scan(params, latents):
-        def body(carry, xs):
-            lat, pred_c = carry
-            pred = jax.lax.cond(
-                xs["compute"], lambda _: _model_pred_t(params, lat, xs["t"]),
-                lambda _: pred_c, None)
-            uncond, cond = jnp.split(pred, 2, axis=0)
-            guided = uncond + guidance * (cond - uncond)
-            new_lat = scheduler.step(guided, lat, xs["a"], xs["b"], xs["ap"])
-            return (new_lat, pred), xs["compute"].astype(jnp.int32)
-
         init_pred = jnp.zeros((2,) + latents.shape[1:], jnp.float32)
-        (lat, _), comps = jax.lax.scan(body, (latents, init_pred), xs_all)
-        return lat, comps.sum()
+        carry = ((latents, init_pred, latents, jnp.float32(0.0)) if adaptive
+                 else (latents, init_pred))
+        total = jnp.int32(0)
+        for s in range(0, total_steps, chunk_steps):
+            e = min(s + chunk_steps, total_steps)  # a short tail chunk compiles once
+            xs = jax.tree.map(lambda x: x[s:e], xs_all)
+            carry, n = scan_chunk(params, carry, xs)
+            total = total + n
+        return carry[0], total
 
     return cached_scan
 
@@ -507,6 +533,9 @@ def main():
             # scripts/step_cache_gate.py, surfaced so the int8 defaults carry
             # evidence beyond tiny-config gates
             "int8_deltas": _load_quality_record().get("int8_deltas"),
+            # recorded SFT train-step measurement (scripts/train_bench.py),
+            # so training regressions surface round-over-round
+            "train_step": _load_json_record("train_bench.json"),
         },
     }
     print(json.dumps(result))

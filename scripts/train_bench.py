@@ -102,6 +102,28 @@ def main():
     print(f"train step: blocks={n_blocks} step={dt:.3f}s  {flops/dt/1e12:.1f} TFLOP/s "
           f"(fwd+bwd)  extrap42={dt*42/n_blocks:.2f}s  compile={compile_s:.1f}s  loss={loss:.4f}")
 
+    # record for bench.py's train_step block (VERDICT r4 #8): round-over-round
+    # training-step regressions become visible in BENCH_r{N}.json
+    out_path = os.environ.get("VAP_TRAIN_BENCH_RECORD", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "train_bench.json"))
+    if out_path and out_path != "none":
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump({
+                "date": time.strftime("%Y-%m-%d"),
+                "device": str(jax.devices()[0]),
+                "shape": f"{frames}f@{height}x{width}, batch 1, remat={remat}",
+                "blocks_measured": n_blocks,
+                "step_s_measured": round(dt, 3),
+                "step_s_extrapolated_42": round(dt * 42 / n_blocks, 2),
+                "tflops_fwd_bwd": round(flops / dt / 1e12, 1),
+                "steps_per_s_42_blocks": round(n_blocks / (dt * 42), 4),
+                "script": "scripts/train_bench.py",
+            }, f, indent=1)
+        print(f"wrote {out_path}")
+
 
 if __name__ == "__main__":
     main()

@@ -96,3 +96,35 @@ def test_wan_vap_recipes_use_logit_normal():
         if "sft/wan/vap_mot" in path:
             args = _recipe_args(path)
             assert args.flow_weighting_scheme == "logit_normal", path
+
+
+def test_structure_configs_match_released():
+    """The shipped config_ori.json files must carry the RELEASED MoT block
+    lists (reference examples/training/sft/{cogvideox,wan}/vap_mot/
+    config_ori.json: CogVideoX has MoT in blocks 0-40 of 42, Wan in all 40),
+    and the released-config constructors must agree with them."""
+    import json
+    import os
+
+    from vap_tpu.models.cogvideox import CogVideoXMOTConfig
+    from vap_tpu.models.wan import WanMOTConfig
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "training", "sft")
+    cog = json.load(open(os.path.join(root, "cogvideox", "vap_mot", "config_ori.json")))
+    assert cog["block_idx_with_mot_ref"] == list(range(41))
+    assert CogVideoXMOTConfig.cogvideox_5b_i2v_vap().block_idx_with_mot_ref == tuple(range(41))
+    # heterogeneous tail: blocks 0-40 MoT, block 41 plain -> two scan segments
+    assert CogVideoXMOTConfig.cogvideox_5b_i2v_vap().mot_segments == (
+        (0, 41, True), (41, 1, False))
+
+    wan = json.load(open(os.path.join(root, "wan", "vap_mot", "config_ori.json")))
+    assert wan["block_idx_with_mot_ref"] == list(range(40))
+    assert WanMOTConfig.wan_14b_i2v_vap().block_idx_with_mot_ref == tuple(range(40))
+
+    ref = "/root/reference/examples/training/sft"
+    if os.path.isdir(ref):
+        for fam in ("cogvideox", "wan"):
+            ours = json.load(open(os.path.join(root, fam, "vap_mot", "config_ori.json")))
+            theirs = json.load(open(os.path.join(ref, fam, "vap_mot", "config_ori.json")))
+            assert ours["block_idx_with_mot_ref"] == theirs["block_idx_with_mot_ref"]
