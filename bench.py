@@ -216,7 +216,7 @@ def make_denoise_scan(cfg, scheduler, spec_p, fixed, total_steps, guidance=6.0,
     n_computed). spec_p=None runs full compute (a mask of ones).
 
     The trajectory executes as ceil(total/chunk_steps) jitted scan calls with
-    the carry threaded on-device between them (default VAP_BENCH_SCAN_CHUNK=10):
+    the carry threaded on-device between them (default VAP_BENCH_SCAN_CHUNK=2):
     one 50-step device program runs ~13 min at full depth, long enough to trip
     the remote TPU worker's RPC deadline and crash it (observed r5); chunking
     bounds each program at ~2.5 min with only host-dispatch (~ms) between
@@ -229,7 +229,11 @@ def make_denoise_scan(cfg, scheduler, spec_p, fixed, total_steps, guidance=6.0,
     ts = jnp.linspace(999.0, 20.0, total_steps, dtype=jnp.float32)
     per_step = {"t": ts, "a": fixed["a"], "b": fixed["b"], "ap": fixed["ap"]}
     if chunk_steps is None:
-        chunk_steps = int(os.environ.get("VAP_BENCH_SCAN_CHUNK", "10"))
+        # 2 full-depth int8 steps ~= 31 s of device time per program. Longer
+        # programs risk the remote worker: a single 50-step program (~13 min)
+        # and a 10-step chunk (~150 s) both crashed it on this tunnel; the
+        # 2-step chunk ran full depth without incident.
+        chunk_steps = int(os.environ.get("VAP_BENCH_SCAN_CHUNK", "2"))
     chunk_steps = max(1, min(chunk_steps, total_steps))
 
     def _model_pred_t(params, latents, t):
@@ -536,6 +540,10 @@ def main():
             # recorded SFT train-step measurement (scripts/train_bench.py),
             # so training regressions surface round-over-round
             "train_step": _load_json_record("train_bench.json"),
+            # recorded Wan-2.1 14B VAP measurement (VAP_BENCH_FAMILY=wan run
+            # of this script; VERDICT r4 #2), surfaced so the second flagship
+            # carries a measured number in every round's headline JSON
+            "wan": _load_json_record("wan_bench.json"),
         },
     }
     print(json.dumps(result))
@@ -670,6 +678,12 @@ def main_wan():
         },
     }
     print(json.dumps(result))
+    # Record the run so the default (CogVideoX) bench surfaces it in its
+    # details block — one wan-family run per round keeps the number fresh.
+    record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "wan_bench.json")
+    with open(record_path, "w") as f:
+        json.dump(dict(result, date=time.strftime("%Y-%m-%d")), f, indent=1)
 
 
 def _supervise() -> int:

@@ -207,7 +207,11 @@ def run_int8_deltas(args, record):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--schedules", nargs="+", default=["uniform:2", "adaptive:0.12"])
+    # uniform:2:10:5 (full compute for the first 10 / last 5 steps) is the
+    # fallback candidate: warmup/cooldown protects exactly the trajectory
+    # regions where reuse hurts most, at ~2 extra computed steps vs uniform:2.
+    p.add_argument("--schedules", nargs="+",
+                   default=["uniform:2", "adaptive:0.12", "uniform:2:10:5"])
     p.add_argument("--frames", type=int, default=49)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=720)
