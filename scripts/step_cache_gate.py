@@ -19,6 +19,12 @@ Two records, written to docs/step_cache_gate.json:
    weights.
 
 Usage:  python scripts/step_cache_gate.py [--schedules uniform:2 adaptive:0.12]
+
+Crash isolation (the axon tunnel can wedge mid-run): `--only full` /
+`--only SCHEDULE` / `--only int8` run ONE phase per process, persist final
+latents as .npy under --workdir, and merge into the output JSON incrementally,
+so a TPU-worker crash costs one phase, not the whole ~1 h run. A driver loop
+(scripts/run_gate_phases.sh) sequences the phases with retries.
 """
 
 import argparse
@@ -103,54 +109,101 @@ def _decode(lat, dtype):
     return res
 
 
-def run_step_cache(args, record):
+def _merge_write(args, record):
+    """Merge `record` into the output JSON (incremental, crash-tolerant)."""
+    out = {}
+    try:
+        with open(args.output) as f:
+            out = json.load(f)
+    except Exception:
+        pass
+    for k, v in record.items():
+        if k == "step_cache" and isinstance(out.get(k), dict):
+            merged = dict(out[k])
+            merged.update({kk: vv for kk, vv in v.items() if kk != "schedules"})
+            merged.setdefault("schedules", {}).update(v.get("schedules", {}))
+            out[k] = merged
+        else:
+            out[k] = v
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"merged -> {args.output}", flush=True)
+
+
+def _lat_path(args, spec_str):
+    name = "full" if spec_str is None else spec_str.replace(":", "_").replace(".", "p")
+    return os.path.join(args.workdir, f"lat_{name}.npy")
+
+
+def _run_one_trajectory(args, spec_str):
+    """Run ONE 50-step trajectory (full compute when spec_str is None) and
+    persist the final latent. Returns (latent, computed_steps, wall_s)."""
     dtype = jnp.bfloat16
     cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap()
     scheduler, fixed, lat0 = _bench_inputs(cfg, args.frames, args.height, args.width, dtype)
     params = fast_init_transformer(cfg, dtype, int8=True)
     jax.block_until_ready(params)
-
-    results = {}
-    lats = {}
-    for spec_str in [None] + args.schedules:
-        spec_p = parse_step_cache(spec_str, 50) if spec_str else None
-        scan = make_denoise_scan(cfg, scheduler, spec_p, fixed, 50)
-        t0 = time.time()
-        with attention_provider("sage"):
-            lat, n_comp = scan(params, lat0)
-            lat = np.asarray(lat)
-            n_comp = int(n_comp)
-        dt = time.time() - t0
-        print(f"{spec_str or 'full'}: {dt:.0f}s incl compile, computed {n_comp}/50", flush=True)
-        lats[spec_str] = lat
-        if spec_str is None:
-            continue
-        results[spec_str] = {
-            "computed_steps": n_comp,
-            "final_latent_cosine": round(_cos(lat, lats[None]), 6),
-            "final_latent_rel_l2": round(_rel_l2(lat, lats[None]), 6),
-        }
-
+    spec_p = parse_step_cache(spec_str, 50) if spec_str else None
+    scan = make_denoise_scan(cfg, scheduler, spec_p, fixed, 50)
+    t0 = time.time()
+    with attention_provider("sage"):
+        lat, n_comp = scan(params, lat0)
+        lat = np.asarray(lat)
+        n_comp = int(n_comp)
+    dt = time.time() - t0
+    print(f"{spec_str or 'full'}: {dt:.0f}s incl compile, computed {n_comp}/50", flush=True)
+    os.makedirs(args.workdir, exist_ok=True)
+    np.save(_lat_path(args, spec_str), lat)
     del params
+    return lat, n_comp, dt
+
+
+def _score_schedule(args, spec_str, lat, n_comp, wall_s):
+    lat_full = np.load(_lat_path(args, None))
+    res = {
+        "computed_steps": n_comp,
+        "wall_s_incl_compile": round(wall_s, 1),
+        "final_latent_cosine": round(_cos(lat, lat_full), 6),
+        "final_latent_rel_l2": round(_rel_l2(lat, lat_full), 6),
+    }
     if not args.skip_psnr:
-        vid_full = _decode(jnp.asarray(lats[None]), dtype)
-        for spec_str in args.schedules:
-            vid = _decode(jnp.asarray(lats[spec_str]), dtype)
-            results[spec_str]["decoded_psnr_db"] = round(_psnr(vid, vid_full), 2)
-            del vid
-        del vid_full
+        dtype = jnp.bfloat16
+        vid_full = _decode(jnp.asarray(lat_full), dtype)
+        vid = _decode(jnp.asarray(lat), dtype)
+        res["decoded_psnr_db"] = round(_psnr(vid, vid_full), 2)
+        del vid, vid_full
+    res["passes_gate"] = bool(
+        res["final_latent_cosine"] >= COSINE_GATE
+        and res.get("decoded_psnr_db", PSNR_GATE_DB) >= PSNR_GATE_DB)
+    return res
 
-    for r in results.values():
-        r["passes_gate"] = bool(
-            r["final_latent_cosine"] >= COSINE_GATE
-            and r.get("decoded_psnr_db", PSNR_GATE_DB) >= PSNR_GATE_DB)
 
-    record["step_cache"] = {
+def _step_cache_header(args):
+    return {
         "model": "bench fast-init, released 5B config, 42 blocks, int8 linears, sage attention",
         "shape": f"{args.frames}f@{args.height}x{args.width}, 50 steps, CFG batch 2, 1 ref",
         "gate": {"final_latent_cosine_min": COSINE_GATE, "decoded_psnr_db_min": PSNR_GATE_DB},
-        "schedules": results,
     }
+
+
+def run_step_cache(args, record):
+    results = {}
+    for spec_str in [None] + args.schedules:
+        fp = _lat_path(args, spec_str)
+        if os.path.exists(fp):
+            print(f"{spec_str or 'full'}: reusing {fp}", flush=True)
+            if spec_str is not None:
+                # re-score from saved latents (wall_s unknown on reuse)
+                lat = np.load(fp)
+                results[spec_str] = _score_schedule(args, spec_str, lat, -1, -1.0)
+            continue
+        lat, n_comp, dt = _run_one_trajectory(args, spec_str)
+        if spec_str is not None:
+            results[spec_str] = _score_schedule(args, spec_str, lat, n_comp, dt)
+        record["step_cache"] = dict(_step_cache_header(args), schedules=results)
+        _merge_write(args, record)
+
+    record["step_cache"] = dict(_step_cache_header(args), schedules=results)
     return results
 
 
@@ -217,6 +270,10 @@ def main():
     p.add_argument("--width", type=int, default=720)
     p.add_argument("--skip_int8", action="store_true")
     p.add_argument("--skip_psnr", action="store_true")
+    p.add_argument("--only", default=None,
+                   help="run one phase in this process: 'full', a schedule "
+                        "string, or 'int8'; merges into --output")
+    p.add_argument("--workdir", default="/tmp/vap_gate_work")
     p.add_argument("--output", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "step_cache_gate.json"))
@@ -230,13 +287,34 @@ def main():
     jax.devices()
     record["device"] = str(jax.devices()[0])
 
+    if args.only == "int8":
+        run_int8_deltas(args, record)
+        _merge_write(args, record)
+        return
+    if args.only == "full":
+        if not os.path.exists(_lat_path(args, None)):
+            _run_one_trajectory(args, None)
+        _merge_write(args, record)
+        return
+    if args.only:
+        spec_str = args.only
+        fp = _lat_path(args, spec_str)
+        if os.path.exists(fp):
+            lat, n_comp, dt = np.load(fp), -1, -1.0
+        else:
+            lat, n_comp, dt = _run_one_trajectory(args, spec_str)
+        res = _score_schedule(args, spec_str, lat, n_comp, dt)
+        record["step_cache"] = dict(_step_cache_header(args), schedules={spec_str: res})
+        _merge_write(args, record)
+        print(json.dumps({spec_str: res}))
+        return
+
     run_step_cache(args, record)
 
     if not args.skip_int8:
         run_int8_deltas(args, record)
 
-    with open(args.output, "w") as f:
-        json.dump(record, f, indent=1)
+    _merge_write(args, record)
     print(json.dumps(record["step_cache"]["schedules"]))
     print(f"wrote {args.output}")
 
