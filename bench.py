@@ -111,6 +111,21 @@ def _load_step_cache_gate(schedule: str) -> dict:
     return dict(rec, source=table.get("source"))
 
 
+def _best_gated_schedule(default: str = "uniform:2") -> str:
+    """The gate-passing schedule with the fewest computed steps (fastest),
+    from docs/step_cache_gate.json. Used when VAP_BENCH_STEP_CACHE is unset
+    or 'auto', so the headline always runs the best schedule the recorded
+    quality gate allows; falls back to `default` when no record passes (the
+    run then stays un-promoted, since its gate lookup will come back empty
+    or failing)."""
+    table = _load_quality_record().get("step_cache", {}).get("schedules", {})
+    passing = {k: v for k, v in table.items()
+               if v.get("passes_gate") and v.get("computed_steps", 0) > 0}
+    if not passing:
+        return default
+    return min(passing, key=lambda k: passing[k]["computed_steps"])
+
+
 def fast_init_transformer(cfg: CogVideoXMOTConfig, dtype=jnp.bfloat16, int8: bool = False):
     """Init stacked block leaves directly at [L, ...] (no per-block stack copy),
     so a near-HBM-sized model can be materialized without a 2x peak.
@@ -433,7 +448,9 @@ def main():
     # scan. The schedule must carry a recorded quality gate
     # (docs/step_cache_gate.json, produced by scripts/step_cache_gate.py) to
     # be promoted to the headline.
-    cache_spec = os.environ.get("VAP_BENCH_STEP_CACHE", "uniform:2")
+    cache_spec = os.environ.get("VAP_BENCH_STEP_CACHE", "auto")
+    if cache_spec == "auto":
+        cache_spec = _best_gated_schedule()
     cached = None
     cached_scan_s = None
     if cache_spec not in ("", "none") and n_blocks == full_blocks:

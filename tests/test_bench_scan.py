@@ -88,3 +88,29 @@ def test_adaptive_counts_runtime_decisions(setup):
     # a huge threshold computes only the forced warmup/cooldown steps
     lat_b, n_b = _run(setup, "adaptive:1e9:2:1", chunk=TOTAL)
     assert n_b == parse_step_cache("adaptive:1e9:2:1", TOTAL).mask.sum()
+
+
+def test_best_gated_schedule_selection(tmp_path, monkeypatch):
+    """bench's 'auto' step-cache default must pick the fastest (fewest
+    computed steps) schedule whose recorded gate passes, and fall back to
+    uniform:2 when none passes / no record exists."""
+    import json
+    import bench
+
+    rec = {"step_cache": {"schedules": {
+        "uniform:2": {"passes_gate": False, "computed_steps": 30},
+        "uniform:2:10:5": {"passes_gate": True, "computed_steps": 32},
+        "adaptive:0.12": {"passes_gate": True, "computed_steps": 36},
+    }}}
+    p = tmp_path / "step_cache_gate.json"
+    p.write_text(json.dumps(rec))
+    monkeypatch.setattr(bench, "_load_quality_record",
+                        lambda: json.loads(p.read_text()))
+    assert bench._best_gated_schedule() == "uniform:2:10:5"
+
+    rec["step_cache"]["schedules"]["uniform:2"]["passes_gate"] = True
+    p.write_text(json.dumps(rec))
+    assert bench._best_gated_schedule() == "uniform:2"
+
+    monkeypatch.setattr(bench, "_load_quality_record", lambda: {})
+    assert bench._best_gated_schedule() == "uniform:2"
