@@ -154,7 +154,26 @@ def _run_one_trajectory(args, spec_str):
     print(f"{spec_str or 'full'}: {dt:.0f}s incl compile, computed {n_comp}/50", flush=True)
     os.makedirs(args.workdir, exist_ok=True)
     np.save(_lat_path(args, spec_str), lat)
+    with open(_lat_path(args, spec_str) + ".meta.json", "w") as f:
+        json.dump({"computed_steps": n_comp, "wall_s_incl_compile": dt}, f)
     del params
+    return lat, n_comp, dt
+
+
+def _load_saved(args, spec_str):
+    """(latent, computed_steps, wall_s) from a finished phase's workdir files.
+    The sidecar keeps retries honest: a schedule re-scored from a saved
+    latent still carries its real computed-step count (the auto-promotion in
+    bench.py ignores records without one)."""
+    lat = np.load(_lat_path(args, spec_str))
+    n_comp, dt = -1, -1.0
+    try:
+        with open(_lat_path(args, spec_str) + ".meta.json") as f:
+            meta = json.load(f)
+        n_comp = int(meta.get("computed_steps", -1))
+        dt = float(meta.get("wall_s_incl_compile", -1.0))
+    except Exception:
+        pass
     return lat, n_comp, dt
 
 
@@ -193,9 +212,7 @@ def run_step_cache(args, record):
         if os.path.exists(fp):
             print(f"{spec_str or 'full'}: reusing {fp}", flush=True)
             if spec_str is not None:
-                # re-score from saved latents (wall_s unknown on reuse)
-                lat = np.load(fp)
-                results[spec_str] = _score_schedule(args, spec_str, lat, -1, -1.0)
+                results[spec_str] = _score_schedule(args, spec_str, *_load_saved(args, spec_str))
             continue
         lat, n_comp, dt = _run_one_trajectory(args, spec_str)
         if spec_str is not None:
@@ -300,7 +317,7 @@ def main():
         spec_str = args.only
         fp = _lat_path(args, spec_str)
         if os.path.exists(fp):
-            lat, n_comp, dt = np.load(fp), -1, -1.0
+            lat, n_comp, dt = _load_saved(args, spec_str)
         else:
             lat, n_comp, dt = _run_one_trajectory(args, spec_str)
         res = _score_schedule(args, spec_str, lat, n_comp, dt)
