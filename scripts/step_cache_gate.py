@@ -226,11 +226,15 @@ def run_step_cache(args, record):
 
 def run_int8_deltas(args, record):
     """flash-bf16 vs sage-bf16 vs sage+W8A8 one-step deltas at 18 blocks."""
-    from vap_tpu.models.common import quantize_transformer_linears
+    from vap_tpu.models.common import (
+        INT8_LINEAR_NAMES, map_transformer_linears, quantize_linear_int8)
 
     dtype = jnp.bfloat16
+    # 18 blocks is the deepest bf16 reference that fits the 16 GB v5e;
+    # VAP_GATE_INT8_BLOCKS overrides for CPU smoke tests / OOM fallback.
+    nb = int(os.environ.get("VAP_GATE_INT8_BLOCKS", "18"))
     cfg = CogVideoXMOTConfig.cogvideox_5b_i2v_vap(
-        num_layers=18, block_idx_with_mot_ref=tuple(range(18)))
+        num_layers=nb, block_idx_with_mot_ref=tuple(range(nb)))
     scheduler, fixed, lat0 = _bench_inputs(cfg, args.frames, args.height, args.width, dtype)
     params = fast_init_transformer(cfg, dtype, int8=False)
     jax.block_until_ready(params)
@@ -253,8 +257,18 @@ def run_int8_deltas(args, record):
         ref = np.asarray(one_pred(params, lat0))
     with attention_provider("sage"):
         sage = np.asarray(one_pred(params, lat0))
-    params_q = quantize_transformer_linears(params)
+    # Quantizing 18 blocks of bf16 (~8 GB) next to two live executables OOM'd
+    # the 16 GB v5e (3/3 attempts, r5 gate log). Free the compiled forwards'
+    # workspace first, then quantize under jit with the bf16 tree DONATED so
+    # XLA releases each bf16 kernel as its int8 copy materializes — peak stays
+    # ~one model instead of bf16 + int8 + executables.
+    jax.clear_caches()
+    quantize = jax.jit(
+        lambda p: map_transformer_linears(p, quantize_linear_int8, INT8_LINEAR_NAMES),
+        donate_argnums=0)
+    params_q = quantize(params)
     del params
+    jax.block_until_ready(params_q)
     with attention_provider("sage"):
         w8a8 = np.asarray(one_pred(params_q, lat0))
     del params_q
@@ -269,7 +283,7 @@ def run_int8_deltas(args, record):
         }
 
     record["int8_deltas"] = {
-        "model": "bench fast-init, released 5B config, 18 blocks (bf16 fits), one CFG step",
+        "model": f"bench fast-init, released 5B config, {nb} blocks (bf16 fits), one CFG step",
         "sage_vs_flash_bf16": deltas(sage),
         "sage_w8a8_vs_flash_bf16": deltas(w8a8),
     }

@@ -214,3 +214,24 @@ def test_flash_d128_bound_path_still_default():
     ref = dense_attention(q, k, v)
     got = _run(lambda q, k, v: flash_attention(q, k, v), q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("kv_len", [257, 77, 200])
+def test_flash_d128_short_unaligned_kv(kv_len):
+    """D=128 row-major forward with a short, non-128-multiple KV — the Wan
+    cross-attention CLIP image context (257 tokens, transformer_wan_mot.py's
+    attn2 image stream). The dispatch's 8-rounded block_k traced a
+    (bq, 264)-vs-(bq, 256) shape mismatch inside the running-max kernel
+    (r5 wan_bench log); blocks are LANES-rounded now and the kv-bias row
+    masks the pad, so values must still match dense exactly."""
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv = jax.random.split(key, 3)
+    B, H, Q, D = 1, 2, 256, 128
+    q = jax.random.normal(kq, (B, H, Q, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, kv_len, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, kv_len, D), jnp.float32)
+
+    ref = dense_attention(q, k, v)
+    got = _run(flash_attention, q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=DENSE_ATOL, rtol=2e-3)

@@ -1414,8 +1414,14 @@ def _forward_dispatch(q, k, v, scale, block_q, block_k, kv_lens=None,
         # tuned row-forward blocks: 163.3 TFLOP/s at D=128 (2048,1024) vs
         # 159.1 at (1024,1024) — sweep in scripts/attn_bench.py --dim 128
         block_q = 2048
-    block_q = max(min(block_q, _cdiv(q.shape[2], 8) * 8), 8)
-    block_k = max(min(block_k, _cdiv(k.shape[2], 8) * 8), 8)
+    # Row layout: block_q is the LANE dim of the lse tile and block_k is
+    # tiled by LANES inside the running-max kernel (`block_k // LANES`), so
+    # both must be multiples of 128 — an 8-rounded block from a short,
+    # unaligned KV (e.g. Wan's 257-token CLIP image context at D=128) traced
+    # a (bq, 264) score against a (bq, 256) tile and failed. The kv-bias row
+    # masks the padded tail, so LANES-rounding is shape-only.
+    block_q = max(min(block_q, _cdiv(q.shape[2], LANES) * LANES), LANES)
+    block_k = max(min(block_k, _cdiv(k.shape[2], LANES) * LANES), LANES)
     return _flash_attention_forward(q, k, v, scale, block_q, block_k, kv_lens=kv_lens)
 
 
